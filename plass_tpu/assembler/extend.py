@@ -1,0 +1,241 @@
+"""Greedy contig extension (reference: src/assembler/assembleresult.cpp).
+
+Per query: candidates are rescored to integer score-per-column, ordered in a
+priority queue by (score, alnLength, smaller dbKey), and popped while they
+touch an end of the query without being fully contained
+(selectFragmentToExtend, assembleresult.cpp:40-57). The first eligible
+right / left extension per round is applied by appending the unaligned
+target tail / head; remaining candidates are re-scored against the grown
+query via an ungapped diagonal alignment and re-queued if they still pass
+the sequence-identity threshold (assembleresult.cpp:193-313).
+
+Status bitmask per sequence (assembleresult.cpp:187-341):
+ 0x40 appeared in some alignment list, 0x10 was popped as a candidate,
+ 0x80 was consumed into a contig, 0x20 became a contig.
+Sequences that did not become contigs are passed through unchanged when
+keep_target (default) or never consumed.
+
+Queries are independent -> the pass is batch-parallel; this host version is
+the reference oracle for the batched device path.
+"""
+import heapq
+
+import numpy as np
+
+from .. import constants
+from ..data import seqdb
+from ..ops.evalue import EvalueComputer
+from ..ops.rescore import RESCORE_END_TO_END, ungapped_by_diagonal
+
+WAS_IN_ALIGNMENT = 0x40
+WAS_CANDIDATE = 0x10
+WAS_CONSUMED = 0x80
+IS_CONTIG = 0x20
+
+
+class _Cand:
+    __slots__ = ("score", "aln_len", "db_key", "seq_id", "qlen", "dblen",
+                 "qstart", "qend", "dbstart", "dbend")
+
+    def __init__(self, db_key, score, seq_id, aln_len, qstart, qend, qlen,
+                 dbstart, dbend, dblen):
+        self.db_key = db_key
+        self.score = score
+        self.seq_id = seq_id
+        self.aln_len = aln_len
+        self.qstart = qstart
+        self.qend = qend
+        self.qlen = qlen
+        self.dbstart = dbstart
+        self.dbend = dbend
+        self.dblen = dblen
+
+    def sort_key(self):
+        # max-heap on (score, alnLength, smaller dbKey wins ties)
+        return (-self.score, -self.aln_len, self.db_key)
+
+
+def _select_fragment(heap, query_key):
+    """selectFragmentToExtend: pop until a candidate touches an end of the
+    query or target without being a full containment or the identity."""
+    while heap:
+        _, _, res = heapq.heappop(heap)
+        not_both_start = not (res.dbstart == 0 and res.qstart == 0)
+        right_start = res.dbstart == 0 and (res.dbend != res.dblen - 1)
+        left_start = res.qstart == 0 and (res.qend != res.qlen - 1)
+        is_not_identity = res.db_key != query_key
+        if (right_start or left_start) and not_both_start and is_not_identity:
+            return res
+    return None
+
+
+def _rev_fragment(frag, nucl_mat):
+    """getRevFragment (assembleresult.cpp:59-68): numeric revcomp, X -> 'N'."""
+    num = nucl_mat.aa2num[frag]
+    rev = nucl_mat.reverse[num][::-1]
+    chars = nucl_mat.num2aa[rev]
+    chars = np.where(chars == ord("X"), np.uint8(ord("N")), chars)
+    return chars.astype(np.uint8)
+
+
+def assemble(db, alignments, seq_id_thr=0.9, max_seq_len=65535,
+             keep_target=True, rescore_mode=RESCORE_END_TO_END,
+             evaluer=None):
+    """assembleresults: db + per-query alignment records -> extended DB.
+
+    alignments: {query_key: np.ndarray[RESULT_DTYPE]} from ops.rescore.
+    Returns a SeqDB with contigs (extended queries) and pass-through
+    sequences.
+    """
+    is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+    mat = constants.nucleotide() if is_nucl else constants.blosum62()
+    ascii_mat = mat.ascii_mat
+    if evaluer is None:
+        evaluer = EvalueComputer.for_matrix(
+            "nucleotide_ungapped" if is_nucl else "blosum62_ungapped",
+            db.total_residues())
+
+    lut = db.id_lookup_array()
+    was_extended = np.zeros(db.size, dtype=np.uint8)
+    writer = seqdb.DBWriter(db.dbtype)
+
+    ln2 = np.log(2.0)
+
+    for qpos in range(db.size):
+        qkey = int(db.keys[qpos])
+        query = bytearray(db.get_seq_bytes(qpos))
+        orig_qlen = len(query)
+        recs = alignments.get(qkey)
+        if recs is None or len(recs) == 0:
+            continue
+
+        use_reverse = {}
+        heap = []
+        seq = 0
+        n_aln = len(recs)
+        for r in recs:
+            # initial rescore: bit score -> raw -> score-per-column x100
+            raw = int(evaluer.raw_score_from_bit(float(r["score"])) + 0.5)
+            aln_len = int(r["alnLength"])
+            spc = raw / (aln_len + 0.5)
+            score = int(spc * 100)
+            ids = float(r["seqId"]) * aln_len
+            seq_id = ids / (aln_len + 0.5)
+            qs, qe = int(r["qStartPos"]), int(r["qEndPos"])
+            ts, te = int(r["dbStartPos"]), int(r["dbEndPos"])
+            tlen = int(r["dbLen"])
+            tid = int(lut[int(r["dbKey"])])
+            if is_nucl:
+                if qs > qe:
+                    use_reverse[tid] = True
+                    qs, qe = qe, qs
+                    ts, te = tlen - te - 1, tlen - ts - 1
+                else:
+                    use_reverse[tid] = False
+            cand = _Cand(int(r["dbKey"]), score, seq_id, aln_len, qs, qe,
+                         int(r["qLen"]), ts, te, tlen)
+            heapq.heappush(heap, (cand.sort_key(), seq, cand))
+            seq += 1
+            if n_aln > 1:
+                was_extended[tid] |= WAS_IN_ALIGNMENT
+
+        query_could_be_extended = False
+        while heap:
+            left_off = 0
+            right_off = 0
+            deferred = []
+            while True:
+                best = _select_fragment(heap, qkey)
+                if best is None:
+                    break
+                tid = int(lut[best.db_key])
+                tseq = np.asarray(db.get_seq(tid))
+                tlen = len(tseq)
+                # does the alignment still extend the (possibly grown) query?
+                if best.dbstart == 0:
+                    if (tlen - (best.dbend + 1)) <= right_off:
+                        continue
+                elif best.qstart == 0:
+                    if best.dbstart <= left_off:
+                        continue
+                was_extended[tid] |= WAS_CANDIDATE
+
+                if best.dbstart == 0 and best.qend == orig_qlen - 1:
+                    # right extension
+                    if right_off > 0:
+                        deferred.append(best)
+                        continue
+                    frag_len = tlen - (best.dbend + 1)
+                    if use_reverse.get(tid, False):
+                        # coords are in the revcomp frame: the tail there is the
+                        # revcomp of the first fragLen original chars
+                        frag = bytes(_rev_fragment(tseq[:frag_len], mat)) if frag_len else b""
+                    else:
+                        frag = tseq[best.dbend + 1:].tobytes()
+                    query.extend(frag)
+                    right_off += frag_len
+                    was_extended[tid] |= WAS_CONSUMED
+                elif best.qstart == 0 and best.dbend == tlen - 1:
+                    # left extension
+                    if left_off > 0:
+                        deferred.append(best)
+                        continue
+                    frag_len = best.dbstart
+                    if len(query) + frag_len >= max_seq_len:
+                        break
+                    if use_reverse.get(tid, False):
+                        frag = bytes(_rev_fragment(tseq[tlen - frag_len:], mat))
+                    else:
+                        frag = bytes(tseq[:frag_len].tobytes())
+                    query[:0] = frag
+                    left_off += frag_len
+                    was_extended[tid] |= WAS_CONSUMED
+
+            if left_off > 0 or right_off > 0:
+                query_could_be_extended = True
+            if heap:
+                # only possible after a max-seq-len break
+                break
+            orig_qlen = len(query)  # querySeqLen updated after the round
+            qarr = np.frombuffer(bytes(query), dtype=np.uint8)
+            for cand in deferred:
+                tid = int(lut[cand.db_key])
+                tseq = np.asarray(db.get_seq(tid))
+                if use_reverse.get(tid, False):
+                    tseq = _rev_fragment(tseq, mat)
+                diag = (cand.qstart + left_off) - cand.dbstart
+                score, start, end, diag_len, dist = ungapped_by_diagonal(
+                    qarr, tseq, diag, ascii_mat, rescore_mode)
+                # updateAlignment (assembleresult.cpp:70-108)
+                if diag >= 0:
+                    qs, qe = start + dist, end + dist
+                    ts, te = start, end
+                else:
+                    qs, qe = start, end
+                    ts, te = start + dist, end + dist
+                idcnt = int((qarr[qs:qe] == tseq[ts:ts + (qe - qs)]).sum()) if qe > qs else 0
+                seq_id = idcnt / float(qe - qs) if qe != qs else 0.0
+                cand.seq_id = seq_id
+                cand.qlen = len(query)
+                cand.dblen = len(tseq)
+                cand.aln_len = diag_len
+                spc = score / (diag_len + 0.5)
+                cand.score = int(spc * 100)
+                cand.qstart, cand.qend = qs, qe
+                cand.dbstart, cand.dbend = ts, te
+                if cand.seq_id >= seq_id_thr:
+                    heapq.heappush(heap, (cand.sort_key(), seq, cand))
+                    seq += 1
+
+        if query_could_be_extended:
+            was_extended[qpos] |= IS_CONTIG
+            writer.write(qkey, bytes(query))
+
+    # pass through sequences that did not become contigs
+    for i in range(db.size):
+        is_not_contig = not (was_extended[i] & IS_CONTIG)
+        was_not_consumed = not (was_extended[i] & WAS_CONSUMED)
+        if is_not_contig and (keep_target or was_not_consumed):
+            writer.write(int(db.keys[i]), db.get_seq_bytes(i))
+
+    return writer.finish(sort_by_key=True), was_extended

@@ -1,0 +1,242 @@
+"""MMseqs-compatible record database, NumPy-backed.
+
+The on-disk contract matches the reference so that databases interoperate
+bit-for-bit (reference: lib/mmseqs/src/commons/DBReader.{h,cpp},
+DBWriter.{h,cpp}):
+
+ - ``<name>``        data file; records are raw bytes each terminated by ``\\0``
+                     (sequence records additionally end with ``\\n`` before it)
+ - ``<name>.index``  text: ``key\\toffset\\tlength\\n`` sorted by key ascending;
+                     length INCLUDES the trailing ``\\0``
+ - ``<name>.dbtype`` 4-byte little-endian int (Parameters.h:63-82)
+
+In memory a database is a flat uint8 array + (key, offset, length) arrays —
+the padded-batch views handed to the device are built from these without
+copies of the underlying data where possible.
+"""
+import os
+import shutil
+
+import numpy as np
+
+# dbtype ids (Parameters.h:63-82)
+AMINO_ACIDS = 0
+NUCLEOTIDES = 1
+ALIGNMENT_RES = 5
+CLUSTER_RES = 6
+PREFILTER_RES = 7
+GENERIC_DB = 12
+PREFILTER_REV_RES = 14
+
+
+def read_dbtype(path):
+    with open(path + ".dbtype", "rb") as f:
+        raw = int.from_bytes(f.read(4), "little")
+    return raw & 0x7FFFFFFF
+
+
+def write_dbtype(path, dbtype):
+    with open(path + ".dbtype", "wb") as f:
+        f.write(int(dbtype).to_bytes(4, "little"))
+
+
+def is_sequence_type(dbtype):
+    return dbtype in (AMINO_ACIDS, NUCLEOTIDES)
+
+
+class SeqDB:
+    """Read-only view of a record database.
+
+    data:    uint8[total] raw bytes of the data file
+    keys:    uint32[N]    record keys (sorted ascending)
+    offsets: int64[N]
+    lengths: int64[N]     full record length incl. trailing NUL
+    """
+
+    def __init__(self, data, keys, offsets, lengths, dbtype):
+        self.data = data
+        self.keys = keys
+        self.offsets = offsets
+        self.lengths = lengths
+        self.dbtype = dbtype
+        self._key2id = None
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def open(cls, path):
+        dbtype = read_dbtype(path)
+        data = np.fromfile(path, dtype=np.uint8)
+        idx = _read_index(path + ".index")
+        return cls(data, idx[0], idx[1], idx[2], dbtype)
+
+    @classmethod
+    def from_records(cls, records, keys=None, dbtype=GENERIC_DB, add_newline=True):
+        """Build from a list of bytes payloads (without \\n\\0 terminators)."""
+        n = len(records)
+        if keys is None:
+            keys = np.arange(n, dtype=np.uint32)
+        else:
+            keys = np.asarray(keys, dtype=np.uint32)
+        tail = b"\n\x00" if add_newline else b"\x00"
+        lengths = np.array([len(r) + len(tail) for r in records], dtype=np.int64)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:] if n > 1 else None)
+        data = bytearray()
+        for r in records:
+            data += r
+            data += tail
+        return cls(np.frombuffer(bytes(data), dtype=np.uint8), keys, offsets, lengths, dbtype)
+
+    # -- accessors ----------------------------------------------------------
+
+    @property
+    def size(self):
+        return len(self.keys)
+
+    def seq_len(self, i):
+        """Sequence length: record length minus \\n\\0 (DBReader::getSeqLen)."""
+        return int(self.lengths[i]) - 2
+
+    def seq_lens(self):
+        return self.lengths - 2
+
+    def get_data(self, i):
+        """Record payload without the trailing NUL byte."""
+        o = int(self.offsets[i])
+        return self.data[o: o + int(self.lengths[i]) - 1]
+
+    def get_seq(self, i):
+        """Sequence bytes without trailing \\n\\0."""
+        o = int(self.offsets[i])
+        return self.data[o: o + int(self.lengths[i]) - 2]
+
+    def get_seq_bytes(self, i):
+        return self.get_seq(i).tobytes()
+
+    def get_record_str(self, i):
+        return self.get_data(i).tobytes().decode()
+
+    def key_to_id(self, key):
+        if self._key2id is None:
+            self._key2id = {int(k): i for i, k in enumerate(self.keys)}
+        return self._key2id.get(int(key))
+
+    def id_lookup_array(self):
+        """uint32[maxKey+1] key -> id (UINT32_MAX where absent)."""
+        maxk = int(self.keys.max()) if self.size else 0
+        lut = np.full(maxk + 1, np.iinfo(np.uint32).max, dtype=np.uint32)
+        lut[self.keys] = np.arange(self.size, dtype=np.uint32)
+        return lut
+
+    def total_residues(self):
+        """Sum of sequence lengths (DBReader::getAminoAcidDBSize)."""
+        return int(self.seq_lens().sum())
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path):
+        self.data.tofile(path)
+        _write_index(path + ".index", self.keys, self.offsets, self.lengths)
+        write_dbtype(path, self.dbtype)
+
+    def __repr__(self):
+        return f"SeqDB(n={self.size}, dbtype={self.dbtype}, bytes={self.data.size})"
+
+
+class DBWriter:
+    """Streaming record writer mirroring the reference DBWriter contract."""
+
+    def __init__(self, dbtype):
+        self.dbtype = dbtype
+        self._chunks = []
+        self._keys = []
+        self._lengths = []
+
+    def write(self, key, payload, add_newline=True):
+        """payload: bytes without terminators."""
+        tail = b"\n\x00" if add_newline else b"\x00"
+        rec = bytes(payload) + tail
+        self._chunks.append(rec)
+        self._keys.append(key)
+        self._lengths.append(len(rec))
+
+    def finish(self, sort_by_key=True):
+        """Mirror the reference DBWriter: data stays in WRITE order, only the
+        index is sorted by key (DBWriter::close). The physical record order
+        is observable (e.g. the only-assembled selection keys off data-file
+        line numbers, assemble.sh:176) so it must match."""
+        keys = np.asarray(self._keys, dtype=np.uint32)
+        lengths = np.asarray(self._lengths, dtype=np.int64)
+        n = len(keys)
+        offsets = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(lengths[:-1], out=offsets[1:])
+        data = np.frombuffer(b"".join(self._chunks), dtype=np.uint8)
+        if sort_by_key:
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            offsets = offsets[order]
+            lengths = lengths[order]
+        return SeqDB(data, keys, offsets, lengths, self.dbtype)
+
+
+def _read_index(path):
+    if os.path.getsize(path) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.uint32), z, z
+    arr = np.loadtxt(path, dtype=np.int64, ndmin=2)
+    return arr[:, 0].astype(np.uint32), arr[:, 1], arr[:, 2]
+
+
+def _write_index(path, keys, offsets, lengths):
+    with open(path, "w") as f:
+        for k, o, l in zip(keys, offsets, lengths):
+            f.write(f"{k}\t{o}\t{l}\n")
+
+
+def renumber(db):
+    """Reassign keys 0..N-1 in current record order (DBWriter::createRenumberedDB)."""
+    return SeqDB(db.data, np.arange(db.size, dtype=np.uint32), db.offsets,
+                 db.lengths, db.dbtype)
+
+
+def concat(db1, db2):
+    """concatdbs: renumbers keys sequentially across both inputs
+    (reference: lib/mmseqs/src/util/concatdbs.cpp)."""
+    data = np.concatenate([db1.data, db2.data])
+    keys = np.arange(db1.size + db2.size, dtype=np.uint32)
+    offsets = np.concatenate([db1.offsets, db2.offsets + db1.data.size])
+    lengths = np.concatenate([db1.lengths, db2.lengths])
+    return SeqDB(data, keys, offsets, lengths, db1.dbtype)
+
+
+def subdb(db, keep_keys, order="numeric"):
+    """createsubdb: keep only the given keys.
+
+    order: 'numeric' (sorted key order) or 'lex' (lexicographic string order,
+    matching `sort | uniq` over an index file as in assemble.sh:178) — the
+    data layout follows the processing order, index stays key-sorted.
+    """
+    uniq = sorted(set(int(k) for k in keep_keys))
+    if order == "lex":
+        uniq = sorted(uniq, key=str)
+    lut = db.id_lookup_array()
+    writer = DBWriter(db.dbtype)
+    for k in uniq:
+        if k >= len(lut):
+            continue
+        i = int(lut[k])
+        if i == np.iinfo(np.uint32).max:
+            continue
+        o = int(db.offsets[i])
+        payload = db.data[o: o + int(db.lengths[i]) - 2].tobytes()
+        writer.write(int(db.keys[i]), payload)
+    return writer.finish(sort_by_key=True)
+
+
+def copy_db_files(src, dst):
+    """cpdb equivalent for the file family."""
+    for suffix in ("", ".index", ".dbtype"):
+        if os.path.exists(src + suffix):
+            shutil.copyfile(src + suffix, dst + suffix)
