@@ -1,0 +1,221 @@
+"""Host<->device glue: run the device k-mer matcher / rescorer on a SeqDB and
+return host-format results, so workflows can switch backends transparently."""
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..data import seqdb
+from . import device_kmer
+from .device_kmer import KmerParams, kmermatch_device, ksel_capacity
+from .device_rescore import rescore_pairs
+
+
+def db_to_padded(db, alphabet="kmer"):
+    """Map a SeqDB to (codes uint8[N, Lmax], lengths i32[N], keys u32[N]).
+
+    alphabet: 'kmer' (reduced-13 / nucl), 'score' (full matrix codes), or
+    'char' (uppercased raw ASCII).
+    """
+    is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+    if alphabet == "kmer":
+        mat = constants.nucleotide() if is_nucl else constants.reduced(13)
+    else:
+        mat = constants.nucleotide() if is_nucl else constants.blosum62()
+    lengths = db.seq_lens().astype(np.int32)
+    n = db.size
+    lmax = int(lengths.max()) if n else 1
+    fill = mat.alphabet_size - 1 if alphabet != "char" else 0
+    out = np.full((n, lmax), fill, dtype=np.uint8)
+    for i in range(n):
+        s = np.asarray(db.get_seq(i))
+        if alphabet == "char":
+            out[i, : len(s)] = s  # raw chars; case-folding happens in-kernel
+        else:
+            out[i, : len(s)] = mat.aa2num[s]
+    return out, lengths, db.keys.astype(np.uint32)
+
+
+def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
+                    hash_shift=67, ignore_multi_kmer=False,
+                    include_only_extendable=False, cov_thr=0.0,
+                    hit_capacity=None):
+    """Device kmermatcher returning the host hits-dict format."""
+    is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+    if kmers_per_sequence_scale is None:
+        kmers_per_sequence_scale = 0.2 if is_nucl else 0.0
+    codes, lengths, keys = db_to_padded(db, "kmer")
+    lmax = codes.shape[1]
+    params = KmerParams(
+        k=k,
+        alphabet_size=(constants.nucleotide() if is_nucl else constants.reduced(13)).alphabet_size,
+        kmers_per_sequence=kmers_per_sequence,
+        kmers_per_sequence_scale=kmers_per_sequence_scale,
+        is_nucl=is_nucl,
+        ignore_multi_kmer=ignore_multi_kmer,
+        include_only_extendable=include_only_extendable,
+        cov_thr=cov_thr,
+        ksel=ksel_capacity(kmers_per_sequence, kmers_per_sequence_scale, lmax),
+    )
+    if hit_capacity is None:
+        hit_capacity = db.size * (params.ksel + 1) + db.size
+    rep, tgt, score, diag, n_hits = kmermatch_device(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(keys),
+        hash_shift, params, hit_capacity)
+    n = int(n_hits)
+    rep = np.asarray(rep[:n])
+    tgt = np.asarray(tgt[:n])
+    score = np.asarray(score[:n])
+    diag = np.asarray(diag[:n])
+    hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
+    for r, t, s, d in zip(rep.tolist(), tgt.tolist(), score.tolist(), diag.tolist()):
+        hits[r].append((t, s, d))
+    return hits
+
+
+# ---------------------------------------------------------------------------
+# Device rescoring glue
+# ---------------------------------------------------------------------------
+
+def _score_tables(db):
+    """(sub_flat i32[A*A], comp i32[A], code2char u8[A], aa2num) for the DB type."""
+    is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+    mat = constants.nucleotide() if is_nucl else constants.blosum62()
+    alpha = mat.alphabet_size
+    sub_flat = mat.sub.astype(np.int32).reshape(-1)
+    if mat.reverse is not None:
+        comp = mat.reverse.astype(np.int32)
+    else:
+        comp = np.arange(alpha, dtype=np.int32)
+    code2char = mat.num2aa.astype(np.uint8)
+    return sub_flat, comp, code2char, alpha
+
+
+def _round_up(x, step=4096):
+    return ((x + step - 1) // step) * step
+
+
+def rescore_diagonal_jax(db, hits, params=None, evaluer=None):
+    """Device-accelerated rescorediagonal; same output as rescore_diagonal."""
+    from .evalue import EvalueComputer
+    from .rescore import RESULT_DTYPE, RescoreParams
+
+    params = params or RescoreParams()
+    is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+    if evaluer is None:
+        evaluer = EvalueComputer.for_matrix(
+            "nucleotide_ungapped" if is_nucl else "blosum62_ungapped",
+            db.total_residues())
+
+    codes, lengths, keys = db_to_padded(db, "score")
+    chars, _, _ = db_to_padded(db, "char")
+    sub_flat, comp, code2char, alpha = _score_tables(db)
+    lut = db.id_lookup_array()
+
+    qkeys, tkeys, prefs, diags = [], [], [], []
+    for qk in sorted(hits):
+        for (tk, s, d) in hits[qk]:
+            qkeys.append(qk)
+            tkeys.append(tk)
+            prefs.append(s)
+            diags.append(d)
+    m = len(qkeys)
+    if m == 0:
+        return {int(k): np.zeros(0, dtype=RESULT_DTYPE) for k in db.keys}
+    qk = np.asarray(qkeys, dtype=np.int64)
+    tk = np.asarray(tkeys, dtype=np.int64)
+    pref = np.asarray(prefs, dtype=np.int64)
+    dg = np.asarray(diags, dtype=np.int32)
+    qrow = lut[qk].astype(np.int32)
+    trow = lut[tk].astype(np.int32)
+    qrev = is_nucl & (pref < 0)
+
+    h = _round_up(m)
+    pad = h - m
+    score, first, last, ov, dist, idents = rescore_pairs(
+        jnp.asarray(codes), jnp.asarray(chars), jnp.asarray(lengths),
+        jnp.asarray(np.pad(qrow, (0, pad))), jnp.asarray(np.pad(trow, (0, pad))),
+        jnp.asarray(np.pad(dg, (0, pad))), jnp.asarray(np.pad(qrev, (0, pad))),
+        jnp.asarray(sub_flat), jnp.asarray(comp), jnp.asarray(code2char),
+        alpha, mode=params.rescore_mode)
+    score = np.asarray(score[:m]).astype(np.int64)
+    first = np.asarray(first[:m])
+    last = np.asarray(last[:m])
+    ov = np.asarray(ov[:m])
+    dist = np.asarray(dist[:m]).astype(np.int64)
+    idents = np.asarray(idents[:m]).astype(np.float64)
+
+    qlen = lengths[qrow].astype(np.int64)
+    tlen = lengths[trow].astype(np.int64)
+    evalue = evaluer.evalue(score, qlen)
+    bit = (evaluer.bit_score(score) + 0.5).astype(np.int64)
+    aln_len = (last - first + 1).astype(np.int64)
+    pos_diag = dg >= 0
+    qs = np.where(pos_diag, first + dist, first)
+    qe = np.where(pos_diag, last + dist, last)
+    ts = np.where(pos_diag, first, first + dist)
+    te = np.where(pos_diag, last, last + dist)
+
+    if params.seq_id_mode == 1:
+        denom = np.minimum(qlen, tlen)
+    elif params.seq_id_mode == 2:
+        denom = np.maximum(qlen, tlen)
+    else:
+        denom = aln_len
+    seq_id = idents / denom
+    is_identity = qrow == trow
+    seq_id = np.where((evalue <= params.eval_thr) | is_identity, seq_id, 0.0)
+
+    qcov = (np.minimum(qlen, np.maximum(qs, qe)) - np.minimum(qs, qe) + 1) / qlen
+    tcov = (np.minimum(tlen, np.maximum(ts, te)) - np.minimum(ts, te) + 1) / tlen
+    # reverse hits: flip query coords back (rescorediagonal.cpp:294-297)
+    qs = np.where(qrev, qlen - qs - 1, qs)
+    qe = np.where(qrev, qlen - qe - 1, qe)
+
+    if params.cov_mode == 0:
+        has_cov = (qcov >= params.cov_thr) & (tcov >= params.cov_thr)
+    elif params.cov_mode == 1:
+        has_cov = tcov >= params.cov_thr
+    elif params.cov_mode == 2:
+        has_cov = qcov >= params.cov_thr
+    else:
+        has_cov = np.ones(m, dtype=bool)
+    eps = np.finfo(np.float32).eps
+    keep = (ov > 0) & (is_identity |
+                       ((aln_len >= params.aln_len_thr) & has_cov &
+                        (seq_id >= params.seq_id_thr - eps) &
+                        (evalue <= params.eval_thr)))
+    # canBeCovered pre-filter (rescorediagonal.cpp:211)
+    if params.cov_thr > 0 and params.cov_mode in (0, 2):
+        small = np.minimum(qlen, tlen).astype(np.float64)
+        big = np.maximum(qlen, tlen).astype(np.float64)
+        if params.cov_mode == 0:
+            keep &= small / big >= params.cov_thr
+        else:
+            keep &= big * params.cov_thr <= small
+
+    out = {}
+    rec = np.zeros(m, dtype=RESULT_DTYPE)
+    rec["dbKey"] = tk
+    rec["score"] = bit
+    rec["qcov"] = qcov
+    rec["dbcov"] = tcov
+    rec["seqId"] = seq_id
+    rec["eval"] = evalue
+    rec["alnLength"] = aln_len
+    rec["qStartPos"] = qs
+    rec["qEndPos"] = qe
+    rec["qLen"] = qlen
+    rec["dbStartPos"] = ts
+    rec["dbEndPos"] = te
+    rec["dbLen"] = tlen
+    # group per query preserving input order
+    boundaries = np.nonzero(np.diff(qk))[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [m]])
+    for s0, e0 in zip(starts, ends):
+        key = int(qk[s0])
+        sel = keep[s0:e0]
+        out[key] = rec[s0:e0][sel]
+    for k in db.keys:
+        out.setdefault(int(k), np.zeros(0, dtype=RESULT_DTYPE))
+    return out

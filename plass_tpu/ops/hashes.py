@@ -41,18 +41,25 @@ def xxh64_u64_np(values, seed):
 
 def xxh64_u64_jnp(values, seed):
     """Same as xxh64_u64_np but traceable on device (uint64 emulated on TPU)."""
+    p1 = np.uint64(_P1)
+    p2 = np.uint64(_P2)
+    p3 = np.uint64(_P3)
+    p4 = np.uint64(_P4)
     v = values.astype(jnp.uint64)
-    acc = jnp.uint64((seed + _P5 + 8) & _M64)
-    k1 = v * jnp.uint64(_P2)
-    k1 = (k1 << jnp.uint64(31)) | (k1 >> jnp.uint64(33))
-    k1 = k1 * jnp.uint64(_P1)
+    if isinstance(seed, (int, np.integer)):
+        acc = jnp.asarray(np.uint64((int(seed) + _P5 + 8) & _M64))
+    else:  # traced scalar
+        acc = seed.astype(jnp.uint64) + np.uint64((_P5 + 8) & _M64)
+    k1 = v * p2
+    k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+    k1 = k1 * p1
     acc = acc ^ k1
-    acc = ((acc << jnp.uint64(27)) | (acc >> jnp.uint64(37))) * jnp.uint64(_P1) + jnp.uint64(_P4)
-    acc = acc ^ (acc >> jnp.uint64(33))
-    acc = acc * jnp.uint64(_P2)
-    acc = acc ^ (acc >> jnp.uint64(29))
-    acc = acc * jnp.uint64(_P3)
-    acc = acc ^ (acc >> jnp.uint64(32))
+    acc = ((acc << np.uint64(27)) | (acc >> np.uint64(37))) * p1 + p4
+    acc = acc ^ (acc >> np.uint64(33))
+    acc = acc * p2
+    acc = acc ^ (acc >> np.uint64(29))
+    acc = acc * p3
+    acc = acc ^ (acc >> np.uint64(32))
     return acc
 
 

@@ -140,17 +140,21 @@ def run_assemble(input_files, out_fasta, tmp_base, params=None):
             only_ext = p.include_only_extendable
         else:
             only_ext = iteration != 0
-        hits = kmermatcher(
-            db, p.kmer_size, kmers_per_sequence=p.kmers_per_sequence,
-            kmers_per_sequence_scale=p.kmers_per_sequence_scale,
-            hash_shift=shift, ignore_multi_kmer=p.ignore_multi_kmer,
-            include_only_extendable=only_ext, cov_thr=p.cov_thr,
-            cov_mode=p.cov_mode)
+        kw = dict(kmers_per_sequence=p.kmers_per_sequence,
+                  kmers_per_sequence_scale=p.kmers_per_sequence_scale,
+                  hash_shift=shift, ignore_multi_kmer=p.ignore_multi_kmer,
+                  include_only_extendable=only_ext, cov_thr=p.cov_thr)
         ev = EvalueComputer.for_matrix("blosum62_ungapped", db.total_residues())
         rp = RescoreParams(rescore_mode=p.rescore_mode, seq_id_thr=p.min_seq_id,
                            cov_thr=p.cov_thr, cov_mode=p.cov_mode,
                            eval_thr=p.eval_thr, aln_len_thr=p.min_aln_len)
-        alns = rescore_diagonal(db, hits, rp, ev)
+        if p.backend == "jax":
+            from ..ops.backend import kmermatcher_jax, rescore_diagonal_jax
+            hits = kmermatcher_jax(db, p.kmer_size, **kw)
+            alns = rescore_diagonal_jax(db, hits, rp, ev)
+        else:
+            hits = kmermatcher(db, p.kmer_size, cov_mode=p.cov_mode, **kw)
+            alns = rescore_diagonal(db, hits, rp, ev)
         return alns, ev
 
     for it in range(p.num_iterations):

@@ -1,10 +1,14 @@
 import os
 
 # force CPU with a virtual 8-device mesh for sharding tests
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# (JAX_PLATFORMS env is overridden by the axon TPU plugin; the config API works)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platform_name", "cpu")
 
 import pytest  # noqa: E402
 

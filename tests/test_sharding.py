@@ -1,0 +1,75 @@
+"""Multi-chip sharding correctness: the hash-range + rep-routed exchange must
+produce exactly the single-device hit set for any shard count."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def batch():
+    import __graft_entry__ as g
+    return g._example_batch(n=32, lmax=48, seed=1)
+
+
+def _hit_set(cr, ct, cs, cd, cv):
+    cr, ct, cs, cd, cv = [np.asarray(x) for x in (cr, ct, cs, cd, cv)]
+    return sorted(zip(cr[cv].tolist(), ct[cv].tolist(), cs[cv].tolist(),
+                      cd[cv].tolist()))
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 4, 8])
+def test_sharded_matches_single_device(batch, n_devices):
+    import jax
+    import jax.numpy as jnp
+    from plass_tpu import constants
+    from plass_tpu.ops.device_kmer import KmerParams, kmermatch_device
+    from plass_tpu.parallel.mesh import make_mesh, sharded_iteration_fn
+
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    seqs, lengths, keys = batch
+    params = KmerParams.protein_default(ksel=16, kmers_per_sequence=8)
+    blosum = constants.blosum62()
+    rng = np.random.default_rng(2)
+    n, lmax = seqs.shape
+    chars = np.zeros((n, lmax), dtype=np.uint8)
+    letters = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    for i in range(n):
+        chars[i, : lengths[i]] = letters[rng.integers(0, 20, lengths[i])]
+    codes = blosum.aa2num[chars]
+
+    r, t, s, d, nh = kmermatch_device(
+        jnp.asarray(seqs), jnp.asarray(lengths), jnp.asarray(keys), 67,
+        params, 256)
+    nh = int(nh)
+    single = _hit_set(r[:nh], t[:nh], s[:nh], d[:nh], np.ones(nh, bool))
+
+    mesh = make_mesh(n_devices)
+    fn = sharded_iteration_fn(mesh, params, 32 * (params.ksel + 1), 256,
+                              blosum.alphabet_size)
+    out = fn(jnp.asarray(seqs), jnp.asarray(lengths), jnp.asarray(keys),
+             jnp.asarray(codes), jnp.asarray(chars), jnp.asarray(lengths),
+             jnp.asarray(blosum.sub.astype(np.int32).reshape(-1)),
+             jnp.asarray(np.arange(blosum.alphabet_size, dtype=np.int32)),
+             jnp.asarray(blosum.num2aa.astype(np.uint8)),
+             jnp.asarray(np.int32(67)))
+    assert _hit_set(*out[:5]) == single
+
+
+def test_device_backend_matches_host_kmermatch(merged_reads):
+    """Device pipeline == host pipeline on a real (subset) workload."""
+    from plass_tpu.data import seqdb
+    from plass_tpu.ops import orf as orf_mod
+    from plass_tpu.ops import translate as tr
+    from plass_tpu.ops.kmermatch import kmermatcher
+    from plass_tpu.ops.backend import kmermatcher_jax
+
+    reads, _ = merged_reads
+    sub = seqdb.subdb(reads, range(400))
+    odb, ohdb = orf_mod.extract_orfs(sub, min_length=45, max_length=32734,
+                                     max_gaps=0, start_mode=0)
+    aa = tr.translate_nucs(odb, ohdb, 1, add_orf_stop=True)
+    host = kmermatcher(aa, 14, kmers_per_sequence=60, hash_shift=67,
+                       ignore_multi_kmer=True, include_only_extendable=False)
+    dev = kmermatcher_jax(aa, 14, kmers_per_sequence=60, hash_shift=67,
+                          ignore_multi_kmer=True, include_only_extendable=False)
+    assert host == dev
