@@ -14,8 +14,21 @@ A from-scratch reimplementation of the capabilities of Plass and PenguiN
 
 64-bit integer support is required for k-mer packing and hashing.
 """
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the device pipeline's big sorts are costly to
+# compile; shapes are bucketed (ops/backend.py) so cache hits dominate
+_cache_dir = os.environ.get(
+    "PLASS_TPU_JAX_CACHE", os.path.expanduser("~/.cache/plass_tpu_jax"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # older jax without these options
+    pass
 
 __version__ = "0.1.0"

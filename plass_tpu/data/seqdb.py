@@ -211,6 +211,16 @@ def concat(db1, db2):
     return SeqDB(data, keys, offsets, lengths, db1.dbtype)
 
 
+def concat_preserve_keys(db1, db2):
+    """concatdbs --preserve-keys: keys kept as-is (must be disjoint)."""
+    data = np.concatenate([db1.data, db2.data])
+    keys = np.concatenate([db1.keys, db2.keys])
+    offsets = np.concatenate([db1.offsets, db2.offsets + db1.data.size])
+    lengths = np.concatenate([db1.lengths, db2.lengths])
+    order = np.argsort(keys, kind="stable")
+    return SeqDB(data, keys[order], offsets[order], lengths[order], db1.dbtype)
+
+
 def subdb(db, keep_keys, order="numeric"):
     """createsubdb: keep only the given keys.
 

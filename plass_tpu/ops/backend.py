@@ -10,29 +10,40 @@ from .device_kmer import KmerParams, kmermatch_device, ksel_capacity
 from .device_rescore import rescore_pairs
 
 
-def db_to_padded(db, alphabet="kmer"):
+def _bucket(x, step):
+    return ((max(x, 1) + step - 1) // step) * step
+
+
+def db_to_padded(db, alphabet="kmer", bucket_rows=2048, bucket_cols=128):
     """Map a SeqDB to (codes uint8[N, Lmax], lengths i32[N], keys u32[N]).
 
     alphabet: 'kmer' (reduced-13 / nucl), 'score' (full matrix codes), or
-    'char' (uppercased raw ASCII).
+    'char' (raw ASCII). Shapes are bucketed so jit compilations are reused
+    across iterations even as contigs grow; padding rows have length 0 and
+    keys past the real range.
     """
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
     if alphabet == "kmer":
         mat = constants.nucleotide() if is_nucl else constants.reduced(13)
     else:
         mat = constants.nucleotide() if is_nucl else constants.blosum62()
-    lengths = db.seq_lens().astype(np.int32)
+    raw_lengths = db.seq_lens().astype(np.int32)
     n = db.size
-    lmax = int(lengths.max()) if n else 1
+    n_pad = _bucket(n, bucket_rows)
+    lmax = _bucket(int(raw_lengths.max()) if n else 1, bucket_cols)
     fill = mat.alphabet_size - 1 if alphabet != "char" else 0
-    out = np.full((n, lmax), fill, dtype=np.uint8)
+    out = np.full((n_pad, lmax), fill, dtype=np.uint8)
     for i in range(n):
         s = np.asarray(db.get_seq(i))
         if alphabet == "char":
             out[i, : len(s)] = s  # raw chars; case-folding happens in-kernel
         else:
             out[i, : len(s)] = mat.aa2num[s]
-    return out, lengths, db.keys.astype(np.uint32)
+    lengths = np.zeros(n_pad, dtype=np.int32)
+    lengths[:n] = raw_lengths
+    keys = np.arange(n_pad, dtype=np.uint32) + np.uint32(2**31)
+    keys[:n] = db.keys.astype(np.uint32)
+    return out, lengths, keys
 
 
 def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,

@@ -127,10 +127,12 @@ def select_kmers(seqs, lengths, params: KmerParams, hash_shift):
     h16 = (xxh64_u64_jnp(canon, hash_shift) & jnp.uint64(0xFFFF)).astype(jnp.int32)
     h16 = jnp.where(valid, h16, INVALID_HASH)
 
-    kc = jnp.minimum(
-        (params.kmers_per_sequence - 1
-         + params.kmers_per_sequence_scale * lengths).astype(jnp.int32),
-        valid.sum(axis=1).astype(jnp.int32))
+    # float32 arithmetic exactly as the reference (kmermatcher.cpp:223)
+    kc_f = jnp.float32(params.kmers_per_sequence - 1) + \
+        (jnp.float32(params.kmers_per_sequence_scale)
+         * lengths.astype(jnp.float32))
+    kc = jnp.minimum(kc_f.astype(jnp.int32),
+                     valid.sum(axis=1).astype(jnp.int32))
 
     # threshold = (kc-th smallest pre-dedup hash) + 1; tooMuch = |{h<=h_kc}|-kc
     h_sorted = jnp.sort(h16, axis=1)
@@ -140,33 +142,47 @@ def select_kmers(seqs, lengths, params: KmerParams, hash_shift):
     cum_le = (h16 <= h_kc[:, None]).sum(axis=1).astype(jnp.int32)
     too_much = cum_le - kc
 
-    # duplicate k-mers within a sequence (ignore-multi-kmer): strand bit masked
+    # sort into selection order (hash, masked kmer, pos); u64 keys split into
+    # native u32 hi/lo (TPU emulates 64-bit compares)
     masked = (store_kmer | jnp.uint64(BIT63)) if params.is_nucl else store_kmer
     masked_for_dup = jnp.where(valid, masked, jnp.full_like(masked, U64MAX))
-    if params.ignore_multi_kmer:
-        mk_sorted, perm = jax.lax.sort(
-            (masked_for_dup, jax.lax.broadcasted_iota(jnp.int32, (n, p), 1)),
-            dimension=1, num_keys=1)
-        dup_s = jnp.zeros((n, p), dtype=bool)
-        eq_prev = jnp.concatenate(
-            [jnp.zeros((n, 1), bool), mk_sorted[:, 1:] == mk_sorted[:, :-1]], axis=1)
-        eq_next = jnp.concatenate(
-            [mk_sorted[:, 1:] == mk_sorted[:, :-1], jnp.zeros((n, 1), bool)], axis=1)
-        dup_s = eq_prev | eq_next
-        # scatter back to original positions
-        dup = jnp.zeros((n, p), dtype=bool)
-        dup = dup.at[jax.lax.broadcasted_iota(jnp.int32, (n, p), 0), perm].set(dup_s)
-    else:
-        dup = jnp.zeros((n, p), dtype=bool)
-
-    eligible = valid & ~dup
-    # selection order: (hash, masked kmer, pos)
-    big_if_inel = jnp.where(eligible, h16, INVALID_HASH)
-    s_h, s_m, s_pos, s_idx = jax.lax.sort(
-        (big_if_inel, masked_for_dup, store_pos,
+    mk_hi = (masked_for_dup >> jnp.uint64(32)).astype(jnp.uint32)
+    mk_lo = masked_for_dup.astype(jnp.uint32)
+    big_if_inval = jnp.where(valid, h16, INVALID_HASH)
+    s_h, s_hi, s_lo, s_pos, s_idx = jax.lax.sort(
+        (big_if_inval, mk_hi, mk_lo, store_pos,
          jax.lax.broadcasted_iota(jnp.int32, (n, p), 1)),
-        dimension=1, num_keys=3)
-    s_elig = s_h < INVALID_HASH
+        dimension=1, num_keys=4)
+
+    if params.ignore_multi_kmer:
+        # the reference's duplicate-skip loop (kmermatcher.cpp:277-301)
+        # processes the first entry AFTER a duplicate run without re-checking
+        # it — a 3-state machine over the selection order:
+        #   TOP: multi-run start -> SKIP; else process
+        #   SKIP: inside run; last element -> LAND
+        #   LAND: process unconditionally -> TOP
+        eq_next = jnp.concatenate(
+            [(s_hi[:, :-1] == s_hi[:, 1:]) & (s_lo[:, :-1] == s_lo[:, 1:]),
+             jnp.zeros((n, 1), bool)], axis=1)
+
+        one = jnp.int32(1)
+        two = jnp.int32(2)
+        zero = jnp.int32(0)
+
+        def scan_step(state, eqn):
+            proc = ((state == 0) & ~eqn) | (state == 2)
+            new_state = jnp.where(
+                state == 0, jnp.where(eqn, one, zero),
+                jnp.where(state == 1, jnp.where(eqn, one, two), zero))
+            return new_state.astype(jnp.int32), proc
+
+        _, proc_t = jax.lax.scan(scan_step, jnp.zeros(n, jnp.int32),
+                                 eq_next.T)
+        processed = proc_t.T
+    else:
+        processed = jnp.ones((n, p), dtype=bool)
+
+    s_elig = (s_h < INVALID_HASH) & processed
     nonb = s_elig & (s_h < h_kc[:, None])
     bnd = s_elig & (s_h == h_kc[:, None])
     r_all = jnp.cumsum((nonb | bnd).astype(jnp.int32), axis=1)
@@ -212,54 +228,60 @@ def _segmented_cummax(key, seg_start):
     return out
 
 
-def build_pairs(sel_kmer, sel_pos, sel_valid, seq_hash, keys, lengths,
-                params: KmerParams):
-    """Global sort + group assignment + pair emission
-    (kmermatcher.cpp:406-558). All arrays flattened to T = N*KSEL + N entries.
-
-    Returns (rep u32[T], tgt u32[T], diag i32[T], tlen i32[T], rev bool[T],
-    valid bool[T]) sorted by (rep, tgt, diag).
-    """
+def flatten_table(sel_kmer, sel_pos, sel_valid, seq_hash, keys, lengths):
+    """Selected k-mers + whole-sequence-hash entries -> flat table arrays."""
     n, ksel = sel_kmer.shape
     ids = jnp.broadcast_to(keys[:, None], (n, ksel))
     lens = jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (n, ksel))
-
     kmer = jnp.concatenate([sel_kmer.reshape(-1), seq_hash])
     sid = jnp.concatenate([ids.reshape(-1), keys]).astype(jnp.uint32)
-    pos = jnp.concatenate([sel_pos.reshape(-1),
-                           jnp.zeros(n, dtype=jnp.int32)])
+    pos = jnp.concatenate([sel_pos.reshape(-1), jnp.zeros(n, dtype=jnp.int32)])
     slen = jnp.concatenate([lens.reshape(-1), lengths.astype(jnp.int32)])
-    valid = jnp.concatenate([sel_valid.reshape(-1), jnp.ones(n, dtype=bool)])
+    valid = jnp.concatenate([sel_valid.reshape(-1), lengths > 0])
+    return kmer, sid, pos, slen, valid
 
+
+def pairs_from_table(kmer, sid, pos, slen, valid, params: KmerParams):
+    """Sort the k-mer table, assign representatives, emit filtered pairs
+    (kmermatcher.cpp:406-558). Shared by the single-device and sharded paths.
+
+    Returns (rep u32, tgt u32, diag i32, rev bool, keep bool) unsorted by
+    pair key — feed to sort_pairs/best_diagonal_hits.
+    """
     masked = (kmer | jnp.uint64(BIT63)) if params.is_nucl else kmer
     masked = jnp.where(valid, masked, jnp.full_like(masked, U64MAX))
 
-    # sort by (kmer, len desc, id, pos); invalid entries sink to the end
-    neg_len = -slen
-    m_s, nl_s, sid_s, pos_s, kmer_s, valid_s = jax.lax.sort(
-        (masked, neg_len, sid, pos, kmer, valid), dimension=0, num_keys=4)
-    slen_s = -nl_s
+    # sort by (kmer, len desc, id, pos); invalid entries sink to the end.
+    # u64 keys are split into native u32 hi/lo pairs — TPU emulates 64-bit
+    # comparators, and the sort comparator cost dominates compile + run time
+    m_hi = (masked >> jnp.uint64(32)).astype(jnp.uint32)
+    m_lo = masked.astype(jnp.uint32)
+    neg_len_u = ~slen.astype(jnp.uint32)  # len desc == ~len asc
+    fwd_bit = ((kmer >> jnp.uint64(63)) & jnp.uint64(1)).astype(jnp.uint8)
+    mh_s, ml_s, nl_s, sid_s, pos_s, fwd_s, valid_s = jax.lax.sort(
+        (m_hi, m_lo, neg_len_u, sid, pos, fwd_bit, valid),
+        dimension=0, num_keys=5)
+    slen_s = (~nl_s).astype(jnp.int32)
 
-    new_group = jnp.concatenate([jnp.array([True]), m_s[1:] != m_s[:-1]])
-    t = m_s.shape[0]
+    new_group = jnp.concatenate(
+        [jnp.array([True]),
+         (mh_s[1:] != mh_s[:-1]) | (ml_s[1:] != ml_s[:-1])])
+    t = mh_s.shape[0]
     idx = jnp.arange(t, dtype=jnp.int32)
     rep_row = _segmented_cummax(jnp.where(new_group, idx, -1), new_group)
     rep_id = sid_s[rep_row]
     rep_pos = pos_s[rep_row]
     rep_len = slen_s[rep_row]
 
-    # group sizes: index of last element of the group - rep_row + 1
-    # last element: next group start - 1 via reverse cummax trick
+    # singleton groups are dropped (kmermatcher.cpp:476-478)
     group_id = jnp.cumsum(new_group.astype(jnp.int32)) - 1
-    # singleton check: element i is in a singleton group iff neither neighbor
-    # shares its group
     same_prev = jnp.concatenate([jnp.array([False]), group_id[1:] == group_id[:-1]])
     same_next = jnp.concatenate([group_id[:-1] == group_id[1:], jnp.array([False])])
     non_singleton = same_prev | same_next
 
     if params.is_nucl:
-        rep_fwd = (kmer_s[rep_row] & jnp.uint64(BIT63)) != 0
-        tgt_fwd = (kmer_s & jnp.uint64(BIT63)) != 0
+        rep_fwd = fwd_s[rep_row] != 0
+        tgt_fwd = fwd_s != 0
         rev = rep_fwd != tgt_fwd
         q_pos = jnp.where(tgt_fwd, rep_pos, rep_len - 1 - rep_pos)
         t_pos = jnp.where(tgt_fwd, pos_s, slen_s - 1 - pos_s)
@@ -276,55 +298,111 @@ def build_pairs(sel_kmer, sel_pos, sel_valid, seq_hash, keys, lengths,
         big = jnp.maximum(rep_len, slen_s).astype(jnp.float32)
         small = jnp.minimum(rep_len, slen_s).astype(jnp.float32)
         keep = keep & (small / big >= params.cov_thr)
+    return rep_id, sid_s, diagonal, rev, keep
 
-    # sort pairs by (rep, tgt, diag); dropped entries sink
+
+def sort_pairs(rep_id, tgt_id, diagonal, rev, keep):
+    """Sort pairs by (rep, tgt, diag); dropped entries sink to the end."""
     rep_key = jnp.where(keep, rep_id, jnp.uint32(0xFFFFFFFF))
-    rk, tk, dk, rv, kp = jax.lax.sort(
-        (rep_key, sid_s, diagonal, rev, keep), dimension=0, num_keys=3)
-    return rk, tk, dk, rv, kp
+    return jax.lax.sort((rep_key, tgt_id, diagonal, rev, keep),
+                        dimension=0, num_keys=3)
 
 
-def best_diagonal_hits(rep, tgt, diag, rev, valid):
-    """Per (rep, target) run: most frequent diagonal (ties -> larger), score =
-    run length, sign = rev of the winning entry (kmermatcher.cpp:870-913).
+def build_pairs(sel_kmer, sel_pos, sel_valid, seq_hash, keys, lengths,
+                params: KmerParams):
+    """Global table -> (rep, tgt, diag) pairs sorted by pair key."""
+    kmer, sid, pos, slen, valid = flatten_table(
+        sel_kmer, sel_pos, sel_valid, seq_hash, keys, lengths)
+    rep_id, sid_s, diagonal, rev, keep = pairs_from_table(
+        kmer, sid, pos, slen, valid, params)
+    return sort_pairs(rep_id, sid_s, diagonal, rev, keep)
+
+
+def _segment_ends(change):
+    """For segments delimited by `change` flags: last index of each segment."""
+    t = change.shape[0]
+    idx = jnp.arange(t, dtype=jnp.int32)
+    rev_change = jnp.flip(jnp.concatenate([change[1:], jnp.array([True])]))
+    rev_first = _segmented_cummax(jnp.where(rev_change, idx, -1), rev_change)
+    return (t - 1) - jnp.flip(rev_first)
+
+
+def _segment_suffix_max(key, change):
+    """max of key over [i, segment_end(i)] for segments delimited by change."""
+    rev_change = jnp.flip(jnp.concatenate([change[1:], jnp.array([True])]))
+    return jnp.flip(_segmented_cummax(jnp.flip(key), rev_change))
+
+
+def best_diagonal_hits(rep, tgt, diag, rev, valid, absorb=True):
+    """Per (rep, target): most frequent diagonal + entry count
+    (kmermatcher.cpp:870-913). With absorb=True (single-device default) it
+    includes the faithful quirk that the reference's run scan checks only the
+    TARGET id, so a hit absorbs the following rep's entries when the same
+    target sits at the boundary. The sharded path uses absorb=False (clean
+    per-(rep,target) runs) since the absorbed entries may live on another
+    shard; this deviates from the reference only in the inflated counts /
+    strand sign of those rare boundary hits.
 
     Returns (rep, tgt, score i32 signed, diag i32, hit_valid bool) — one hit
-    marked at each (rep,tgt) segment end; self pairs excluded.
+    marked at each (rep,tgt) segment START; self pairs excluded.
     """
     t = rep.shape[0]
     idx = jnp.arange(t, dtype=jnp.int32)
-    seg_start = jnp.concatenate([jnp.array([True]),
-                                 (rep[1:] != rep[:-1]) | (tgt[1:] != tgt[:-1])])
-    run_start = seg_start | jnp.concatenate([jnp.array([True]),
-                                             diag[1:] != diag[:-1]])
-    run_first = _segmented_cummax(jnp.where(run_start, idx, -1), run_start)
-    run_count = idx - run_first + 1
-    seg_first = _segmented_cummax(jnp.where(seg_start, idx, -1), seg_start)
+    # stop target runs at the valid->invalid boundary (the reference scan
+    # stops at the table sentinel)
+    tgt = jnp.where(valid, tgt, jnp.uint32(0xFFFFFFFF))
+    first = jnp.concatenate([jnp.array([True]), jnp.zeros(t - 1, bool)])
+    tgt_change = first | jnp.concatenate([jnp.array([False]), tgt[1:] != tgt[:-1]])
+    pair_change = tgt_change | jnp.concatenate(
+        [jnp.array([False]), rep[1:] != rep[:-1]])
+    if not absorb:
+        tgt_change = pair_change
+    run_change = tgt_change | jnp.concatenate(
+        [jnp.array([False]), diag[1:] != diag[:-1]])
 
-    # winner per segment: lex-max of (count, diag, rev) packed into int64
-    packed = (run_count.astype(jnp.int64) << 34) \
-        | ((diag.astype(jnp.int64) + (1 << 31)) << 1) \
-        | rev.astype(jnp.int64)
-    best = _segmented_cummax(packed, seg_start)
+    run_first = _segmented_cummax(jnp.where(run_change, idx, -1), run_change)
+    run_end = _segment_ends(run_change)
+    tgt_end = _segment_ends(tgt_change)
 
-    seg_end = jnp.concatenate([seg_start[1:], jnp.array([True])])
-    top_score = idx - seg_first + 1
-    best_diag = ((best >> 1) & ((1 << 32) - 1)).astype(jnp.int64) - (1 << 31)
+    # per-entry scan key: (run-local count, position, rev) — position encodes
+    # the reference's ">= updates, latest wins" tie-break
+    c = (idx - run_first + 1).astype(jnp.int64)
+    key = (c << 40) | (idx.astype(jnp.int64) << 1) | rev.astype(jnp.int64)
+    suffix = _segment_suffix_max(key, tgt_change)
+
+    # per pair-seg start p: first (clipped) run candidate + later-runs candidate
+    re_p = run_end  # at p: end of p's diagonal run
+    cand_a = (((re_p - idx + 1).astype(jnp.int64)) << 40) \
+        | (re_p.astype(jnp.int64) << 1) | rev[jnp.clip(re_p, 0, t - 1)].astype(jnp.int64)
+    nxt = jnp.clip(re_p + 1, 0, t - 1)
+    has_b = re_p < tgt_end
+    cand_b = jnp.where(has_b, suffix[nxt], jnp.int64(-1))
+    best = jnp.maximum(cand_a, cand_b)
+    best_pos = ((best >> 1) & ((1 << 39) - 1)).astype(jnp.int32)
+    best_diag = diag[jnp.clip(best_pos, 0, t - 1)]
     best_rev = (best & 1).astype(bool)
+
+    top_score = tgt_end - idx + 1
     score = jnp.where(best_rev, -top_score, top_score)
-    hit_valid = seg_end & valid & (rep != tgt)
-    return rep, tgt, score.astype(jnp.int32), best_diag.astype(jnp.int32), hit_valid
+    hit_valid = pair_change & valid & (rep != tgt)
+    return rep, tgt, score.astype(jnp.int32), best_diag, hit_valid
 
 
-@functools.partial(jax.jit, static_argnames=("params", "hit_capacity"))
-def kmermatch_device(seqs, lengths, keys, hash_shift, params: KmerParams,
-                     hit_capacity):
-    """Full device k-mer matcher: padded numeric batch -> compacted hits.
-
-    Returns (rep u32[H], tgt u32[H], score i32[H], diag i32[H], n_hits i32).
-    """
+@functools.partial(jax.jit, static_argnames=("params",))
+def _stage_select(seqs, lengths, keys, hash_shift, params):
     sk, sp, sv, sh, _ = select_kmers(seqs, lengths, params, hash_shift)
-    rep, tgt, diag, rev, valid = build_pairs(sk, sp, sv, sh, keys, lengths, params)
+    return flatten_table(sk, sp, sv, sh, keys, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _stage_pairs(kmer, sid, pos, slen, valid, params):
+    rep_id, sid_s, diagonal, rev, keep = pairs_from_table(
+        kmer, sid, pos, slen, valid, params)
+    return sort_pairs(rep_id, sid_s, diagonal, rev, keep)
+
+
+@functools.partial(jax.jit, static_argnames=("hit_capacity",))
+def _stage_hits(rep, tgt, diag, rev, valid, hit_capacity):
     hr, ht, hs, hd, hv = best_diagonal_hits(rep, tgt, diag, rev, valid)
     # compact: stable sort by ~valid keeps (rep, tgt) order among the valid
     order = jnp.where(hv, jnp.arange(hr.shape[0], dtype=jnp.int32),
@@ -333,3 +411,16 @@ def kmermatch_device(seqs, lengths, keys, hash_shift, params: KmerParams,
         (order, hr, ht, hs, hd, hv), dimension=0, num_keys=1)
     h = hit_capacity
     return cr[:h], ct[:h], cs[:h], cd[:h], cv[:h].sum().astype(jnp.int32)
+
+
+def kmermatch_device(seqs, lengths, keys, hash_shift, params: KmerParams,
+                     hit_capacity):
+    """Full device k-mer matcher: padded numeric batch -> compacted hits.
+
+    Returns (rep u32[H], tgt u32[H], score i32[H], diag i32[H], n_hits i32).
+    Staged as three separately-jitted calls so the persistent compilation
+    cache is hit per stage (the multi-operand sorts dominate compile time).
+    """
+    table = _stage_select(seqs, lengths, keys, hash_shift, params)
+    pairs = _stage_pairs(*table, params)
+    return _stage_hits(*pairs, hit_capacity)

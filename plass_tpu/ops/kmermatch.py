@@ -93,12 +93,31 @@ def _select_kmers_one(hashes16, kmer_vals, positions, kmer_considered,
     m_s = masked[order]
 
     if ignore_multi:
-        # drop any kmer occurring more than once in this sequence
-        uniq, cnt = np.unique(masked, return_counts=True)
-        multi = set(uniq[cnt > 1].tolist())
-        keep = np.array([m not in multi for m in m_s.tolist()], dtype=bool)
-        order = order[keep]
-        h_s = h_s[keep]
+        # the reference's skip loop (kmermatcher.cpp:277-301) jumps over a
+        # duplicate run and PROCESSES the first following entry without
+        # re-checking it — so a run right after another run contributes its
+        # first element(s). Replicated as a 3-state scan:
+        #   TOP: entry starting a multi-run -> skip (SKIP); else process
+        #   SKIP: inside the run; at its last element -> LAND
+        #   LAND: process unconditionally -> TOP
+        eq_next = np.zeros(n, dtype=bool)
+        eq_next[:-1] = m_s[:-1] == m_s[1:]
+        processed = np.zeros(n, dtype=bool)
+        state = 0  # 0 TOP, 1 SKIP, 2 LAND
+        for p in range(n):
+            if state == 0:
+                if eq_next[p]:
+                    state = 1
+                else:
+                    processed[p] = True
+            elif state == 1:
+                if not eq_next[p]:
+                    state = 2
+            else:  # LAND
+                processed[p] = True
+                state = 0
+        order = order[processed]
+        h_s = h_s[processed]
 
     sel = []
     selected = 0
@@ -183,8 +202,10 @@ def build_kmer_table(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=0.0,
             store_kmer = canon
 
         seq_kmer_count = len(canon)
-        kc = min(int(kmers_per_sequence - 1 + kmers_per_sequence_scale * L),
-                 seq_kmer_count)
+        # float32 arithmetic exactly as the reference (kmermatcher.cpp:223)
+        kc_f = np.float32(kmers_per_sequence - 1) + \
+            np.float32(np.float32(kmers_per_sequence_scale) * np.float32(L))
+        kc = min(int(kc_f), seq_kmer_count)
 
         # whole-sequence hash entry (added regardless of threshold)
         from .hashes import seq_hash_np
@@ -284,9 +305,15 @@ def _can_be_covered(cov_thr, cov_mode, qlen, tlen):
 
 
 def emit_hits(rep_id, tgt_id, diagonal, rev, db_keys):
-    """Step 5: per (rep, target) run, best diagonal + shared-kmer count
+    """Step 5: per (rep, target): best diagonal + shared-kmer count
     (kmermatcher.cpp:844-914). Returns dict rep_key -> list of
-    (target, score_signed, diagonal); every sequence gets a self hit first."""
+    (target, score_signed, diagonal); every sequence gets a self hit first.
+
+    NOTE the faithful quirk: the run scan checks only the TARGET id
+    (kmermatcher.cpp:880-882), so when the same target sits at a rep-group
+    boundary, the earlier rep's hit absorbs the next rep's entries into its
+    count and diagonal vote.
+    """
     order = np.lexsort((diagonal, tgt_id, rep_id))
     r = rep_id[order]
     t = tgt_id[order]
@@ -294,34 +321,39 @@ def emit_hits(rep_id, tgt_id, diagonal, rev, db_keys):
     v = rev[order]
     hits = {int(k): [(int(k), 0, 0)] for k in db_keys}
     n = len(r)
-    i = 0
-    while i < n:
-        j = i
-        while j < n and r[j] == r[i] and t[j] == t[i]:
+    last_target = None
+    cur_rep = None
+    for p in range(n):
+        if cur_rep is None or r[p] != cur_rep:
+            cur_rep = r[p]
+            last_target = None
+        target = t[p]
+        if last_target == target:
+            continue
+        # scan consecutive same-target entries (REP NOT CHECKED)
+        top_score = 0
+        best_cnt = 0
+        best_diag = int(d[p])
+        best_rev = bool(v[p])
+        cnt = 0
+        prev_diag = int(d[p])
+        j = p
+        while j < n and t[j] == target:
+            if prev_diag == int(d[j]) and j > p:
+                cnt += 1
+            else:
+                cnt = 1
+            if cnt >= best_cnt:
+                best_cnt = cnt
+                best_diag = int(d[j])
+                best_rev = bool(v[j])
+            prev_diag = int(d[j])
+            top_score += 1
             j += 1
-        if t[i] != r[i]:
-            # most frequent diagonal; ties -> later (ascending) diagonal
-            run_d = d[i:j]
-            run_v = v[i:j]
-            best_cnt = 0
-            best_diag = run_d[0]
-            best_rev = bool(run_v[0])
-            cnt = 0
-            prev = None
-            for kk in range(len(run_d)):
-                if prev is not None and run_d[kk] == prev:
-                    cnt += 1
-                else:
-                    cnt = 1
-                if cnt >= best_cnt:
-                    best_cnt = cnt
-                    best_diag = run_d[kk]
-                    best_rev = bool(run_v[kk])
-                prev = run_d[kk]
-            top_score = j - i
+        if target != cur_rep:
             score = -top_score if best_rev else top_score
-            hits[int(r[i])].append((int(t[i]), int(score), int(best_diag)))
-        i = j
+            hits[int(cur_rep)].append((int(target), int(score), best_diag))
+        last_target = target
     return hits
 
 

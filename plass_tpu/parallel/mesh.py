@@ -99,7 +99,7 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
         h16 = jnp.concatenate([
             sh16.reshape(-1),
             (sh & jnp.uint64(0xFFFF)).astype(jnp.int32)])
-        valid = jnp.concatenate([sv.reshape(-1), jnp.ones(n, bool)])
+        valid = jnp.concatenate([sv.reshape(-1), lengths > 0])
 
         # ---- stage 2: hash-range exchange (same k-mer -> same shard)
         dest = (h16 * n_shards) // 65536
@@ -108,39 +108,9 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
              (pos, np.int32(0)), (slen, np.int32(0))],
             dest, valid, n_shards, bucket_capacity, axis)
 
-        # ---- stage 3: per-shard sort + group + pair emission
-        masked = (r_kmer | jnp.uint64(device_kmer.BIT63)) if params.is_nucl else r_kmer
-        masked = jnp.where(r_valid, masked, jnp.full_like(masked, device_kmer.U64MAX))
-        m_s, nl_s, sid_s, pos_s, kmer_s, valid_s = jax.lax.sort(
-            (masked, -r_slen, r_sid, r_pos, r_kmer, r_valid),
-            dimension=0, num_keys=4)
-        slen_s = -nl_s
-        t = m_s.shape[0]
-        new_group = jnp.concatenate([jnp.array([True]), m_s[1:] != m_s[:-1]])
-        idx = jnp.arange(t, dtype=jnp.int32)
-        rep_row = device_kmer._segmented_cummax(
-            jnp.where(new_group, idx, -1), new_group)
-        rep_id = sid_s[rep_row]
-        rep_pos = pos_s[rep_row]
-        rep_len = slen_s[rep_row]
-        group_id = jnp.cumsum(new_group.astype(jnp.int32)) - 1
-        same_prev = jnp.concatenate([jnp.array([False]), group_id[1:] == group_id[:-1]])
-        same_next = jnp.concatenate([group_id[:-1] == group_id[1:], jnp.array([False])])
-        non_singleton = same_prev | same_next
-        if params.is_nucl:
-            rep_fwd = (kmer_s[rep_row] & jnp.uint64(device_kmer.BIT63)) != 0
-            tgt_fwd = (kmer_s & jnp.uint64(device_kmer.BIT63)) != 0
-            rev = rep_fwd != tgt_fwd
-            q_pos = jnp.where(tgt_fwd, rep_pos, rep_len - 1 - rep_pos)
-            t_pos = jnp.where(tgt_fwd, pos_s, slen_s - 1 - pos_s)
-            diagonal = (q_pos - t_pos).astype(jnp.int32)
-        else:
-            rev = jnp.zeros(t, dtype=bool)
-            diagonal = (rep_pos - pos_s).astype(jnp.int32)
-        can_extend = (diagonal < 0) | (diagonal > (rep_len - slen_s))
-        keep = valid_s & non_singleton
-        if params.include_only_extendable:
-            keep = keep & can_extend
+        # ---- stage 3: per-shard sort + group + pair emission (shared core)
+        rep_id, sid_s, diagonal, rev, keep = device_kmer.pairs_from_table(
+            r_kmer, r_sid, r_pos, r_slen, r_valid, params)
 
         # ---- stage 4: re-route pairs by representative so every
         # (rep, target) run is complete on one shard
@@ -150,10 +120,9 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
              (diagonal, np.int32(0)), (rev, False)],
             pair_dest, keep, n_shards, bucket_capacity, axis)
 
-        rep_key = jnp.where(p_valid, p_rep, jnp.uint32(0xFFFFFFFF))
-        rk, tk, dk, rv, kp = jax.lax.sort(
-            (rep_key, p_tgt, p_diag, p_rev, p_valid), dimension=0, num_keys=3)
-        hr, ht, hs, hd, hv = device_kmer.best_diagonal_hits(rk, tk, dk, rv, kp)
+        rk, tk, dk, rv, kp = device_kmer.sort_pairs(
+            p_rep, p_tgt, p_diag, p_rev, p_valid)
+        hr, ht, hs, hd, hv = device_kmer.best_diagonal_hits(rk, tk, dk, rv, kp, absorb=False)
         horder = jnp.where(hv, jnp.arange(hr.shape[0], dtype=jnp.int32),
                            jnp.int32(2**31 - 1))
         _, cr, ct, cs, cd, cv = jax.lax.sort(

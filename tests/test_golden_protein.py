@@ -92,3 +92,18 @@ def test_full_workflow_byte_identical(example_reads, tmp_path):
     p = AssembleParams(num_iterations=2, filter_proteins=0)
     run_assemble(example_reads, out, str(tmp_path / "tmp"), p)
     assert open(out, "rb").read() == open(golden_fasta, "rb").read()
+
+
+GOLDEN_NUCL = "/tmp/goldennucl"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_NUCL),
+                    reason="nucleotide golden not generated")
+def test_nuclassemble_byte_identical(example_reads, tmp_path):
+    from plass_tpu.workflow.nuclassemble import (NuclAssembleParams,
+                                                 run_nuclassemble)
+    golden = os.path.join(GOLDEN_NUCL, "contigs.fasta")
+    out = str(tmp_path / "contigs.fasta")
+    p = NuclAssembleParams(num_iterations=2, min_contig_len=150)
+    run_nuclassemble(example_reads, out, str(tmp_path / "tmp"), p)
+    assert open(out, "rb").read() == open(golden, "rb").read()

@@ -37,11 +37,16 @@ def test_sharded_matches_single_device(batch, n_devices):
         chars[i, : lengths[i]] = letters[rng.integers(0, 20, lengths[i])]
     codes = blosum.aa2num[chars]
 
-    r, t, s, d, nh = kmermatch_device(
-        jnp.asarray(seqs), jnp.asarray(lengths), jnp.asarray(keys), 67,
-        params, 256)
-    nh = int(nh)
-    single = _hit_set(r[:nh], t[:nh], s[:nh], d[:nh], np.ones(nh, bool))
+    # sharded mode uses clean per-(rep,target) runs (absorb=False) — compare
+    # against the single-device pipeline in the same mode
+    from plass_tpu.ops.device_kmer import (select_kmers, build_pairs,
+                                           best_diagonal_hits)
+    sk, sp, sv, sh, _ = select_kmers(jnp.asarray(seqs), jnp.asarray(lengths),
+                                     params, 67)
+    pairs = build_pairs(sk, sp, sv, sh, jnp.asarray(keys),
+                        jnp.asarray(lengths), params)
+    r, t, s, d, hv = best_diagonal_hits(*pairs, absorb=False)
+    single = _hit_set(r, t, s, d, np.asarray(hv))
 
     mesh = make_mesh(n_devices)
     fn = sharded_iteration_fn(mesh, params, 32 * (params.ksel + 1), 256,
