@@ -156,6 +156,9 @@ def align_flags():
         Flag("--wrapped-scoring", "wrapped_scoring", bool, False,
              "Double query for circular scoring"),
         Flag("--filter-hits", "filter_hits", bool, False, "Filter hits by precision lib"),
+        Flag("--gap-open", "gap_open", int, 5, "Gap open cost"),
+        Flag("--gap-extend", "gap_extend", int, 2, "Gap extend cost"),
+        Flag("--zdrop", "zdrop", int, 200, "Z-drop alignment truncation score"),
     ]
 
 

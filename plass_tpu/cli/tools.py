@@ -123,10 +123,12 @@ def _kmermatcher(positional, space):
 
 
 def _rescorediagonal(positional, space):
-    from ..ops.rescore import RescoreParams, rescore_diagonal, results_to_db
+    from ..ops.rescore import (RESCORE_HAMMING, RescoreParams,
+                               rescore_diagonal, results_to_db)
     if len(positional) != 4:
         raise ValueError("usage: rescorediagonal <i:qDB> <i:tDB> <i:prefDB> <o:alnDB>")
     db = seqdb.SeqDB.open(positional[0])
+    pref = seqdb.SeqDB.open(positional[2])
     hits = load_prefilter(positional[2])
     v = space.values
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
@@ -136,10 +138,129 @@ def _rescorediagonal(positional, space):
         cov_thr=v["cov_thr"], cov_mode=v["cov_mode"], eval_thr=v["eval_thr"],
         aln_len_thr=(v["min_aln_len"].nucleotides if is_nucl else v["min_aln_len"].aminoacids),
         seq_id_mode=v["seq_id_mode"], add_backtrace=v["add_backtrace"],
-        sort_results=v["sort_results"])
+        sort_results=v["sort_results"],
+        wrapped_scoring=v.get("wrapped_scoring", False))
     alns = rescore_diagonal(db, hits, rp)
-    results_to_db(alns).save(positional[3])
+    if rp.rescore_mode == RESCORE_HAMMING:
+        # short prefilter-format output, dbtype follows input prefilter
+        w = seqdb.DBWriter(pref.dbtype)
+        for k in sorted(alns):
+            lines = "".join(f"{t}\t{s}\t{np.int16(d & 0xFFFF)}\n"
+                            for (t, s, d) in alns[k])
+            w.write(k, lines.encode(), add_newline=False)
+        w.finish().save(positional[3])
+    else:
+        results_to_db(alns, add_backtrace=rp.add_backtrace).save(positional[3])
     return 0
+
+
+def _align(positional, space):
+    from ..ops.nucl_align import align_nucl, align_results_to_db
+    if len(positional) != 4:
+        raise ValueError("usage: align <i:qDB> <i:tDB> <i:prefDB> <o:alnDB>")
+    db = seqdb.SeqDB.open(positional[0])
+    if db.dbtype != seqdb.NUCLEOTIDES:
+        raise ValueError("align: only nucleotide DBs supported (protein "
+                         "path uses rescorediagonal in this framework)")
+    hits = load_prefilter(positional[2])
+    v = space.values
+    res = align_nucl(db, hits, seq_id_thr=v["min_seq_id"].nucleotides,
+                     cov_thr=v["cov_thr"], cov_mode=v["cov_mode"],
+                     eval_thr=v["eval_thr"],
+                     aln_len_thr=v["min_aln_len"].nucleotides,
+                     seq_id_mode=v["seq_id_mode"], gapo=v.get("gap_open", 5),
+                     gape=v.get("gap_extend", 2), zdrop=v.get("zdrop", 200),
+                     wrapped_scoring=v.get("wrapped_scoring", False))
+    align_results_to_db(res).save(positional[3])
+    return 0
+
+
+def _clust(positional, space):
+    from ..assembler.cluster import greedy_incremental_cluster, clusters_to_db
+    if len(positional) != 3:
+        raise ValueError("usage: clust <i:seqDB> <i:alnDB> <o:cluDB>")
+    db = seqdb.SeqDB.open(positional[0])
+    aln = seqdb.SeqDB.open(positional[1])
+    targets = {}
+    for i in range(aln.size):
+        key = int(aln.keys[i])
+        body = aln.get_data(i).tobytes().decode()
+        targets[key] = [int(ln.split("\t", 1)[0].split(" ", 1)[0])
+                        for ln in body.splitlines() if ln]
+    clusters_to_db(greedy_incremental_cluster(db, targets)).save(positional[2])
+    return 0
+
+
+def _mergeclusters(positional, space):
+    from ..assembler.cluster import (db_to_clusters, merge_clusters,
+                                     merged_clusters_to_db)
+    if len(positional) < 3:
+        raise ValueError("usage: mergeclusters <i:seqDB> <o:cluDB> <i:clu1> ...")
+    db = seqdb.SeqDB.open(positional[0])
+    steps = [db_to_clusters(seqdb.SeqDB.open(p)) for p in positional[2:]]
+    merged_clusters_to_db(merge_clusters(db, steps)).save(positional[1])
+    return 0
+
+
+def _result2repseq(positional, space):
+    from ..assembler.cluster import result2repseq
+    if len(positional) != 3:
+        raise ValueError("usage: result2repseq <i:seqDB> <i:resultDB> <o:seqDB>")
+    db = seqdb.SeqDB.open(positional[0])
+    res = seqdb.SeqDB.open(positional[1])
+    result2repseq(db, res).save(positional[2])
+    return 0
+
+
+def _filterdb(positional, space):
+    from ..assembler.cluster import filter_lines_by_keys
+    if len(positional) != 2:
+        raise ValueError("usage: filterdb <i:db> <o:db> --filter-file <file>")
+    path = space.values.get("filter_file", "")
+    if not path:
+        raise ValueError("filterdb: only --filter-file mode is supported")
+    keys = [int(line.split()[0]) for line in open(path) if line.strip()]
+    db = seqdb.SeqDB.open(positional[0])
+    filter_lines_by_keys(db, keys).save(positional[1])
+    return 0
+
+
+def _proteinaln2nucl(positional, space):
+    from ..ops.proteinaln2nucl import protein_aln_to_nucl, nucl_results_to_db
+    if len(positional) != 6:
+        raise ValueError("usage: proteinaln2nucl <i:qNuclDB> <i:tNuclDB> "
+                         "<i:qAaDB> <i:tAaDB> <i:alnDB> <o:alnDB>")
+    nucl_db = seqdb.SeqDB.open(positional[0])
+    aa_db = seqdb.SeqDB.open(positional[2])
+    alns = load_alignments_with_backtrace(positional[4])
+    v = space.values
+    out = protein_aln_to_nucl(nucl_db, aa_db, alns,
+                              gap_open=v.get("gap_open", 5),
+                              gap_extend=v.get("gap_extend", 2))
+    nucl_results_to_db(out).save(positional[5])
+    return 0
+
+
+def load_alignments_with_backtrace(path):
+    """Parse an alignment DB (with backtrace column) into
+    {query_key: [record dict]}."""
+    db = seqdb.SeqDB.open(path)
+    out = {}
+    for i in range(db.size):
+        key = int(db.keys[i])
+        rows = []
+        for line in db.get_data(i).tobytes().decode().strip().split("\n"):
+            if not line:
+                continue
+            f = line.split("\t")
+            rows.append({"dbKey": int(f[0]), "score": int(f[1]),
+                         "seqId": float(f[2]), "eval": float(f[3]),
+                         "qStartPos": int(f[4]), "qEndPos": int(f[5]),
+                         "qLen": int(f[6]), "dbStartPos": int(f[7]),
+                         "dbEndPos": int(f[8]), "dbLen": int(f[9]),
+                         "backtrace": f[10] if len(f) > 10 else ""})
+        out[key] = rows
+    return out
 
 
 def _concatdbs(positional, space):
@@ -205,4 +326,18 @@ BASE_COMMANDS = [
             "<i:seqDB> <o:fasta>", "Convert DB to FASTA", hidden=True),
     Command("rmdb", _rmdb, lambda: P.ParamSpace(P.common_flags()),
             "<i:db>", "Remove a DB file family", hidden=True),
+    Command("align", _align, lambda: P.ParamSpace(P.common_flags() + P.kmermatcher_flags() + P.align_flags()),
+            "<i:qDB> <i:tDB> <i:prefDB> <o:alnDB>", "Gapped banded alignment", hidden=True),
+    Command("clust", _clust, lambda: P.ParamSpace(P.common_flags()),
+            "<i:seqDB> <i:alnDB> <o:cluDB>", "Greedy incremental clustering", hidden=True),
+    Command("mergeclusters", _mergeclusters, lambda: P.ParamSpace(P.common_flags()),
+            "<i:seqDB> <o:cluDB> <i:clu1> ...", "Merge clustering steps", hidden=True),
+    Command("result2repseq", _result2repseq, lambda: P.ParamSpace(P.common_flags()),
+            "<i:seqDB> <i:resultDB> <o:seqDB>", "Extract representative sequences", hidden=True),
+    Command("filterdb", _filterdb, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--filter-file", "filter_file", str, "", "Keep lines whose first column is in file")]),
+            "<i:db> <o:db>", "Filter result DB lines", hidden=True),
+    Command("proteinaln2nucl", _proteinaln2nucl, lambda: P.ParamSpace(P.common_flags() + P.align_flags()),
+            "<i:qNuclDB> <i:tNuclDB> <i:qAaDB> <i:tAaDB> <i:alnDB> <o:alnDB>",
+            "Map protein alignments to nucleotide space", hidden=True),
 ]

@@ -110,6 +110,7 @@ class RescoreParams:
     sort_results: int = 0
     filter_hits: bool = False
     global_seq_id: bool = False
+    wrapped_scoring: bool = False
 
 
 def _compute_seq_id(mode, ids, qlen, tlen, alnlen):
@@ -124,6 +125,59 @@ def _cov(start, end, length):
     return (min(length, max(start, end)) - min(start, end) + 1) / float(length)
 
 
+def ungapped_best(qnum, tnum, diagonal, ascii_mat, mode):
+    """DistanceCalculator::computeUngappedAlignment: scan the +-65536
+    diagonal candidates of the stored 16-bit diagonal, keep the best score
+    (strict >, negative divisions first). Returns (score, start, end,
+    diag_len, dist, diag) with the reconstructed real diagonal.
+    (DistanceCalculator.h:95-114)"""
+    u16 = int(diagonal) & 0xFFFF
+    qlen, tlen = len(qnum), len(tnum)
+    best = (0, -1, -1, 0, 0, 0)
+    for d in range(1, 2 + tlen // 32768):
+        real = -d * 65536 + u16
+        sc, st, en, dl, dist = ungapped_by_diagonal(qnum, tnum, real,
+                                                    ascii_mat, mode)
+        if sc > best[0]:
+            best = (sc, st, en, dl, dist, real)
+    for d in range(0, 1 + qlen // 65536):
+        real = d * 65536 + u16
+        sc, st, en, dl, dist = ungapped_by_diagonal(qnum, tnum, real,
+                                                    ascii_mat, mode)
+        if sc > best[0]:
+            best = (sc, st, en, dl, dist, real)
+    return best
+
+
+def ungapped_best_wrapped(q2x, tnum, diagonal, ascii_mat, mode):
+    """DistanceCalculator::computeUngappedWrappedAlignment
+    (DistanceCalculator.h:57-93): q2x is the doubled query; candidate
+    windows start inside the first copy, scored against the target on
+    diagonal 0; the winning shift becomes the reported diagonal (always
+    >= 0) and distance. diagonalLen is overridden to min(tlen, half)."""
+    u16 = int(diagonal) & 0xFFFF
+    half = len(q2x) // 2
+    tlen = len(tnum)
+    best = (0, -1, -1, 0, 0, 0)
+    d = 1
+    while (-d * 65536 + u16) > -tlen:
+        real = (-d * 65536 + u16) + half
+        sc, st, en, _, _ = ungapped_by_diagonal(q2x[real: real + half], tnum,
+                                                0, ascii_mat, mode)
+        if sc > best[0]:
+            best = (sc, st, en, 0, abs(real), real)
+        d += 1
+    d = 0
+    while (d * 65536 + u16) < half:
+        real = d * 65536 + u16
+        sc, st, en, _, _ = ungapped_by_diagonal(q2x[real: real + half], tnum,
+                                                0, ascii_mat, mode)
+        if sc > best[0]:
+            best = (sc, st, en, 0, abs(real), real)
+        d += 1
+    return (best[0], best[1], best[2], min(tlen, half), best[4], best[5])
+
+
 def _has_cov(cov_thr, cov_mode, qcov, tcov):
     if cov_mode == COV_MODE_BIDIRECTIONAL:
         return qcov >= cov_thr and tcov >= cov_thr
@@ -135,12 +189,15 @@ def _has_cov(cov_thr, cov_mode, qcov, tcov):
 
 
 def _can_be_covered(cov_thr, cov_mode, qlen, tlen):
-    if cov_thr <= 0.0:
-        return True
+    """Util::canBeCovered (Util.cpp:533-550), float32 ratio compares."""
+    q, t = np.float32(qlen), np.float32(tlen)
+    thr = np.float32(cov_thr)
     if cov_mode == COV_MODE_BIDIRECTIONAL:
-        return min(qlen, tlen) / max(qlen, tlen) >= cov_thr
+        return bool((q / t >= thr) and (t / q >= thr))
     if cov_mode == COV_MODE_QUERY:
-        return max(qlen, tlen) * cov_thr <= min(qlen, tlen)
+        return bool(t / q >= thr)
+    if cov_mode == COV_MODE_TARGET:
+        return bool(q / t >= thr)
     return True
 
 
@@ -171,7 +228,10 @@ def rescore_diagonal(db, hits, params=None, evaluer=None):
     out = {}
     for qkey, hlist in hits.items():
         qid = lut[qkey]
+        orig_qlen = db.seq_len(qid)
         qseq = np.asarray(db.get_seq(qid))
+        if params.wrapped_scoring:
+            qseq = np.concatenate([qseq, qseq])
         qlen = len(qseq)
         qrev = revcomp_chars(qseq) if is_nucl else None
         results = []
@@ -182,16 +242,39 @@ def rescore_diagonal(db, hits, params=None, evaluer=None):
             tseq = np.asarray(db.get_seq(tid))
             tlen = len(tseq)
             is_identity = (qid == tid)  # sameQTDB always true here
-            if not _can_be_covered(params.cov_thr, params.cov_mode, qlen, tlen):
+            if not _can_be_covered(params.cov_thr, params.cov_mode,
+                                   orig_qlen, tlen):
                 continue
-            score, start, end, diag_len, dist = ungapped_by_diagonal(
-                qseq_use, tseq, diagonal, ascii_mat, params.rescore_mode)
+            if params.wrapped_scoring:
+                if tlen > orig_qlen:
+                    continue  # rescorediagonal.cpp:215-219
+                score, start, end, diag_len, dist, diag = ungapped_best_wrapped(
+                    qseq_use, tseq, diagonal, ascii_mat, params.rescore_mode)
+            else:
+                score, start, end, diag_len, dist, diag = ungapped_best(
+                    qseq_use, tseq, diagonal, ascii_mat, params.rescore_mode)
+            tcov = diag_len / float(tlen)
+            qcov = diag_len / float(orig_qlen)
+            if params.rescore_mode == RESCORE_HAMMING:
+                seq_id = _compute_seq_id(params.seq_id_mode, score, orig_qlen,
+                                         tlen, diag_len)
+                aln_len = diag_len
+                has_cov = _has_cov(params.cov_thr, params.cov_mode,
+                                   np.float32(qcov), np.float32(tcov))
+                has_seq_id = seq_id >= (params.seq_id_thr
+                                        - np.finfo(np.float32).eps)
+                if is_identity or (aln_len >= params.aln_len_thr and has_cov
+                                   and has_seq_id):
+                    pscore = int(100 * seq_id)
+                    results.append((tkey, -pscore if is_reverse else pscore,
+                                    diag))
+                continue
             if diag_len == 0:
                 continue
-            evalue = float(evaluer.evalue(score, qlen))
+            evalue = float(evaluer.evalue(score, orig_qlen))
             bit_score = int(evaluer.bit_score(score) + 0.5)
             aln_len = end - start + 1
-            if diagonal >= 0:
+            if diag >= 0:
                 qs, qe = start + dist, end + dist
                 ts, te = start, end
             else:
@@ -202,8 +285,9 @@ def rescore_diagonal(db, hits, params=None, evaluer=None):
                 qwin = qseq_use[qs: qe + 1] & np.uint8(~0x20 & 0xFF)
                 twin = tseq[ts: te + 1] & np.uint8(~0x20 & 0xFF)
                 ids = int((qwin == twin).sum())
-                seq_id = _compute_seq_id(params.seq_id_mode, ids, qlen, tlen, aln_len)
-            qcov = _cov(qs, qe, qlen)
+                seq_id = _compute_seq_id(params.seq_id_mode, ids, orig_qlen,
+                                         tlen, aln_len)
+            qcov = _cov(qs, qe, orig_qlen)
             tcov = _cov(ts, te, tlen)
             if is_reverse:
                 qs = qlen - qs - 1
@@ -214,8 +298,11 @@ def rescore_diagonal(db, hits, params=None, evaluer=None):
             has_aln_len = aln_len >= params.aln_len_thr
             if is_identity or (has_aln_len and has_cov and has_seq_id and has_eval):
                 results.append((tkey, bit_score, qcov, tcov, seq_id, evalue,
-                                aln_len, qs, qe, qlen, ts, te, tlen))
-        out[qkey] = np.array(results, dtype=RESULT_DTYPE)
+                                aln_len, qs, qe, orig_qlen, ts, te, tlen))
+        if params.rescore_mode == RESCORE_HAMMING:
+            out[qkey] = results
+        else:
+            out[qkey] = np.array(results, dtype=RESULT_DTYPE)
     return out
 
 
@@ -234,17 +321,22 @@ def format_seq_id(seq_id):
     return f"0.{v}"
 
 
-def format_result_line(r):
+def format_result_line(r, backtrace=None):
+    bt = f"\t{backtrace}" if backtrace is not None else ""
     return (f"{r['dbKey']}\t{r['score']}\t{format_seq_id(r['seqId'])}\t"
             f"{r['eval']:.3E}\t{r['qStartPos']}\t{r['qEndPos']}\t{r['qLen']}\t"
-            f"{r['dbStartPos']}\t{r['dbEndPos']}\t{r['dbLen']}\n")
+            f"{r['dbStartPos']}\t{r['dbEndPos']}\t{r['dbLen']}{bt}\n")
 
 
-def results_to_db(results):
+def results_to_db(results, add_backtrace=False):
     """Serialize alignment results to an MMseqs alignment DB
-    (Matcher::resultToBuffer format, Matcher.cpp)."""
+    (Matcher::resultToBuffer format, Matcher.cpp). With add_backtrace, the
+    rescorediagonal backtrace is the literal "<alnLen>M" string
+    (rescorediagonal.cpp:287-291)."""
     writer = seqdb.DBWriter(seqdb.ALIGNMENT_RES)
     for key in sorted(results):
-        lines = [format_result_line(r) for r in results[key]]
+        lines = [format_result_line(
+            r, f"{r['alnLength']}M" if add_backtrace else None)
+            for r in results[key]]
         writer.write(key, "".join(lines).encode(), add_newline=False)
     return writer.finish()
