@@ -76,6 +76,165 @@ def greedy_incremental_cluster(db, alignments):
     return out
 
 
+UINT_MAX = 0xFFFFFFFF
+
+
+def set_cover_cluster(db, adjacency):
+    """ClusteringAlgorithms::setCover (execute(1), --cluster-mode 0).
+
+    adjacency: {query_key: [(target_key, ushort_score), ...]} in record line
+    order. An empty record must be passed as [(self_key, sentinel)] —
+    1000 for alignment input, 65535 for prefilter/cluster input
+    (AlignmentSymmetry::readInData, AlignmentSymmetry.cpp:44-63).
+
+    Pipeline (ClusteringAlgorithms.cpp + AlignmentSymmetry.cpp): symmetrize
+    the graph (missing back-links appended at the tail in setId-ascending
+    discovery order, carrying the forward score), bucket-sort ids by degree,
+    then greedily take the largest remaining set, assigning members by
+    strict score improvement (the ushort score is read back as SIGNED short,
+    so the 65535 sentinel compares as -1).
+    """
+    n = db.size
+    order = _length_order(db)
+    keys = np.asarray(db.keys)
+    key_to_internal = {}
+    internal_of_pos = np.empty(n, dtype=np.int64)
+    internal_of_pos[order] = np.arange(n)
+    for pos in range(n):
+        key_to_internal[int(keys[pos])] = int(internal_of_pos[pos])
+
+    lists = [[] for _ in range(n)]
+    scores = [[] for _ in range(n)]
+    for i in range(n):
+        qkey = int(keys[order[i]])
+        for (tkey, sc) in adjacency.get(qkey, ()):
+            lists[i].append(key_to_internal[int(tkey)])
+            scores[i].append(int(sc) & 0xFFFF)
+
+    # symmetrize (findMissingLinks + addMissingLinks): membership tested
+    # against the ORIGINAL lists; new links appended at the tail
+    orig_sets = [set(l) for l in lists]
+    appended = [[] for _ in range(n)]
+    appended_sc = [[] for _ in range(n)]
+    for set_id in range(n):
+        for elm, sc in zip(lists[set_id], scores[set_id]):
+            if set_id not in orig_sets[elm]:
+                appended[elm].append(set_id)
+                appended_sc[elm].append(sc)
+    for i in range(n):
+        lists[i].extend(appended[i])
+        scores[i].extend(appended_sc[i])
+
+    cluster_sizes = [len(l) for l in lists]
+    max_size = max(cluster_sizes) if n else 0
+
+    # initClustersizes: counting sort of ids by size, id-ascending per bucket
+    abundance = [0] * (max_size + 1)
+    for s in cluster_sizes:
+        abundance[s] += 1
+    borders = [0] * (max_size + 1)
+    for s in range(1, max_size + 1):
+        borders[s] = borders[s - 1] + abundance[s - 1]
+    sorted_cs = [UINT_MAX] * (n + 1)
+    pos_of = [UINT_MAX] * (n + 1)
+    running = [0] * (max_size + 1)
+    for i in range(n):
+        p = borders[cluster_sizes[i]] + running[cluster_sizes[i]]
+        sorted_cs[p] = i
+        pos_of[i] = p
+        running[cluster_sizes[i]] += 1
+
+    assigned = [UINT_MAX] * n
+    best = [-32768] * n  # SHRT_MIN
+
+    def remove_clustersize(cid):
+        cluster_sizes[cid] = 0
+        sorted_cs[pos_of[cid]] = UINT_MAX
+        pos_of[cid] = UINT_MAX
+
+    def decrease_clustersize(cid):
+        oldpos = pos_of[cid]
+        newpos = borders[cluster_sizes[cid]]
+        swapid = sorted_cs[newpos]
+        if swapid != UINT_MAX:
+            pos_of[swapid] = oldpos
+        sorted_cs[oldpos] = swapid
+        sorted_cs[newpos] = cid
+        pos_of[cid] = newpos
+        borders[cluster_sizes[cid]] += 1
+        cluster_sizes[cid] -= 1
+
+    for cl_size in range(n - 1, -1, -1):
+        rep = sorted_cs[cl_size]
+        if rep == UINT_MAX:
+            continue
+        remove_clustersize(rep)
+        assigned[rep] = rep
+        for elm, usc in zip(lists[rep], scores[rep]):
+            sc = usc - 0x10000 if usc >= 0x8000 else usc  # ushort -> short
+            if sc > best[elm]:
+                assigned[elm] = rep
+                best[elm] = sc
+            if elm == rep:
+                continue
+            if cluster_sizes[elm] < 1:
+                continue
+            remove_clustersize(elm)
+        for elm in lists[rep]:
+            if elm == rep:
+                cluster_sizes[elm] = -1
+                continue
+            if cluster_sizes[elm] < 0:
+                continue
+            cluster_sizes[elm] = -1
+            for elm2 in lists[elm]:
+                if cluster_sizes[elm2] == 1:
+                    pass  # reference logs an error and leaves it
+                elif cluster_sizes[elm2] > 0:
+                    decrease_clustersize(elm2)
+
+    rep_keys = keys[order[np.asarray(assigned, dtype=np.int64)]]
+    member_keys = keys[order]
+    pairs = sorted(zip(rep_keys.tolist(), member_keys.tolist()))
+    out = {}
+    for rep, member in pairs:
+        out.setdefault(rep, []).append(member)
+    return out
+
+
+def alignment_adjacency(db, alignments):
+    """Build set_cover_cluster adjacency from alignment results
+    (similarity-type 2: ushort(atof(seqId text) * 1000.0f))."""
+    from ..ops.rescore import format_seq_id
+    out = {}
+    for i in range(db.size):
+        qkey = int(db.keys[i])
+        rows = alignments.get(qkey, ())
+        if len(rows) == 0:
+            out[qkey] = [(qkey, 1000)]
+            continue
+        entries = []
+        for r in rows:
+            sc = int(float(format_seq_id(r["seqId"])) * np.float32(1000.0))
+            entries.append((int(r["dbKey"]), sc))
+        out[qkey] = entries
+    return out
+
+
+def prefilter_adjacency(db, hits):
+    """set_cover_cluster adjacency from prefilter-format hits
+    (|score| column)."""
+    out = {}
+    for i in range(db.size):
+        qkey = int(db.keys[i])
+        rows = hits.get(qkey, ())
+        if len(rows) == 0:
+            out[qkey] = [(qkey, 0xFFFF)]
+            continue
+        out[qkey] = [(int(t), abs(int(s))) for (t, s, _d) in rows]
+    return out
+
+
 def clusters_to_db(clusters):
     """Serialize clustering as a DBTYPE_CLUSTER record DB
     (Clustering::writeData layout: rep key line first, members minus rep)."""

@@ -127,6 +127,45 @@ def _createhdb(positional, space):
     return 0
 
 
+def _linclust(positional, space):
+    """`linclust` (hidden): cluster a sequence DB (AA or nucl)."""
+    from ..assembler.cluster import merged_clusters_to_db
+    from ..workflow.linclust import LinclustParams, run_linclust
+    if len(positional) != 3:
+        raise ValueError("usage: linclust <i:seqDB> <o:cluDB> <tmpDir>")
+    db = seqdb.SeqDB.open(positional[0])
+    v = space.values
+    if "cov_thr" not in space.was_set:
+        v["cov_thr"] = 0.8  # linclust default (Parameters clusterworkflow)
+    if "kmers_per_sequence" not in space.was_set:
+        v["kmers_per_sequence"] = 21
+    if "kmers_per_sequence_scale" not in space.was_set:
+        v["kmers_per_sequence_scale"] = P.MultiParam(0.0, 0.2)
+    if "ignore_multi_kmer" not in space.was_set:
+        v["ignore_multi_kmer"] = False
+    if "max_seq_len" not in space.was_set:
+        v["max_seq_len"] = 65535
+    is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+    p = LinclustParams(
+        kmer_size=0 if "kmer_size" not in space.was_set else (
+            v["kmer_size"].nucleotides if is_nucl else v["kmer_size"].aminoacids),
+        kmers_per_sequence=v["kmers_per_sequence"],
+        kmers_per_sequence_scale=(v["kmers_per_sequence_scale"].nucleotides
+                                  if is_nucl
+                                  else v["kmers_per_sequence_scale"].aminoacids),
+        hash_shift=v["hash_shift"],
+        seq_id_thr=(v["min_seq_id"].nucleotides if is_nucl
+                    else v["min_seq_id"].aminoacids),
+        cov_thr=v["cov_thr"], cov_mode=v["cov_mode"],
+        eval_thr=0.001, gap_open=5 if is_nucl else 11,
+        gap_extend=2 if is_nucl else 1,
+        ignore_multi_kmer=bool(v["ignore_multi_kmer"]),
+        wrapped_scoring=bool(v.get("wrapped_scoring", False)),
+        max_seq_len=v["max_seq_len"])
+    merged_clusters_to_db(run_linclust(db, p)).save(positional[1])
+    return 0
+
+
 def commands():
     mk = _plass_defaults
     return [
@@ -143,6 +182,9 @@ def commands():
                 "<i:fastq> <i:fastq> <o:seqDB>", "Merge paired-end reads", hidden=True),
         Command("createhdb", _createhdb, mk(P.assemble_flags),
                 "<i:seqDB> [<i:cycleDB>] <o:hdb>", "Generate header DB", hidden=True),
+        Command("linclust", _linclust, mk(lambda: P.assemble_flags() + [
+            P.Flag("--min-contig-len", "min_contig_len", int, 1000, "unused")]),
+                "<i:seqDB> <o:cluDB> <tmpDir>", "Linear-time clustering", hidden=True),
     ] + BASE_COMMANDS
 
 

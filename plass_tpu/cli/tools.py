@@ -145,7 +145,7 @@ def _rescorediagonal(positional, space):
         # short prefilter-format output, dbtype follows input prefilter
         w = seqdb.DBWriter(pref.dbtype)
         for k in sorted(alns):
-            lines = "".join(f"{t}\t{s}\t{np.int16(d & 0xFFFF)}\n"
+            lines = "".join(f"{t}\t{s}\t{((d & 0xFFFF) ^ 0x8000) - 0x8000}\n"
                             for (t, s, d) in alns[k])
             w.write(k, lines.encode(), add_newline=False)
         w.finish().save(positional[3])

@@ -86,9 +86,14 @@ def _select_kmers_one(hashes16, kmer_vals, positions, kmer_considered,
         threshold += 1
     too_much = in_bins - kmer_considered
 
-    # sort by (hash, kmer[bit63 set for nucl], pos)
+    # the per-sequence (hash, kmer, pos) sort happens ONLY in ignore-multi
+    # mode (kmermatcher.cpp:266-272); otherwise the selection scan walks the
+    # k-mers in position order, which decides ties at the threshold hash
     masked = kmer_vals | BIT63 if is_nucl else kmer_vals
-    order = np.lexsort((positions, masked, hashes16))
+    if ignore_multi:
+        order = np.lexsort((positions, masked, hashes16))
+    else:
+        order = np.arange(n, dtype=np.int64)
     h_s = hashes16[order]
     m_s = masked[order]
 

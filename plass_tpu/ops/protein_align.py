@@ -1,0 +1,302 @@
+"""Gapped protein alignment (`align` for amino-acid DBs).
+
+Reference: lib/mmseqs/src/alignment/StripedSmithWaterman.cpp (ssw_init,
+ssw_align: forward byte/word kernel, reverse pass for start coords,
+scoreIdentical), SubstitutionMatrix::calcLocalAaBiasCorrection
+(SubstitutionMatrix.cpp:92-121), Matcher::getSWResult protein branch
+(Matcher.cpp:61-187: SCORE_COV mode, estimateSeqIdByScorePerCol) and
+Alignment.cpp orchestration. The striped DP kernels run in the native
+library (plass_tpu/native/ssw.cpp) because their lazy-F semantics are
+vector-layout-dependent; profiles are built here.
+"""
+import ctypes
+
+import numpy as np
+
+from .. import constants
+from ..data import seqdb
+from .evalue import EvalueComputer
+from .nucl_align import _can_be_covered, _has_cov
+from .rescore import format_seq_id
+
+BYTE_LANES = 16
+WORD_LANES = 8
+
+
+def calc_local_aa_bias(sub, pback, qnum):
+    """SubstitutionMatrix::calcLocalAaBiasCorrection: windowed average
+    subtraction + background expectation, float32 per reference."""
+    n = len(qnum)
+    out = np.zeros(n, dtype=np.float64)
+    sub_i = sub.astype(np.int64)
+    bg = pback[: sub.shape[0]].astype(np.float64)
+    # per-row double increment pBack[a]*float(sub[row][a]) precomputed;
+    # the reference accumulates `float += double` per alphabet letter
+    rows = sub.shape[0]
+    incr = [[float(bg[a]) * float(np.float32(sub_i[r][a]))
+             for a in range(rows)] for r in range(rows)]
+    for i in range(n):
+        min_pos = max(0, i - 20)
+        max_pos = min(n, i + 20)
+        wlen = max_pos - min_pos
+        r = int(qnum[i])
+        row = sub_i[r]
+        s = int(row[qnum[min_pos:max_pos]].sum()) - int(row[r])
+        acc = float(np.float32(float(np.float32(s)) / (-1.0 * wlen)))
+        for a in range(rows):
+            acc = float(np.float32(acc + incr[r][a]))
+        out[i] = acc
+    return out
+
+
+class ProteinAligner:
+    """SmithWaterman profile holder + ssw_align per target."""
+
+    def __init__(self, matrix=None, aa_bias_correction=True):
+        mat = matrix or constants.blosum62()
+        self.mat = mat
+        self.sub8 = mat.sub.astype(np.int8)
+        self.alpha = mat.alphabet_size
+        self.bias_corr = aa_bias_correction
+        self.nat = __import__("plass_tpu.native", fromlist=["lib"]).lib()
+
+    def init_query(self, qnum):
+        self.qnum = np.asarray(qnum, dtype=np.uint8)
+        L = len(qnum)
+        self.L = L
+        if self.bias_corr:
+            tmp = calc_local_aa_bias(self.sub8, self.mat.pback, self.qnum)
+            comp = np.where(tmp < 0.0, tmp - 0.5, tmp + 0.5).astype(np.int8)
+            comp_min = min(int(comp.min(initial=0)), 0)
+        else:
+            comp = np.zeros(L, dtype=np.int8)
+            comp_min = 0
+        self.comp = comp
+        self.bias = abs(int(self.sub8.min())) + abs(comp_min)
+        self.profile_byte = self._profile(self.qnum, comp, self.bias,
+                                          BYTE_LANES, np.uint8)
+        self.profile_word = self._profile(self.qnum, comp, 0, WORD_LANES,
+                                          np.int16)
+        # per-position linear profile for scoreIdentical
+        self.linear = (self.sub8.astype(np.int32)[:, self.qnum]
+                       + comp.astype(np.int32)[None, :])
+
+    def _profile(self, qnum, comp, bias, lanes, dtype):
+        L = len(qnum)
+        seg = (L + lanes - 1) // lanes
+        prof = np.full((self.alpha, seg * lanes), bias, dtype=np.int32)
+        # striped slot (j, l) <-> query position j + l*seg
+        pos = np.arange(seg * lanes)
+        j = pos // lanes
+        l = pos % lanes
+        p = j + l * seg
+        valid = p < L
+        pv = p[valid]
+        for nt in range(self.alpha):
+            prof[nt, valid] = (self.sub8[nt, qnum[pv]].astype(np.int32)
+                               + comp[pv].astype(np.int32) + bias)
+        return np.ascontiguousarray(prof.astype(dtype))
+
+    def _run_byte(self, dbnum, ref_dir, db_len, q_len, gapo, gape, profile,
+                  terminate, bias, mask_len):
+        out = np.zeros(6, dtype=np.int32)
+        maxcol = np.zeros(max(db_len, 1), dtype=np.uint8)
+        self.nat.ssw_byte(
+            dbnum.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ref_dir,
+            db_len, q_len, gapo, gape,
+            profile.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            terminate, bias, mask_len,
+            maxcol.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
+    def _run_word(self, dbnum, ref_dir, db_len, q_len, gapo, gape, profile,
+                  terminate, mask_len):
+        out = np.zeros(6, dtype=np.int32)
+        maxcol = np.zeros(max(db_len, 1), dtype=np.uint16)
+        self.nat.ssw_word(
+            dbnum.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ref_dir,
+            db_len, q_len, gapo, gape,
+            profile.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            terminate, mask_len,
+            maxcol.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
+    def _rev_profile(self, q_len_rev, bias, lanes, dtype):
+        """Reverse profile over q[qEnd - p] for p in [0, qEnd]
+        (createQueryProfile on query_rev_sequence with offset)."""
+        qr = self.qnum[q_len_rev - 1::-1]  # q[qEnd], ..., q[0]
+        cr = self.comp[q_len_rev - 1::-1]
+        seg = (q_len_rev + lanes - 1) // lanes
+        prof = np.full((self.alpha, seg * lanes), bias, dtype=np.int32)
+        pos = np.arange(seg * lanes)
+        p = pos // lanes + (pos % lanes) * seg
+        valid = p < q_len_rev
+        pv = p[valid]
+        for nt in range(self.alpha):
+            prof[nt, valid] = (self.sub8[nt, qr[pv]].astype(np.int32)
+                               + cr[pv].astype(np.int32) + bias)
+        return np.ascontiguousarray(prof.astype(dtype))
+
+    def ssw_align(self, dbnum, gap_open, gap_extend, alignment_mode,
+                  eval_thr, evaluer, cov_mode, cov_thr, mask_len):
+        dbnum = np.ascontiguousarray(dbnum, dtype=np.uint8)
+        db_len = len(dbnum)
+        L = self.L
+        r = {"score1": 0, "dbStart": -1, "dbEnd": -1, "qStart": -1,
+             "qEnd": -1, "qCov": 0.0, "tCov": 0.0, "evalue": 0.0}
+        b = self._run_byte(dbnum, 0, db_len, L, gap_open, gap_extend,
+                           self.profile_byte, 255, self.bias, mask_len)
+        word = 0
+        if b[5]:  # byte overflow -> word kernel
+            b = self._run_word(dbnum, 0, db_len, L, gap_open, gap_extend,
+                               self.profile_word, 65535, mask_len)
+            word = 1
+        r["score1"] = int(b[0])
+        r["dbEnd"] = int(b[1])
+        r["qEnd"] = int(b[2])
+        if r["dbEnd"] == -1:
+            return r
+        r["evalue"] = float(evaluer.evalue(r["score1"], L))
+        low_eval = r["evalue"] > eval_thr
+        r["qCov"] = _cov32(0, r["qEnd"], L)
+        r["tCov"] = _cov32(0, r["dbEnd"], db_len)
+        low_cov = not _has_cov(cov_thr, cov_mode, r["qCov"], r["tCov"])
+        if alignment_mode == 0 or (alignment_mode in (1, 2)
+                                   and (low_eval or low_cov)):
+            return r
+        # reverse pass for the start coordinates
+        q_len_rev = r["qEnd"] + 1
+        if word == 0:
+            prof = self._rev_profile(q_len_rev, self.bias, BYTE_LANES,
+                                     np.uint8)
+            rv = self._run_byte(dbnum, 1, r["dbEnd"] + 1, q_len_rev,
+                                gap_open, gap_extend, prof, r["score1"],
+                                self.bias, mask_len)
+        else:
+            prof = self._rev_profile(q_len_rev, 0, WORD_LANES, np.int16)
+            rv = self._run_word(dbnum, 1, r["dbEnd"] + 1, q_len_rev,
+                                gap_open, gap_extend, prof, r["score1"],
+                                mask_len)
+        r["dbStart"] = int(rv[1])
+        r["qStart"] = r["qEnd"] - int(rv[2])
+        r["qCov"] = _cov32(r["qStart"], r["qEnd"], L)
+        r["tCov"] = _cov32(r["dbStart"], r["dbEnd"], db_len)
+        return r
+
+    def score_identical(self, dbnum, evaluer):
+        """SmithWaterman::scoreIdentical with int16 accumulation."""
+        L = self.L
+        score = int(self.linear[dbnum[np.arange(L)], np.arange(L)].sum())
+        score = ((score + 0x8000) & 0xFFFF) - 0x8000  # short accumulator
+        return {"score1": int(score), "qStart": 0, "qEnd": L - 1,
+                "dbStart": 0, "dbEnd": L - 1, "qCov": 1.0, "tCov": 1.0,
+                "evalue": float(evaluer.evalue(int(score), L))}
+
+
+def _cov32(start, end, length):
+    return float(np.float32(min(length, max(start, end)) - min(start, end)
+                            + 1) / np.float32(length))
+
+
+def estimate_seq_id_by_score_per_col(score, qlen, tlen):
+    """Matcher::estimateSeqIdByScorePerCol (Matcher.cpp:205-209)."""
+    est = float(np.float32(np.float32(score) / np.float32(max(qlen, tlen))
+                           * np.float32(0.1656) + np.float32(0.1141)))
+    return max(0.0, min(est, 1.0))
+
+
+def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
+                  eval_thr=1e-3, aln_len_thr=0, gap_open=11, gap_extend=1,
+                  comp_bias_corr=True, max_accept=2**31 - 1,
+                  max_reject=2**31 - 1, evaluer=None):
+    """`align` for amino-acid DBs (SCORE_COV mode, as used by linclust).
+
+    hits: {query_key: [(target, score, diag), ...]}. Returns
+    {query_key: [result dict]} sorted by Matcher::compareHits.
+    """
+    mat = constants.blosum62()
+    if evaluer is None:
+        evaluer = EvalueComputer.for_matrix("blosum62_11_1",
+                                            db.total_residues())
+    aligner = ProteinAligner(mat, comp_bias_corr)
+    out = {}
+    for qkey in sorted(hits):
+        hlist = hits[qkey]
+        if not hlist:
+            out[qkey] = []
+            continue
+        qid = db.key_to_id(qkey)
+        qnum = mat.aa2num[np.asarray(db.get_seq(qid))]
+        aligner.init_query(qnum)
+        L = len(qnum)
+        mask_len = L // 2
+        results = []
+        passed = rejected = 0
+        for (tkey, _score, _diag) in hlist:
+            if passed >= max_accept or rejected >= max_reject:
+                break
+            tid = db.key_to_id(tkey)
+            tnum = mat.aa2num[np.asarray(db.get_seq(tid))]
+            tlen = len(tnum)
+            if not _can_be_covered(cov_thr, cov_mode, L, tlen):
+                rejected += 1
+                continue
+            is_identity = tid == qid
+            if is_identity:
+                a = aligner.score_identical(tnum, evaluer)
+            else:
+                a = aligner.ssw_align(tnum, gap_open, gap_extend, 1,
+                                      eval_thr, evaluer, cov_mode, cov_thr,
+                                      mask_len)
+            qs, qe = a["qStart"], a["qEnd"]
+            ts, te = a["dbStart"], a["dbEnd"]
+            # Matcher::getSWResult SCORE_COV branch: unsigned coordinate
+            # arithmetic (negative starts wrap, filtered by criteria anyway)
+            qs_u = qs & 0xFFFFFFFF
+            ts_u = ts & 0xFFFFFFFF
+            aln_len = (max(qe - qs_u, te - ts_u) + 1) & 0xFFFFFFFF
+            q_aln_len = max(qe - qs_u, 1) & 0xFFFFFFFF
+            db_aln_len = max(te - ts_u, 1) & 0xFFFFFFFF
+            seq_id = estimate_seq_id_by_score_per_col(a["score1"], q_aln_len,
+                                                      db_aln_len)
+            qcov, tcov = a["qCov"], a["tCov"]
+            if is_identity:
+                qcov = tcov = seq_id = 1.0
+            bit = int(evaluer.bit_score(a["score1"]) + 0.5)
+            ok = is_identity or (
+                (a["evalue"] <= eval_thr) and (seq_id >= seq_id_thr)
+                and _has_cov(cov_thr, cov_mode, qcov, tcov)
+                and aln_len >= aln_len_thr)
+            if ok:
+                results.append({
+                    "dbKey": int(tkey), "score": bit, "qcov": qcov,
+                    "tcov": tcov, "seqId": seq_id, "eval": a["evalue"],
+                    "alnLength": int(aln_len), "qStartPos": qs,
+                    "qEndPos": qe, "qLen": L, "dbStartPos": ts,
+                    "dbEndPos": te, "dbLen": tlen,
+                })
+                passed += 1
+                rejected = 0
+            else:
+                rejected += 1
+        results.sort(key=lambda r: (r["eval"], -r["score"], r["dbLen"],
+                                    r["dbKey"]))
+        out[qkey] = results
+    return out
+
+
+def protein_align_results_to_db(results):
+    """Serialize (Matcher::resultToBuffer, no backtrace)."""
+    w = seqdb.DBWriter(seqdb.ALIGNMENT_RES)
+    for key in sorted(results):
+        lines = []
+        for r in results[key]:
+            lines.append(
+                f"{r['dbKey']}\t{r['score']}\t{format_seq_id(r['seqId'])}\t"
+                f"{r['eval']:.3E}\t{r['qStartPos']}\t{r['qEndPos']}\t"
+                f"{r['qLen']}\t{r['dbStartPos']}\t{r['dbEndPos']}\t"
+                f"{r['dbLen']}\n")
+        w.write(key, "".join(lines).encode(), add_newline=False)
+    return w.finish()

@@ -111,14 +111,41 @@ class RescoreParams:
     filter_hits: bool = False
     global_seq_id: bool = False
     wrapped_scoring: bool = False
+    score_per_col_thr: float = 0.0  # from parse_precision_lib when filter_hits
+
+
+def parse_precision_lib(cov_mode, seq_id_thr, cov_thr, precision=0.99):
+    """rescorediagonal.cpp:95-105 + parsePrecisionLib: first calibration row
+    at the snapped (cov, seqId) grid point with precision >= target."""
+    import os
+    name = ("CovSeqidQscPercMinDiag.lib" if cov_mode == COV_MODE_BIDIRECTIONAL
+            else "CovSeqidQscPercMinDiagTargetCov.lib")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "constants", "data", name)
+    int_seq_id = int((seq_id_thr + 0.0001) * 100)
+    target_seq_id = np.float32((int_seq_id - int_seq_id % 5) / 100.0)
+    target_cov = np.float32(int((cov_thr + 0.0001) * 10) / 10.0)
+    eps = np.float32(np.finfo(np.float32).eps)
+    with open(path) as f:
+        for line in f:
+            vals = line.split(" ")
+            cov = np.float32(float(vals[0]))
+            seqid = np.float32(float(vals[1]))
+            spc = float(vals[2])
+            prec = float(vals[3])
+            if (abs(cov - target_cov) < eps and abs(seqid - target_seq_id) < eps
+                    and prec >= precision):
+                return spc
+    return 0.0
 
 
 def _compute_seq_id(mode, ids, qlen, tlen, alnlen):
+    """Util::computeSeqId (Util.cpp:588-598) — float32 division."""
     if mode == 1:
-        return ids / min(qlen, tlen)
+        return float(np.float32(ids) / np.float32(min(qlen, tlen)))
     if mode == 2:
-        return ids / max(qlen, tlen)
-    return ids / alnlen
+        return float(np.float32(ids) / np.float32(max(qlen, tlen)))
+    return float(np.float32(ids) / np.float32(alnlen))
 
 
 def _cov(start, end, length):
@@ -269,6 +296,27 @@ def rescore_diagonal(db, hits, params=None, evaluer=None):
                     results.append((tkey, -pscore if is_reverse else pscore,
                                     diag))
                 continue
+            if params.rescore_mode == RESCORE_SUBSTITUTION:
+                # short prefilter output with bit score; survives via the
+                # precision-lib score-per-column filter (rescorediagonal.cpp
+                # :243-332: seqId stays 0 and alnLen 0 in this mode)
+                evalue = float(evaluer.evalue(score, orig_qlen))
+                bit_score = int(evaluer.bit_score(score) + 0.5)
+                spc = float(np.float32(score) / np.float32(diag_len)) \
+                    if diag_len else float("nan")
+                has_to_filter = (params.filter_hits
+                                 and spc >= params.score_per_col_thr)
+                has_cov = _has_cov(params.cov_thr, params.cov_mode,
+                                   np.float32(qcov), np.float32(tcov))
+                has_seq_id = 0.0 >= (params.seq_id_thr
+                                     - np.finfo(np.float32).eps)
+                has_eval = evalue <= params.eval_thr
+                if is_identity or has_to_filter or (
+                        0 >= params.aln_len_thr and has_cov and has_seq_id
+                        and has_eval):
+                    results.append((tkey, -bit_score if is_reverse
+                                    else bit_score, diag))
+                continue
             if diag_len == 0:
                 continue
             evalue = float(evaluer.evalue(score, orig_qlen))
@@ -299,7 +347,7 @@ def rescore_diagonal(db, hits, params=None, evaluer=None):
             if is_identity or (has_aln_len and has_cov and has_seq_id and has_eval):
                 results.append((tkey, bit_score, qcov, tcov, seq_id, evalue,
                                 aln_len, qs, qe, orig_qlen, ts, te, tlen))
-        if params.rescore_mode == RESCORE_HAMMING:
+        if params.rescore_mode in (RESCORE_HAMMING, RESCORE_SUBSTITUTION):
             out[qkey] = results
         else:
             out[qkey] = np.array(results, dtype=RESULT_DTYPE)

@@ -59,6 +59,25 @@ def test_guided_end_to_end_byte_identical(example_reads, tmp_path):
     assert open(out, "rb").read() == open(f"{GOLDEN}/assembly.fasta", "rb").read()
 
 
+AA_GOLDEN = "/tmp/goldenlinclustaa"
+
+
+@pytest.mark.skipif(not os.path.exists(f"{AA_GOLDEN}/clu.dbtype"),
+                    reason="protein linclust golden not generated")
+def test_protein_linclust_byte_identical():
+    """Full AA linclust: auto-k kmermatcher, HAMMING, SET_COVER,
+    SUBSTITUTION+precision filter, striped Smith-Waterman align."""
+    from plass_tpu.assembler.cluster import merged_clusters_to_db
+    from plass_tpu.workflow.linclust import LinclustParams, run_linclust
+    db = seqdb.SeqDB.open(f"{AA_GOLDEN}/aa_6f_start_long")
+    p = LinclustParams(kmer_size=0, kmers_per_sequence=21,
+                       kmers_per_sequence_scale=0.0, seq_id_thr=0.9,
+                       cov_thr=0.8, cov_mode=0, wrapped_scoring=False,
+                       max_seq_len=65535, ignore_multi_kmer=False,
+                       gap_open=11, gap_extend=1)
+    _cmp(merged_clusters_to_db(run_linclust(db, p)), f"{AA_GOLDEN}/clu")
+
+
 def test_greedy_incremental_cluster_semantics():
     """Length-desc ordering, min-id assignment and the rep fix-up pass
     (ClusteringAlgorithms.cpp:271-333)."""
