@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
-SCALE = int(os.environ.get("BENCH_SCALE", "10"))
+SCALE = int(os.environ.get("BENCH_SCALE", "4"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 CACHE = os.environ.get("BENCH_CACHE", "/tmp/plass_tpu_bench")
 REF_BIN = "/tmp/refbuild/src/plass"

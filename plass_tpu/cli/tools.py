@@ -307,6 +307,95 @@ def _rmdb(positional, space):
     return 0
 
 
+def _mvdb(positional, space):
+    from ..data.dbtools import mvdb
+    mvdb(positional[0], positional[1])
+    return 0
+
+
+def _cpdb(positional, space):
+    from ..data.dbtools import cpdb
+    cpdb(positional[0], positional[1])
+    return 0
+
+
+def _lndb(positional, space):
+    from ..data.dbtools import lndb
+    lndb(positional[0], positional[1])
+    return 0
+
+
+def _sortresult(positional, space):
+    from ..data.dbtools import sort_result_db
+    sort_result_db(seqdb.SeqDB.open(positional[0])).save(positional[1])
+    return 0
+
+
+def _swapresults(positional, space):
+    from ..data.dbtools import swap_results
+    if len(positional) != 4:
+        raise ValueError("usage: swapresults <i:qDB> <i:tDB> <i:resDB> <o:resDB>")
+    q = seqdb.SeqDB.open(positional[0])
+    t = seqdb.SeqDB.open(positional[1])
+    r = seqdb.SeqDB.open(positional[2])
+    # the base-tool default is 0.001, not the assembler's 1e-5
+    thr = space.values["eval_thr"] if "eval_thr" in space.was_set else 0.001
+    swap_results(q, t, r, eval_thr=thr).save(positional[3])
+    return 0
+
+
+def _mergedbs(positional, space):
+    from ..data.dbtools import merge_dbs
+    if len(positional) < 3:
+        raise ValueError("usage: mergedbs <i:qDB> <o:db> <i:db1> ...")
+    dbs = [seqdb.SeqDB.open(p) for p in positional[2:]]
+    merge_dbs(dbs).save(positional[1])
+    return 0
+
+
+def _splitdb(positional, space):
+    from ..data.dbtools import split_db
+    if len(positional) != 2:
+        raise ValueError("usage: splitdb <i:db> <o:dbPrefix> --split N")
+    n = int(space.values.get("split", 2))
+    shards = split_db(seqdb.SeqDB.open(positional[0]), n)
+    for i, s in enumerate(shards):
+        s.save(f"{positional[1]}_{i}_{n}")
+    return 0
+
+
+def _createtsv(positional, space):
+    from ..data.dbtools import create_tsv
+    if len(positional) < 2:
+        raise ValueError("usage: createtsv <i:db> [<i:hdb>] <o:tsv>")
+    db = seqdb.SeqDB.open(positional[0])
+    hdb = None
+    if len(positional) == 3:
+        hdb = seqdb.SeqDB.open(positional[1])
+    with open(positional[-1], "w") as f:
+        f.write(create_tsv(db, hdb))
+    return 0
+
+
+def _tsv2db(positional, space):
+    from ..data.dbtools import tsv_to_db
+    tsv_to_db(open(positional[0]).read(),
+              int(space.values.get("output_dbtype", seqdb.GENERIC_DB))).save(positional[1])
+    return 0
+
+
+def _prefixid(positional, space):
+    from ..data.dbtools import prefix_id
+    prefix_id(seqdb.SeqDB.open(positional[0])).save(positional[1])
+    return 0
+
+
+def _reverseseq(positional, space):
+    from ..data.dbtools import reverse_seq_db
+    reverse_seq_db(seqdb.SeqDB.open(positional[0])).save(positional[1])
+    return 0
+
+
 BASE_COMMANDS = [
     Command("createdb", _createdb, lambda: P.ParamSpace(P.common_flags() + P.orf_flags()),
             "<i:fastaFile1[.gz]> ... <o:seqDB>", "Convert FASTA/Q to sequence DB", hidden=True),
@@ -340,4 +429,28 @@ BASE_COMMANDS = [
     Command("proteinaln2nucl", _proteinaln2nucl, lambda: P.ParamSpace(P.common_flags() + P.align_flags()),
             "<i:qNuclDB> <i:tNuclDB> <i:qAaDB> <i:tAaDB> <i:alnDB> <o:alnDB>",
             "Map protein alignments to nucleotide space", hidden=True),
+    Command("mvdb", _mvdb, lambda: P.ParamSpace(P.common_flags()),
+            "<i:db> <o:db>", "Move a DB file family", hidden=True),
+    Command("cpdb", _cpdb, lambda: P.ParamSpace(P.common_flags()),
+            "<i:db> <o:db>", "Copy a DB file family", hidden=True),
+    Command("lndb", _lndb, lambda: P.ParamSpace(P.common_flags()),
+            "<i:db> <o:db>", "Symlink a DB file family", hidden=True),
+    Command("sortresult", _sortresult, lambda: P.ParamSpace(P.common_flags()),
+            "<i:resDB> <o:resDB>", "Sort result records by E-value/score", hidden=True),
+    Command("swapresults", _swapresults, lambda: P.ParamSpace(P.common_flags() + P.align_flags()),
+            "<i:qDB> <i:tDB> <i:resDB> <o:resDB>", "Transpose query/target results", hidden=True),
+    Command("mergedbs", _mergedbs, lambda: P.ParamSpace(P.common_flags()),
+            "<i:qDB> <o:db> <i:db1> ...", "Concatenate records per key", hidden=True),
+    Command("splitdb", _splitdb, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--split", "split", int, 2, "Number of shards")]),
+            "<i:db> <o:dbPrefix>", "Split DB into shards", hidden=True),
+    Command("createtsv", _createtsv, lambda: P.ParamSpace(P.common_flags()),
+            "<i:db> [<i:hdb>] <o:tsv>", "Convert DB to TSV", hidden=True),
+    Command("tsv2db", _tsv2db, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--output-dbtype", "output_dbtype", int, 12, "Output DB type")]),
+            "<i:tsv> <o:db>", "Convert TSV to DB", hidden=True),
+    Command("prefixid", _prefixid, lambda: P.ParamSpace(P.common_flags()),
+            "<i:db> <o:db>", "Prefix each line with the record key", hidden=True),
+    Command("reverseseq", _reverseseq, lambda: P.ParamSpace(P.common_flags()),
+            "<i:seqDB> <o:seqDB>", "Reverse sequences", hidden=True),
 ]
