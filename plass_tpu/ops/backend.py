@@ -83,6 +83,73 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     return hits
 
 
+def kmermatcher_sharded(db, k, kmers_per_sequence=21,
+                        kmers_per_sequence_scale=None, hash_shift=67,
+                        ignore_multi_kmer=False,
+                        include_only_extendable=False, cov_thr=0.0,
+                        n_devices=None):
+    """Multi-chip kmermatcher over a jax.sharding.Mesh of all local devices
+    (parallel/mesh.py): data-parallel selection, hash-range all_to_all,
+    per-shard pair emission, representative-routed exchange, local hit
+    emission. Returns the host hits-dict format.
+
+    Documented deviation: sharded runs use clean per-(rep,target) runs
+    (absorb=False) because the single-device absorption quirk
+    (kmermatcher.cpp:880-898) cannot cross shard boundaries — matching the
+    reference's own MPI hash-range splits, whose run scans also restart at
+    split boundaries.
+    """
+    import jax
+    from ..parallel.mesh import make_mesh, sharded_iteration_fn
+
+    is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+    if kmers_per_sequence_scale is None:
+        kmers_per_sequence_scale = 0.2 if is_nucl else 0.0
+    n_devices = n_devices or len(jax.devices())
+    codes, lengths, row_keys = db_to_padded(db, "kmer")
+    score_codes, _, _ = db_to_padded(db, "score")
+    chars, _, _ = db_to_padded(db, "char")
+    n_pad, lmax = codes.shape
+    params = KmerParams(
+        k=k,
+        alphabet_size=(constants.nucleotide() if is_nucl
+                       else constants.reduced(13)).alphabet_size,
+        kmers_per_sequence=kmers_per_sequence,
+        kmers_per_sequence_scale=kmers_per_sequence_scale,
+        is_nucl=is_nucl,
+        ignore_multi_kmer=ignore_multi_kmer,
+        include_only_extendable=include_only_extendable,
+        cov_thr=cov_thr,
+        ksel=ksel_capacity(kmers_per_sequence, kmers_per_sequence_scale, lmax),
+    )
+    sub_flat, comp, code2char, alpha = _score_tables(db)
+    mesh = make_mesh(n_devices)
+    per_shard = n_pad // n_devices
+    bucket_capacity = per_shard * (params.ksel + 1)
+    hit_capacity = per_shard * (params.ksel + 1)
+    fn = sharded_iteration_fn(mesh, params, bucket_capacity, hit_capacity,
+                              alpha)
+    rowids = np.arange(n_pad, dtype=np.uint32)
+    cr, ct, cs, cd, cv, _score, _idents = fn(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(rowids),
+        jnp.asarray(score_codes), jnp.asarray(chars), jnp.asarray(lengths),
+        jnp.asarray(sub_flat), jnp.asarray(comp), jnp.asarray(code2char),
+        jnp.asarray(np.int32(hash_shift)))
+    cr = np.asarray(cr)
+    ct = np.asarray(ct)
+    cs = np.asarray(cs)
+    cd = np.asarray(cd)
+    cv = np.asarray(cv)
+    hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
+    keymap = row_keys
+    for r, t, s, d in zip(cr[cv].tolist(), ct[cv].tolist(),
+                          cs[cv].tolist(), cd[cv].tolist()):
+        rk = int(keymap[r])
+        tk = int(keymap[t])
+        hits[rk].append((tk, s, d))
+    return hits
+
+
 # ---------------------------------------------------------------------------
 # Device rescoring glue
 # ---------------------------------------------------------------------------

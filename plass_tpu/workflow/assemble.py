@@ -152,6 +152,11 @@ def run_assemble(input_files, out_fasta, tmp_base, params=None):
             from ..ops.backend import kmermatcher_jax, rescore_diagonal_jax
             hits = kmermatcher_jax(db, p.kmer_size, **kw)
             alns = rescore_diagonal_jax(db, hits, rp, ev)
+        elif p.backend == "sharded":
+            # multi-chip mesh path (absorb=False; see kmermatcher_sharded)
+            from ..ops.backend import kmermatcher_sharded, rescore_diagonal_jax
+            hits = kmermatcher_sharded(db, p.kmer_size, **kw)
+            alns = rescore_diagonal_jax(db, hits, rp, ev)
         else:
             hits = kmermatcher(db, p.kmer_size, cov_mode=p.cov_mode, **kw)
             alns = rescore_diagonal(db, hits, rp, ev)

@@ -118,9 +118,12 @@ def run_nuclassemble(input_files, out_file, tmp_base, params=None,
             logger.info("skipping iteration %d", it)
             continue
 
-        if p.backend == "jax":
-            from ..ops.backend import kmermatcher_jax, rescore_diagonal_jax
-            hits = kmermatcher_jax(
+        if p.backend in ("jax", "sharded"):
+            from ..ops.backend import (kmermatcher_jax, kmermatcher_sharded,
+                                       rescore_diagonal_jax)
+            matcher = (kmermatcher_sharded if p.backend == "sharded"
+                       else kmermatcher_jax)
+            hits = matcher(
                 current, p.kmer_size, kmers_per_sequence=p.kmers_per_sequence,
                 kmers_per_sequence_scale=p.kmers_per_sequence_scale,
                 hash_shift=p.hash_shift, ignore_multi_kmer=p.ignore_multi_kmer,
@@ -138,7 +141,7 @@ def run_nuclassemble(input_files, out_file, tmp_base, params=None,
         rp = RescoreParams(rescore_mode=p.rescore_mode, seq_id_thr=p.min_seq_id,
                            cov_thr=p.cov_thr, cov_mode=p.cov_mode,
                            eval_thr=p.eval_thr, aln_len_thr=p.min_aln_len)
-        if p.backend == "jax":
+        if p.backend in ("jax", "sharded"):
             alns = rescore_diagonal_jax(current, hits, rp, ev)
         else:
             alns = rescore_diagonal(current, hits, rp, ev)

@@ -60,6 +60,33 @@ def test_sharded_matches_single_device(batch, n_devices):
     assert _hit_set(*out[:5]) == single
 
 
+def test_sharded_backend_kmermatcher(merged_reads):
+    """kmermatcher_sharded over the virtual mesh returns the same hit sets
+    regardless of device count (absorb=False mode)."""
+    import jax
+    from plass_tpu.data import seqdb
+    from plass_tpu.ops import orf as orf_mod
+    from plass_tpu.ops import translate as tr
+    from plass_tpu.ops.backend import kmermatcher_sharded
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    reads, _ = merged_reads
+    sub = seqdb.subdb(reads, range(200))
+    odb, ohdb = orf_mod.extract_orfs(sub, min_length=45, max_length=32734,
+                                     max_gaps=0, start_mode=0)
+    aa = tr.translate_nucs(odb, ohdb, 1, add_orf_stop=True)
+    h1 = kmermatcher_sharded(aa, 14, kmers_per_sequence=60, hash_shift=67,
+                             ignore_multi_kmer=True,
+                             include_only_extendable=False, n_devices=1)
+    h8 = kmermatcher_sharded(aa, 14, kmers_per_sequence=60, hash_shift=67,
+                             ignore_multi_kmer=True,
+                             include_only_extendable=False,
+                             n_devices=len(jax.devices()))
+    assert {k: sorted(v) for k, v in h1.items()} == \
+           {k: sorted(v) for k, v in h8.items()}
+
+
 def test_device_backend_matches_host_kmermatch(merged_reads):
     """Device pipeline == host pipeline on a real (subset) workload."""
     from plass_tpu.data import seqdb
