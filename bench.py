@@ -76,8 +76,10 @@ def run_device_iteration(db):
 
     def one(shift):
         hits = kmermatcher_jax(db, 14, kmers_per_sequence=60, hash_shift=shift,
-                               ignore_multi_kmer=True, include_only_extendable=True)
-        alns = rescore_diagonal_jax(db, hits, rp, ev)
+                               ignore_multi_kmer=True,
+                               include_only_extendable=True,
+                               return_arrays=True)
+        alns = rescore_diagonal_jax(db, hits, rp, ev, return_flat=True)
         asm, _ = assemble(db, alns, seq_id_thr=0.9, keep_target=True, evaluer=ev)
         return asm
 

@@ -80,14 +80,27 @@ def _rev_fragment(frag, nucl_mat):
 
 def assemble(db, alignments, seq_id_thr=0.9, max_seq_len=65535,
              keep_target=True, rescore_mode=RESCORE_END_TO_END,
-             evaluer=None):
+             evaluer=None, use_native=True):
     """assembleresults: db + per-query alignment records -> extended DB.
 
     alignments: {query_key: np.ndarray[RESULT_DTYPE]} from ops.rescore.
     Returns a SeqDB with contigs (extended queries) and pass-through
-    sequences.
+    sequences. The protein path runs in the native kernel
+    (native/extend.cpp, same semantics) unless use_native=False.
     """
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+    is_flat = isinstance(alignments, dict) and "qk" in alignments \
+        and "rec" in alignments
+    if use_native and not is_nucl and rescore_mode == RESCORE_END_TO_END:
+        try:
+            return _assemble_native(db, alignments, seq_id_thr, max_seq_len,
+                                    keep_target, evaluer)
+        except Exception as e:  # pragma: no cover - fallback safety
+            import warnings
+            warnings.warn(f"native assemble failed ({e}); python fallback")
+    if is_flat:
+        # expand the flat format for the python paths
+        alignments = _flat_to_dict(db, alignments)
     mat = constants.nucleotide() if is_nucl else constants.blosum62()
     ascii_mat = mat.ascii_mat
     if evaluer is None:
@@ -239,3 +252,137 @@ def assemble(db, alignments, seq_id_thr=0.9, max_seq_len=65535,
             writer.write(int(db.keys[i]), db.get_seq_bytes(i))
 
     return writer.finish(sort_by_key=True), was_extended
+
+
+def _flat_to_dict(db, flat):
+    """Expand the {'qk', 'rec'} flat format to the per-key dict format."""
+    from ..ops.rescore import RESULT_DTYPE
+    qk = np.asarray(flat["qk"])
+    rec = flat["rec"]
+    out = {}
+    boundaries = np.nonzero(np.diff(qk))[0] + 1
+    starts = np.concatenate([[0], boundaries]) if len(qk) else []
+    ends = np.concatenate([boundaries, [len(qk)]]) if len(qk) else []
+    for s0, e0 in zip(starts, ends):
+        out[int(qk[s0])] = rec[s0:e0]
+    for k in db.keys:
+        out.setdefault(int(k), np.zeros(0, dtype=RESULT_DTYPE))
+    return out
+
+
+def _assemble_native(db, alignments, seq_id_thr, max_seq_len, keep_target,
+                     evaluer):
+    """Flatten inputs, run native/extend.cpp, rebuild the writer output in
+    the oracle's exact order (contigs in id order, then pass-through)."""
+    import ctypes
+    from .. import native
+
+    mat = constants.blosum62()
+    if evaluer is None:
+        evaluer = EvalueComputer.for_matrix("blosum62_ungapped",
+                                            db.total_residues())
+    n = db.size
+    lut = db.id_lookup_array()
+    # flat sequence arrays in id order
+    seq_lens = db.seq_lens().astype(np.int32)
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(seq_lens, out=seq_off[1:])
+    total = int(seq_off[-1])
+    ll = seq_lens.astype(np.int64)
+    cols = np.arange(total) - np.repeat(seq_off[:-1], ll)
+    src = np.repeat(db.offsets, ll) + cols
+    seq_data = np.ascontiguousarray(db.data[src])
+
+    # flatten alignment records per query in id order with the initial
+    # rescale (bit -> raw -> score-per-column x100; seqId x aln/(aln+.5))
+    keys = db.keys.astype(np.uint32)
+    if isinstance(alignments, dict) and "qk" in alignments \
+            and "rec" in alignments:
+        # flat format from rescore_diagonal_jax(return_flat=True):
+        # records grouped by ascending query key
+        qk_flat = np.asarray(alignments["qk"], dtype=np.int64)
+        recs = alignments["rec"]
+        m = len(qk_flat)
+        counts = np.zeros(n, dtype=np.int64)
+        np.add.at(counts, np.searchsorted(keys.astype(np.int64), qk_flat), 1)
+        aln_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=aln_off[1:])
+    else:
+        groups = [alignments.get(int(k)) for k in keys]
+        counts = np.array([0 if g is None else len(g) for g in groups],
+                          dtype=np.int64)
+        aln_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=aln_off[1:])
+        m = int(aln_off[-1])
+        recs = (np.concatenate([g for g in groups if g is not None and len(g)])
+                if m else np.zeros(0, dtype=None))
+    if m:
+        raw = np.floor(evaluer.raw_score_from_bit(
+            recs["score"].astype(np.float64)) + 0.5)
+        aln_len = recs["alnLength"].astype(np.int64)
+        score = ((raw / (aln_len + 0.5)) * 100).astype(np.int32)
+        seq_id = (recs["seqId"].astype(np.float64) * aln_len) / (aln_len + 0.5)
+        dbid = lut[recs["dbKey"].astype(np.int64)].astype(np.int32)
+        a = dict(
+            dbkey=np.ascontiguousarray(recs["dbKey"].astype(np.uint32)),
+            dbid=np.ascontiguousarray(dbid),
+            score=np.ascontiguousarray(score),
+            seqid=np.ascontiguousarray(seq_id),
+            alnlen=np.ascontiguousarray(recs["alnLength"].astype(np.int32)),
+            qs=np.ascontiguousarray(recs["qStartPos"].astype(np.int32)),
+            qe=np.ascontiguousarray(recs["qEndPos"].astype(np.int32)),
+            qlen=np.ascontiguousarray(recs["qLen"].astype(np.int32)),
+            ts=np.ascontiguousarray(recs["dbStartPos"].astype(np.int32)),
+            te=np.ascontiguousarray(recs["dbEndPos"].astype(np.int32)),
+            tlen=np.ascontiguousarray(recs["dbLen"].astype(np.int32)))
+    else:
+        z32 = np.zeros(0, dtype=np.int32)
+        a = dict(dbkey=np.zeros(0, dtype=np.uint32), dbid=z32, score=z32,
+                 seqid=np.zeros(0, dtype=np.float64), alnlen=z32, qs=z32,
+                 qe=z32, qlen=z32, ts=z32, te=z32, tlen=z32)
+
+    ascii_mat = np.ascontiguousarray(mat.ascii_mat.astype(np.int16))
+    flags = np.zeros(n, dtype=np.uint8)
+    out_off = np.zeros(n, dtype=np.int64)
+    out_len = np.zeros(n, dtype=np.int64)
+    out_is_contig = np.zeros(n, dtype=np.uint8)
+    cap = int(seq_off[-1]) + int(a["tlen"].sum()) + 1024
+    lib = native.lib()
+
+    def ptr(arr, ct):
+        return arr.ctypes.data_as(ctypes.POINTER(ct))
+
+    while True:
+        out_buf = np.empty(cap, dtype=np.uint8)
+        rc = lib.assemble_greedy(
+            ptr(seq_data, ctypes.c_uint8), ptr(seq_off, ctypes.c_int64),
+            ptr(seq_lens, ctypes.c_int32), ptr(keys, ctypes.c_uint32),
+            np.int32(n), ptr(aln_off, ctypes.c_int64),
+            ptr(a["dbkey"], ctypes.c_uint32), ptr(a["dbid"], ctypes.c_int32),
+            ptr(a["score"], ctypes.c_int32), ptr(a["seqid"], ctypes.c_double),
+            ptr(a["alnlen"], ctypes.c_int32), ptr(a["qs"], ctypes.c_int32),
+            ptr(a["qe"], ctypes.c_int32), ptr(a["qlen"], ctypes.c_int32),
+            ptr(a["ts"], ctypes.c_int32), ptr(a["te"], ctypes.c_int32),
+            ptr(a["tlen"], ctypes.c_int32), ptr(ascii_mat, ctypes.c_int16),
+            float(seq_id_thr), int(max_seq_len),
+            ptr(flags, ctypes.c_uint8), ptr(out_buf, ctypes.c_uint8),
+            np.int64(cap), ptr(out_off, ctypes.c_int64),
+            ptr(out_len, ctypes.c_int64), ptr(out_is_contig, ctypes.c_uint8))
+        if rc == 0:
+            break
+        cap *= 2
+        flags[:] = 0
+
+    writer = seqdb.DBWriter(db.dbtype)
+    contig_rows = np.nonzero(out_is_contig)[0]
+    for i in contig_rows:
+        writer.write(int(keys[i]),
+                     out_buf[int(out_off[i]): int(out_off[i]) + int(out_len[i])]
+                     .tobytes())
+    not_contig = (flags & IS_CONTIG) == 0
+    not_consumed = (flags & WAS_CONSUMED) == 0
+    keep = not_contig & (not_consumed | keep_target)
+    for i in np.nonzero(keep)[0]:
+        writer.write(int(keys[i]),
+                     seq_data[int(seq_off[i]): int(seq_off[i + 1])].tobytes())
+    return writer.finish(sort_by_key=True), flags

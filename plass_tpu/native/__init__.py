@@ -11,9 +11,13 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
+_SOURCES = ["ssw.cpp", "extend.cpp"]
+
+
 def _build(so_path):
-    src = os.path.join(_DIR, "ssw.cpp")
-    cmd = ["g++", "-O3", "-std=c++14", "-shared", "-fPIC", src, "-o", so_path]
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
+    cmd = ["g++", "-O3", "-std=c++14", "-shared", "-fPIC", *srcs,
+           "-o", so_path]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -24,9 +28,10 @@ def lib():
         if _LIB is not None:
             return _LIB
         so_path = os.path.join(_DIR, "_native.so")
-        src = os.path.join(_DIR, "ssw.cpp")
+        srcs = [os.path.join(_DIR, s) for s in _SOURCES]
         if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(src)):
+                or any(os.path.getmtime(so_path) < os.path.getmtime(s)
+                       for s in srcs)):
             _build(so_path)
         _LIB = ctypes.CDLL(so_path)
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -40,4 +45,14 @@ def lib():
                                   ctypes.c_int32, ctypes.c_uint16,
                                   ctypes.c_uint16, u16p, ctypes.c_uint16,
                                   ctypes.c_int32, u16p, i32p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        _LIB.assemble_greedy.argtypes = [
+            u8p, i64p, i32p, u32p, ctypes.c_int32,
+            i64p, u32p, i32p, i32p, f64p, i32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i16p, ctypes.c_double, ctypes.c_int64,
+            u8p, u8p, ctypes.c_int64, i64p, i64p, u8p]
+        _LIB.assemble_greedy.restype = ctypes.c_int
         return _LIB

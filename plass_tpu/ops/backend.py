@@ -22,35 +22,46 @@ def db_to_padded(db, alphabet="kmer", bucket_rows=2048, bucket_cols=128):
     across iterations even as contigs grow; padding rows have length 0 and
     keys past the real range.
     """
+    cache = getattr(db, "_padded_cache", None)
+    if cache is None:
+        cache = db._padded_cache = {}
+    ck = (alphabet, bucket_rows, bucket_cols)
+    if ck in cache:
+        return cache[ck]
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
     if alphabet == "kmer":
         mat = constants.nucleotide() if is_nucl else constants.reduced(13)
     else:
         mat = constants.nucleotide() if is_nucl else constants.blosum62()
-    raw_lengths = db.seq_lens().astype(np.int32)
+    raw_lengths = db.seq_lens().astype(np.int64)
     n = db.size
     n_pad = _bucket(n, bucket_rows)
     lmax = _bucket(int(raw_lengths.max()) if n else 1, bucket_cols)
     fill = mat.alphabet_size - 1 if alphabet != "char" else 0
     out = np.full((n_pad, lmax), fill, dtype=np.uint8)
-    for i in range(n):
-        s = np.asarray(db.get_seq(i))
-        if alphabet == "char":
-            out[i, : len(s)] = s  # raw chars; case-folding happens in-kernel
-        else:
-            out[i, : len(s)] = mat.aa2num[s]
+    if n:
+        # vectorized gather: per-record source ranges into the flat data
+        total = int(raw_lengths.sum())
+        rows = np.repeat(np.arange(n), raw_lengths)
+        cum = np.concatenate([[0], np.cumsum(raw_lengths)[:-1]])
+        cols = np.arange(total) - np.repeat(cum, raw_lengths)
+        src = np.repeat(db.offsets, raw_lengths) + cols
+        flat = db.data[src]
+        out[rows, cols] = flat if alphabet == "char" else mat.aa2num[flat]
     lengths = np.zeros(n_pad, dtype=np.int32)
     lengths[:n] = raw_lengths
     keys = np.arange(n_pad, dtype=np.uint32) + np.uint32(2**31)
     keys[:n] = db.keys.astype(np.uint32)
+    cache[ck] = (out, lengths, keys)
     return out, lengths, keys
 
 
 def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                     hash_shift=67, ignore_multi_kmer=False,
                     include_only_extendable=False, cov_thr=0.0,
-                    hit_capacity=None):
-    """Device kmermatcher returning the host hits-dict format."""
+                    hit_capacity=None, return_arrays=False):
+    """Device kmermatcher returning the host hits-dict format (or flat
+    arrays with return_arrays — the fast path for rescore_diagonal_jax)."""
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
     if kmers_per_sequence_scale is None:
         kmers_per_sequence_scale = 0.2 if is_nucl else 0.0
@@ -77,10 +88,39 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     tgt = np.asarray(tgt[:n])
     score = np.asarray(score[:n])
     diag = np.asarray(diag[:n])
+    if return_arrays:
+        return _insert_self_hits(db, rep, tgt, score, diag)
     hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
     for r, t, s, d in zip(rep.tolist(), tgt.tolist(), score.tolist(), diag.tolist()):
         hits[r].append((t, s, d))
     return hits
+
+
+def _insert_self_hits(db, rep, tgt, score, diag):
+    """Flat (q, t, score, diag) arrays with a (k, k, 0, 0) self row at each
+    query-group start — the array equivalent of the hits dict (device hit
+    arrays arrive grouped by ascending representative)."""
+    keys = db.keys.astype(np.int64)
+    n = len(keys)
+    counts = np.zeros(n, dtype=np.int64)
+    pos = np.searchsorted(keys, rep.astype(np.int64))
+    np.add.at(counts, pos, 1)
+    m = len(rep) + n
+    group_starts = np.concatenate([[0], np.cumsum(counts + 1)[:-1]])
+    qk = np.empty(m, dtype=np.int64)
+    tk = np.empty(m, dtype=np.int64)
+    sc = np.zeros(m, dtype=np.int64)
+    dg = np.zeros(m, dtype=np.int32)
+    qk[group_starts] = keys
+    tk[group_starts] = keys
+    mask = np.ones(m, dtype=bool)
+    mask[group_starts] = False
+    hit_slots = np.nonzero(mask)[0]
+    qk[hit_slots] = rep
+    tk[hit_slots] = tgt
+    sc[hit_slots] = score
+    dg[hit_slots] = diag
+    return qk, tk, sc, dg
 
 
 def kmermatcher_sharded(db, k, kmers_per_sequence=21,
@@ -172,8 +212,13 @@ def _round_up(x, step=4096):
     return ((x + step - 1) // step) * step
 
 
-def rescore_diagonal_jax(db, hits, params=None, evaluer=None):
-    """Device-accelerated rescorediagonal; same output as rescore_diagonal."""
+def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
+                         return_flat=False):
+    """Device-accelerated rescorediagonal; same output as rescore_diagonal.
+
+    With return_flat, returns {"qk": int64[M], "rec": RESULT_DTYPE[M]} of
+    the SURVIVING records grouped by query (ascending) — the zero-copy
+    input format of the native greedy extender."""
     from .evalue import EvalueComputer
     from .rescore import RESULT_DTYPE, RescoreParams
 
@@ -189,20 +234,28 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None):
     sub_flat, comp, code2char, alpha = _score_tables(db)
     lut = db.id_lookup_array()
 
-    qkeys, tkeys, prefs, diags = [], [], [], []
-    for qk in sorted(hits):
-        for (tk, s, d) in hits[qk]:
-            qkeys.append(qk)
-            tkeys.append(tk)
-            prefs.append(s)
-            diags.append(d)
-    m = len(qkeys)
+    if isinstance(hits, tuple):
+        qk, tk, pref, dg = hits  # flat arrays from return_arrays=True
+        qk = np.asarray(qk, dtype=np.int64)
+        tk = np.asarray(tk, dtype=np.int64)
+        pref = np.asarray(pref, dtype=np.int64)
+        dg = np.asarray(dg, dtype=np.int32)
+        m = len(qk)
+    else:
+        qkeys, tkeys, prefs, diags = [], [], [], []
+        for q in sorted(hits):
+            for (t, s, d) in hits[q]:
+                qkeys.append(q)
+                tkeys.append(t)
+                prefs.append(s)
+                diags.append(d)
+        m = len(qkeys)
+        qk = np.asarray(qkeys, dtype=np.int64)
+        tk = np.asarray(tkeys, dtype=np.int64)
+        pref = np.asarray(prefs, dtype=np.int64)
+        dg = np.asarray(diags, dtype=np.int32)
     if m == 0:
         return {int(k): np.zeros(0, dtype=RESULT_DTYPE) for k in db.keys}
-    qk = np.asarray(qkeys, dtype=np.int64)
-    tk = np.asarray(tkeys, dtype=np.int64)
-    pref = np.asarray(prefs, dtype=np.int64)
-    dg = np.asarray(diags, dtype=np.int32)
     qrow = lut[qk].astype(np.int32)
     trow = lut[tk].astype(np.int32)
     qrev = is_nucl & (pref < 0)
@@ -271,7 +324,6 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None):
         else:
             keep &= big * params.cov_thr <= small
 
-    out = {}
     rec = np.zeros(m, dtype=RESULT_DTYPE)
     rec["dbKey"] = tk
     rec["score"] = bit
@@ -286,7 +338,10 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None):
     rec["dbStartPos"] = ts
     rec["dbEndPos"] = te
     rec["dbLen"] = tlen
+    if return_flat:
+        return {"qk": qk[keep], "rec": rec[keep]}
     # group per query preserving input order
+    out = {}
     boundaries = np.nonzero(np.diff(qk))[0] + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [m]])

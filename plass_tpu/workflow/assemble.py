@@ -134,7 +134,7 @@ def run_assemble(input_files, out_fasta, tmp_base, params=None):
 
     evaluer = None  # recomputed per iteration on the current DB
 
-    def _match_and_rescore(db, iteration, tag):
+    def _match_and_rescore(db, iteration, tag, flat=True):
         shift = _iteration_hash_shift(p.hash_shift, iteration)
         if p.include_only_extendable_set:
             only_ext = p.include_only_extendable
@@ -150,8 +150,9 @@ def run_assemble(input_files, out_fasta, tmp_base, params=None):
                            eval_thr=p.eval_thr, aln_len_thr=p.min_aln_len)
         if p.backend == "jax":
             from ..ops.backend import kmermatcher_jax, rescore_diagonal_jax
-            hits = kmermatcher_jax(db, p.kmer_size, **kw)
-            alns = rescore_diagonal_jax(db, hits, rp, ev)
+            hits = kmermatcher_jax(db, p.kmer_size, return_arrays=True, **kw)
+            alns = rescore_diagonal_jax(db, hits, rp, ev,
+                                        return_flat=flat)
         elif p.backend == "sharded":
             # multi-chip mesh path (absorb=False; see kmermatcher_sharded)
             from ..ops.backend import kmermatcher_sharded, rescore_diagonal_jax
@@ -170,7 +171,8 @@ def run_assemble(input_files, out_fasta, tmp_base, params=None):
             logger.info("skipping iteration %d (already done)", it)
             continue
 
-        alns, ev = _match_and_rescore(current, it, f"aln_{it}")
+        alns, ev = _match_and_rescore(current, it, f"aln_{it}",
+                                      flat=(it != 0))
 
         if it == 0:
             corrected = find_assembly_start(current, alns)

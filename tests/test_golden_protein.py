@@ -94,6 +94,20 @@ def test_full_workflow_byte_identical(example_reads, tmp_path):
     assert open(out, "rb").read() == open(golden_fasta, "rb").read()
 
 
+@needs_golden
+def test_full_workflow_jax_backend_byte_identical(example_reads, tmp_path):
+    """The fused device path (array kmermatch -> flat rescore -> native
+    extend) must be byte-identical too."""
+    from plass_tpu.workflow.assemble import run_assemble, AssembleParams
+    golden_fasta = "/tmp/golden2/assembly.fas"
+    if not os.path.exists(golden_fasta):
+        pytest.skip("golden fasta missing")
+    out = str(tmp_path / "assembly.fas")
+    p = AssembleParams(num_iterations=2, filter_proteins=0, backend="jax")
+    run_assemble(example_reads, out, str(tmp_path / "tmp"), p)
+    assert open(out, "rb").read() == open(golden_fasta, "rb").read()
+
+
 GOLDEN_NUCL = "/tmp/goldennucl"
 
 

@@ -87,6 +87,30 @@ def test_sharded_backend_kmermatcher(merged_reads):
            {k: sorted(v) for k, v in h8.items()}
 
 
+def test_array_fast_path_matches_dict_path(merged_reads):
+    """kmermatcher_jax(return_arrays) + rescore == dict-path rescore."""
+    from plass_tpu.data import seqdb
+    from plass_tpu.ops import orf as orf_mod
+    from plass_tpu.ops import translate as tr
+    from plass_tpu.ops.backend import kmermatcher_jax, rescore_diagonal_jax
+    from plass_tpu.ops.rescore import RescoreParams
+
+    reads, _ = merged_reads
+    sub = seqdb.subdb(reads, range(300))
+    odb, ohdb = orf_mod.extract_orfs(sub, min_length=45, max_length=32734,
+                                     max_gaps=0, start_mode=0)
+    aa = tr.translate_nucs(odb, ohdb, 1, add_orf_stop=True)
+    kw = dict(kmers_per_sequence=60, hash_shift=67, ignore_multi_kmer=True,
+              include_only_extendable=True)
+    rp = RescoreParams(rescore_mode=3, seq_id_thr=0.9, eval_thr=1e-5)
+    a1 = rescore_diagonal_jax(aa, kmermatcher_jax(aa, 14, **kw), rp)
+    a2 = rescore_diagonal_jax(
+        aa, kmermatcher_jax(aa, 14, return_arrays=True, **kw), rp)
+    assert a1.keys() == a2.keys()
+    for k in a1:
+        assert np.array_equal(a1[k], a2[k]), k
+
+
 def test_device_backend_matches_host_kmermatch(merged_reads):
     """Device pipeline == host pipeline on a real (subset) workload."""
     from plass_tpu.data import seqdb
