@@ -1,0 +1,50 @@
+#!/bin/sh -e
+# Regenerate ALL golden oracle outputs from the reference binaries.
+# (Reference binaries: build /root/reference with cmake+make into /tmp/refbuild.)
+# Tests in tests/ skip gracefully when these are absent; run this script to
+# enable the full byte-parity suite (see .claude/skills/verify/SKILL.md).
+#
+# Usage: util/gen_goldens.sh [refPlass] [refPenguin]
+
+REF_PLASS="${1:-/tmp/refbuild/src/plass}"
+REF_PENGUIN="${2:-/tmp/refbuild/src/penguin}"
+READS1=/root/reference/examples/reads_1.fastq.gz
+READS2=/root/reference/examples/reads_2.fastq.gz
+
+[ -x "$REF_PLASS" ] || { echo "missing $REF_PLASS (build the reference first)"; exit 1; }
+
+echo "== /tmp/golden2 (plass assemble, 2 iters, no NN filter)"
+rm -rf /tmp/golden2 && mkdir -p /tmp/golden2
+"$REF_PLASS" assemble "$READS1" "$READS2" /tmp/golden2/assembly.fas \
+    /tmp/golden2/tmp --threads 1 --num-iterations 2 --filter-proteins 0 \
+    --delete-tmp-inc 0 > /tmp/golden2.log 2>&1
+
+echo "== /tmp/goldennucl (penguin nuclassemble, 2 iters, min-contig 150)"
+rm -rf /tmp/goldennucl && mkdir -p /tmp/goldennucl
+"$REF_PENGUIN" nuclassemble "$READS1" "$READS2" /tmp/goldennucl/contigs.fasta \
+    /tmp/goldennucl/tmp --threads 1 --num-iterations 2 --min-contig-len 150 \
+    --delete-tmp-inc 0 > /tmp/goldennucl.log 2>&1
+
+echo "== /tmp/goldenguided2 (penguin guided_nuclassemble, 2+2 iters)"
+rm -rf /tmp/goldenguided2 && mkdir -p /tmp/goldenguided2
+"$REF_PENGUIN" guided_nuclassemble "$READS1" "$READS2" \
+    /tmp/goldenguided2/assembly.fasta /tmp/goldenguided2/tmp --threads 1 \
+    --num-iterations 2 --min-contig-len 150 --delete-tmp-inc 0 \
+    > /tmp/goldenguided2.log 2>&1
+
+echo "== /tmp/goldenguided (penguin guided_nuclassemble, default 5+5 iters)"
+rm -rf /tmp/goldenguided && mkdir -p /tmp/goldenguided
+"$REF_PENGUIN" guided_nuclassemble "$READS1" "$READS2" \
+    /tmp/goldenguided/assembly.fasta /tmp/goldenguided/tmp --threads 1 \
+    --min-contig-len 150 --delete-tmp-inc 0 > /tmp/goldenguided.log 2>&1
+
+echo "== /tmp/goldenlinclustaa (plass linclust on the 2-iter AA ORF DB)"
+rm -rf /tmp/goldenlinclustaa && mkdir -p /tmp/goldenlinclustaa
+for f in /tmp/golden2/tmp/latest/aa_6f_start_long*; do
+    cp "$f" "/tmp/goldenlinclustaa/$(basename "$f")"
+done
+"$REF_PLASS" linclust /tmp/goldenlinclustaa/aa_6f_start_long \
+    /tmp/goldenlinclustaa/clu /tmp/goldenlinclustaa/tmp --threads 1 \
+    > /tmp/goldenlinclustaa.log 2>&1
+
+echo "all goldens regenerated"
