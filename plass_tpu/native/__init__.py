@@ -11,7 +11,7 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-_SOURCES = ["ssw.cpp", "extend.cpp"]
+_SOURCES = ["ssw.cpp", "extend.cpp", "banded.cpp"]
 
 
 def _build(so_path):
@@ -55,4 +55,10 @@ def lib():
             i32p, i32p, i16p, ctypes.c_double, ctypes.c_int64,
             u8p, u8p, ctypes.c_int64, i64p, i64p, u8p]
         _LIB.assemble_greedy.restype = ctypes.c_int
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        _LIB.banded_backtrace.argtypes = [
+            u8p, ctypes.c_int32, u8p, ctypes.c_int32, i8p, i8p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
+        _LIB.banded_backtrace.restype = ctypes.c_int64
         return _LIB

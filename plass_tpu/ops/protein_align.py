@@ -207,19 +207,55 @@ def estimate_seq_id_by_score_per_col(score, qlen, tlen):
     return max(0.0, min(est, 1.0))
 
 
+def compute_seq_id(seq_id_mode, aa_ids, qlen, tlen, aln_len):
+    """Util::computeSeqId (Util.cpp:588-598); mode 0 = ALN_LEN default."""
+    if seq_id_mode == 1:  # SEQ_ID_SHORT
+        return float(np.float32(aa_ids) / np.float32(min(qlen, tlen)))
+    if seq_id_mode == 2:  # SEQ_ID_LONG
+        return float(np.float32(aa_ids) / np.float32(max(qlen, tlen)))
+    return float(np.float32(aa_ids) / np.float32(max(aln_len, 1)))
+
+
+def init_sw_mode(alignment_mode, cov_thr, seq_id_thr):
+    """Alignment::initSWMode (Alignment.cpp:174-198): 1 = SCORE_ONLY,
+    2 = SCORE_COV, 3 = SCORE_COV_SEQID."""
+    if alignment_mode == 0:  # FAST_AUTO
+        if cov_thr > 0.0 and seq_id_thr == 0.0:
+            return 2
+        if cov_thr > 0.0 and seq_id_thr > 0.0:
+            return 3
+        return 1
+    if alignment_mode == 2:
+        return 2
+    if alignment_mode == 3:
+        return 3
+    return 1
+
+
 def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                   eval_thr=1e-3, aln_len_thr=0, gap_open=11, gap_extend=1,
                   comp_bias_corr=True, max_accept=2**31 - 1,
-                  max_reject=2**31 - 1, evaluer=None):
-    """`align` for amino-acid DBs (SCORE_COV mode, as used by linclust).
+                  max_reject=2**31 - 1, evaluer=None, tdb=None,
+                  alignment_mode=2, add_backtrace=False,
+                  include_identity=False, seq_id_mode=0):
+    """`align` for amino-acid DBs (Alignment.cpp:250-470 semantics).
 
-    hits: {query_key: [(target, score, diag), ...]}. Returns
-    {query_key: [result dict]} sorted by Matcher::compareHits.
+    db: query DB; tdb: target DB (None = same DB, enables identity
+    shortcuts like sameQTDB). hits: {query_key: [(target, score, diag),
+    ...]}. alignment_mode: 0 auto / 2 score+cov / 3 +real seq.id via
+    banded backtrace (forced to 3 by add_backtrace, Alignment.cpp:35-37).
+    Returns {query_key: [result dict]} sorted by Matcher::compareHits.
     """
     mat = constants.blosum62()
+    same_db = tdb is None
+    if tdb is None:
+        tdb = db
     if evaluer is None:
         evaluer = EvalueComputer.for_matrix("blosum62_11_1",
-                                            db.total_residues())
+                                            tdb.total_residues())
+    if add_backtrace:
+        alignment_mode = 3
+    sw_mode = init_sw_mode(alignment_mode, cov_thr, seq_id_thr)
     aligner = ProteinAligner(mat, comp_bias_corr)
     out = {}
     for qkey in sorted(hits):
@@ -237,31 +273,46 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
         for (tkey, _score, _diag) in hlist:
             if passed >= max_accept or rejected >= max_reject:
                 break
-            tid = db.key_to_id(tkey)
-            tnum = mat.aa2num[np.asarray(db.get_seq(tid))]
+            tid = tdb.key_to_id(tkey)
+            tnum = mat.aa2num[np.asarray(tdb.get_seq(tid))]
             tlen = len(tnum)
             if not _can_be_covered(cov_thr, cov_mode, L, tlen):
                 rejected += 1
                 continue
-            is_identity = tid == qid
+            is_identity = (qkey == tkey) and (include_identity or same_db)
+            backtrace = ""
+            aa_ids = 0
             if is_identity:
                 a = aligner.score_identical(tnum, evaluer)
+                if sw_mode == 3:
+                    backtrace = "M" * L
+                    aa_ids = L
             else:
-                a = aligner.ssw_align(tnum, gap_open, gap_extend, 1,
+                a = aligner.ssw_align(tnum, gap_open, gap_extend, sw_mode,
                                       eval_thr, evaluer, cov_mode, cov_thr,
                                       mask_len)
+                if sw_mode == 3 and a.get("cigar") is not None:
+                    backtrace = a["cigar"]
+                    aa_ids = _count_ids(qnum, tnum, a["qStart"],
+                                        a["dbStart"], backtrace)
             qs, qe = a["qStart"], a["qEnd"]
             ts, te = a["dbStart"], a["dbEnd"]
-            # Matcher::getSWResult SCORE_COV branch: unsigned coordinate
-            # arithmetic (negative starts wrap, filtered by criteria anyway)
+            # Matcher::getSWResult: unsigned coordinate arithmetic
+            # (negative starts wrap, filtered by criteria anyway)
             qs_u = qs & 0xFFFFFFFF
             ts_u = ts & 0xFFFFFFFF
             aln_len = (max(qe - qs_u, te - ts_u) + 1) & 0xFFFFFFFF
-            q_aln_len = max(qe - qs_u, 1) & 0xFFFFFFFF
-            db_aln_len = max(te - ts_u, 1) & 0xFFFFFFFF
-            seq_id = estimate_seq_id_by_score_per_col(a["score1"], q_aln_len,
-                                                      db_aln_len)
             qcov, tcov = a["qCov"], a["tCov"]
+            if sw_mode == 3:
+                if backtrace:
+                    aln_len = len(backtrace)
+                seq_id = compute_seq_id(seq_id_mode, aa_ids, L, tlen,
+                                        aln_len)
+            else:
+                q_aln_len = max(qe - qs_u, 1) & 0xFFFFFFFF
+                db_aln_len = max(te - ts_u, 1) & 0xFFFFFFFF
+                seq_id = estimate_seq_id_by_score_per_col(
+                    a["score1"], q_aln_len, db_aln_len)
             if is_identity:
                 qcov = tcov = seq_id = 1.0
             bit = int(evaluer.bit_score(a["score1"]) + 0.5)
@@ -270,13 +321,16 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                 and _has_cov(cov_thr, cov_mode, qcov, tcov)
                 and aln_len >= aln_len_thr)
             if ok:
-                results.append({
+                r = {
                     "dbKey": int(tkey), "score": bit, "qcov": qcov,
                     "tcov": tcov, "seqId": seq_id, "eval": a["evalue"],
                     "alnLength": int(aln_len), "qStartPos": qs,
                     "qEndPos": qe, "qLen": L, "dbStartPos": ts,
                     "dbEndPos": te, "dbLen": tlen,
-                })
+                }
+                if add_backtrace:
+                    r["backtrace"] = backtrace
+                results.append(r)
                 passed += 1
                 rejected = 0
             else:
@@ -285,6 +339,24 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                                     r["dbKey"]))
         out[qkey] = results
     return out
+
+
+def _count_ids(qnum, tnum, q_start, t_start, backtrace):
+    """Count identical aligned residues along a backtrace
+    (Matcher.cpp:96-131)."""
+    qp, tp = q_start, t_start
+    ids = 0
+    for op in backtrace:
+        if op == "M":
+            if qp < len(qnum) and tp < len(tnum) and qnum[qp] == tnum[tp]:
+                ids += 1
+            qp += 1
+            tp += 1
+        elif op == "I":
+            qp += 1
+        else:
+            tp += 1
+    return ids
 
 
 def protein_align_results_to_db(results):

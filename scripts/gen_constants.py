@@ -79,7 +79,7 @@ def scores_to_prob(scores, pback, lam, letters):
         for i in range(n - 1):
             pback[i] = pback[i] * (1.0 - pback[xi])
     prob = np.exp(lam * scores) * pback[:, None] * pback[None, :]
-    return prob
+    return prob, pback
 
 
 def gen_sub_matrix_double(prob, contains_x):
@@ -357,8 +357,8 @@ def main():
     # ---- protein matrix (blosum62, bitFactor 2.0 — half-bit integer scores)
     letters, scores, pback_pre, lam = parse_out_matrix(
         os.path.join(REF, "lib/mmseqs/data/blosum62.out"))
-    prob = scores_to_prob(scores, pback_pre, lam, letters)
-    sub_int, pback = gen_sub_matrix_int(prob, True, 2.0)
+    prob, pback = scores_to_prob(scores, pback_pre, lam, letters)
+    sub_int, _ = gen_sub_matrix_int(prob, True, 2.0)
     aa2num = protein_letter_map(letters)
     # 256x256 ascii-indexed LUT (SubstitutionMatrix::createAsciiSubMat)
     ascii_mat = sub_int[aa2num[:, None], aa2num[None, :]]
@@ -368,11 +368,42 @@ def main():
         sub=sub_int, pback=pback, aa2num=aa2num, ascii_mat=ascii_mat,
     )
 
+    # ---- seed matrix for the sensitive prefilter (VTML80, bitFactor 8.0)
+    # Prefiltering.cpp:64 builds the k-mer scoring matrix from
+    # --seed-sub-mat (default VTML80.out) at bit factor 8; kmer thresholds
+    # (Prefiltering::getKmerThreshold) are expressed in this scale.
+    vletters, vscores, vpback_pre, vlam = parse_out_matrix(
+        os.path.join(REF, "lib/mmseqs/data/VTML80.out"))
+    vprob, vpback = scores_to_prob(vscores, vpback_pre, vlam, vletters)
+    # Prefiltering::getSubstitutionMatrix applies a -0.2 score bias before
+    # rounding (Prefiltering.cpp:966-973) to both the seed and the
+    # ungapped-diagonal matrices.
+    vsub_int, _ = gen_sub_matrix_int(vprob, True, 8.0, bias=-0.2)
+    vaa2num = protein_letter_map(vletters)
+    vascii = vsub_int[vaa2num[:, None], vaa2num[None, :]]
+    np.savez(
+        os.path.join(OUT, "vtml80_8.npz"),
+        letters=np.frombuffer("".join(vletters).encode(), dtype=np.uint8),
+        sub=vsub_int, pback=vpback, aa2num=vaa2num, ascii_mat=vascii,
+    )
+
+    # ---- blosum62 at bitFactor 2.0 with the prefilter's -0.2 bias
+    # (ungapped diagonal scoring inside the sensitive prefilter only;
+    # align/rescorediagonal use bias 0.0 = blosum62.npz)
+    psub_int, _ = gen_sub_matrix_int(prob, True, 2.0, bias=-0.2)
+    ppback = pback
+    pascii = psub_int[aa2num[:, None], aa2num[None, :]]
+    np.savez(
+        os.path.join(OUT, "blosum62_pref.npz"),
+        letters=np.frombuffer("".join(letters).encode(), dtype=np.uint8),
+        sub=psub_int, pback=ppback, aa2num=aa2num, ascii_mat=pascii,
+    )
+
     # ---- nucleotide matrix (bitFactor 1.0)
     nletters, nscores, npback_pre, nlam = parse_out_matrix(
         os.path.join(REF, "lib/mmseqs/data/nucleotide.out"))
-    nprob = scores_to_prob(nscores, npback_pre, nlam, nletters)
-    nsub_int, npback = gen_sub_matrix_int(nprob, True, 1.0)
+    nprob, npback = scores_to_prob(nscores, npback_pre, nlam, nletters)
+    nsub_int, _ = gen_sub_matrix_int(nprob, True, 1.0)
     naa2num = nucleotide_letter_map(nletters)
     nascii = nsub_int[naa2num[:, None], naa2num[None, :]]
     # reverse residue: A<->T, C<->G, X->X  (indices in nucleotide.out order A C T G X)
