@@ -162,6 +162,34 @@ def align_flags():
     ]
 
 
+def search_flags():
+    """Flags for the sensitive prefilter / search workflow (reference
+    defaults from Parameters.cpp; search raises -s to 5.7,
+    Search.cpp:23)."""
+    return [
+        Flag("-s", "sensitivity", float, 4.0, "Sensitivity (1 fast .. 7.5 sensitive)"),
+        Flag("-k", "search_kmer_size", int, 0, "k-mer length (0 auto)"),
+        Flag("--max-seqs", "max_seqs", int, 300, "Maximum prefilter results per query"),
+        Flag("--min-ungapped-score", "min_ungapped_score", int, 15,
+             "Accept only matches with ungapped alignment score above"),
+        Flag("--comp-bias-corr", "comp_bias_corr", int, 1,
+             "Correct for locally biased amino acid composition", r"[0-1]"),
+        Flag("--mask", "search_mask", int, 1,
+             "Mask low-complexity sequences in the k-mer index", r"[0-1]"),
+        Flag("--spaced-kmer-mode", "search_spaced_kmer", int, 1, "Spaced k-mers", r"[0-1]"),
+        Flag("--exact-kmer-matching", "exact_kmer_matching", int, 0,
+             "Only exact k-mer matches", r"[0-1]"),
+        Flag("--start-sens", "start_sens", float, 4.0, "Start sensitivity"),
+        Flag("--sens-steps", "sens_steps", int, 1, "Number of search steps from start-sens to -s"),
+        Flag("--alignment-mode", "alignment_mode", int, 0,
+             "0 auto, 1 score+end, 2 +start+cov, 3 +seq.id", r"[0-5]"),
+        Flag("--max-accept", "max_accept", int, 2**31 - 1, "Maximum accepted alignments per query"),
+        Flag("--max-rejected", "max_rejected", int, 2**31 - 1, "Maximum rejected alignments before give-up"),
+        Flag("--add-self-matches", "add_self_matches", bool, False,
+             "Artificially add self matches"),
+    ]
+
+
 def orf_flags():
     return [
         Flag("--orf-min-length", "orf_min_length", int, 45, "Min ORF codons"),

@@ -159,11 +159,30 @@ def _align(positional, space):
     if len(positional) != 4:
         raise ValueError("usage: align <i:qDB> <i:tDB> <i:prefDB> <o:alnDB>")
     db = seqdb.SeqDB.open(positional[0])
-    if db.dbtype != seqdb.NUCLEOTIDES:
-        raise ValueError("align: only nucleotide DBs supported (protein "
-                         "path uses rescorediagonal in this framework)")
-    hits = load_prefilter(positional[2])
     v = space.values
+    if db.dbtype != seqdb.NUCLEOTIDES:
+        from ..ops.protein_align import (align_protein,
+                                         protein_align_results_to_db)
+        same = (os.path.realpath(positional[0])
+                == os.path.realpath(positional[1]))
+        tdb = None if same else seqdb.SeqDB.open(positional[1])
+        hits = load_prefilter(positional[2])
+        res = align_protein(
+            db, hits, seq_id_thr=(v["min_seq_id"].aminoacids
+                                  if space_was_set(space, "min_seq_id") else 0.0),
+            cov_thr=v["cov_thr"], cov_mode=v["cov_mode"],
+            eval_thr=v["eval_thr"] if space_was_set(space, "eval_thr") else 1e-3,
+            aln_len_thr=(v["min_aln_len"].aminoacids
+                         if space_was_set(space, "min_aln_len") else 0),
+            gap_open=v["gap_open"] if space_was_set(space, "gap_open") else 11,
+            gap_extend=v["gap_extend"] if space_was_set(space, "gap_extend") else 1,
+            tdb=tdb, alignment_mode=v.get("alignment_mode", 0),
+            add_backtrace=v["add_backtrace"],
+            seq_id_mode=v["seq_id_mode"])
+        protein_align_results_to_db(
+            res, add_backtrace=v["add_backtrace"]).save(positional[3])
+        return 0
+    hits = load_prefilter(positional[2])
     res = align_nucl(db, hits, seq_id_thr=v["min_seq_id"].nucleotides,
                      cov_thr=v["cov_thr"], cov_mode=v["cov_mode"],
                      eval_thr=v["eval_thr"],
@@ -173,6 +192,153 @@ def _align(positional, space):
                      wrapped_scoring=v.get("wrapped_scoring", False))
     align_results_to_db(res).save(positional[3])
     return 0
+
+
+def space_was_set(space, attr):
+    return attr in space.was_set
+
+
+def _prefilter(positional, space):
+    from ..ops import prefilter as pf
+    if len(positional) != 3:
+        raise ValueError("usage: prefilter <i:qDB> <i:tDB> <o:prefDB>")
+    qdb = seqdb.SeqDB.open(positional[0])
+    same = os.path.realpath(positional[0]) == os.path.realpath(positional[1])
+    tdb = qdb if same else seqdb.SeqDB.open(positional[1])
+    v = space.values
+    p = pf.PrefilterParams(
+        sensitivity=v["sensitivity"], kmer_size=v["search_kmer_size"],
+        max_seqs=v["max_seqs"], min_ungapped_score=v["min_ungapped_score"],
+        comp_bias_corr=bool(v["comp_bias_corr"]), mask=v["search_mask"],
+        spaced_kmer=bool(v["search_spaced_kmer"]),
+        exact_kmer_matching=bool(v["exact_kmer_matching"]),
+        add_self_matches=v["add_self_matches"])
+    hits = pf.prefilter(qdb, tdb, p, same_db=same)
+    pf.prefilter_to_db(hits, qdb.keys).save(positional[2])
+    return 0
+
+
+def _search(positional, space):
+    from ..workflow.search import SearchParams, run_search
+    if len(positional) != 4:
+        raise ValueError("usage: search <i:qDB> <i:tDB> <o:alnDB> <tmpDir>")
+    v = space.values
+    sens = v["sensitivity"] if space_was_set(space, "sensitivity") else 5.7
+    p = SearchParams(
+        sensitivity=sens, kmer_size=v["search_kmer_size"],
+        max_seqs=v["max_seqs"], min_ungapped_score=v["min_ungapped_score"],
+        comp_bias_corr=bool(v["comp_bias_corr"]), mask=v["search_mask"],
+        spaced_kmer=bool(v["search_spaced_kmer"]),
+        exact_kmer_matching=bool(v["exact_kmer_matching"]),
+        start_sens=v["start_sens"], sens_steps=v["sens_steps"],
+        alignment_mode=v["alignment_mode"],
+        add_backtrace=v["add_backtrace"],
+        eval_thr=v["eval_thr"] if space_was_set(space, "eval_thr") else 1e-3,
+        seq_id_thr=(v["min_seq_id"].aminoacids
+                    if space_was_set(space, "min_seq_id") else 0.0),
+        cov_thr=v["cov_thr"], cov_mode=v["cov_mode"],
+        aln_len_thr=(v["min_aln_len"].aminoacids
+                     if space_was_set(space, "min_aln_len") else 0),
+        seq_id_mode=v["seq_id_mode"],
+        gap_open=v["gap_open"] if space_was_set(space, "gap_open") else 11,
+        gap_extend=v["gap_extend"] if space_was_set(space, "gap_extend") else 1,
+        max_accept=v["max_accept"], max_reject=v["max_rejected"],
+        remove_tmp=v["remove_tmp_files"])
+    qdb = positional[0]
+    same = os.path.realpath(positional[0]) == os.path.realpath(positional[1])
+    q = seqdb.SeqDB.open(qdb)
+    t = q if same else seqdb.SeqDB.open(positional[1])
+    run_search(q, t, positional[2], positional[3], p)
+    return 0
+
+
+def _parse_cigar(bt):
+    """Expand a compressed cigar; returns (aln_len, match_count, gap_opens)
+    (convertalignments.cpp:410-446)."""
+    aln_len = 0
+    match_count = 0
+    gap_opens = 0
+    i = 0
+    while i < len(bt):
+        cnt = 0
+        while i < len(bt) and bt[i].isdigit():
+            cnt = cnt * 10 + int(bt[i])
+            i += 1
+        cnt = max(cnt, 1)
+        op = bt[i]
+        i += 1
+        aln_len += cnt
+        if op == "M":
+            match_count += cnt
+        else:
+            gap_opens += 1
+    return aln_len, match_count, gap_opens
+
+
+def _convertalis(positional, space):
+    """BLAST-tab output (convertalignments.cpp FORMAT_ALIGNMENT_BLAST_TAB
+    default column set)."""
+    from ..data.headers import parse_fasta_header
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: convertalis <i:qDB> <i:tDB> <i:alnDB> <o:tsv>")
+    qh = seqdb.SeqDB.open(positional[0] + "_h")
+    same = os.path.realpath(positional[0]) == os.path.realpath(positional[1])
+    th = qh if same else seqdb.SeqDB.open(positional[1] + "_h")
+    aln = seqdb.SeqDB.open(positional[2])
+    qnames = {int(qh.keys[i]): parse_fasta_header(
+        qh.get_data(i).tobytes().decode().strip()) for i in range(qh.size)}
+    tnames = {int(th.keys[i]): parse_fasta_header(
+        th.get_data(i).tobytes().decode().strip()) for i in range(th.size)}
+    with open(positional[3], "w") as out:
+        for i in range(aln.size):
+            qkey = int(aln.keys[i])
+            for line in aln.get_data(i).tobytes().decode().splitlines():
+                if not line:
+                    continue
+                f = line.split("\t")
+                tkey, score, seq_id, evalue = (int(f[0]), int(f[1]),
+                                               float(f[2]), float(f[3]))
+                qs, qe, ql, ts, te, tl = (int(f[4]), int(f[5]), int(f[6]),
+                                          int(f[7]), int(f[8]), int(f[9]))
+                if len(f) > 10 and f[10]:
+                    aln_len, match_count, gap_opens = _parse_cigar(f[10])
+                    identical = int(seq_id * aln_len + 0.5)
+                    mismatch = match_count - identical
+                else:
+                    aln_len = max(qe - qs, te - ts) + 1
+                    gap_opens = 0
+                    best = float(min(abs(qe - max(qs, 0)),
+                                     abs(te - max(ts, 0))))
+                    mismatch = int(best * (1.0 - seq_id) + 0.5)
+                out.write(
+                    f"{qnames[qkey]}\t{tnames[tkey]}\t{seq_id:1.3f}\t"
+                    f"{aln_len}\t{mismatch}\t{gap_opens}\t{qs + 1}\t"
+                    f"{qe + 1}\t{ts + 1}\t{te + 1}\t{evalue:.3E}\t"
+                    f"{score}\n")
+    return 0
+
+
+def _easy_search(positional, space):
+    """easy-search: createdb both inputs -> search -> convertalis
+    (reference: lib/mmseqs/data/workflow/easysearch.sh)."""
+    from ..data.createdb import create_db
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: easy-search <i:queryFasta> <i:targetFasta> <o:tsv> <tmpDir>")
+    tmp = positional[3]
+    os.makedirs(tmp, exist_ok=True)
+    qpath = os.path.join(tmp, "query")
+    tpath = os.path.join(tmp, "target")
+    for fasta, path in ((positional[0], qpath), (positional[1], tpath)):
+        if not os.path.exists(path + ".dbtype"):
+            sdb, hdb = create_db([fasta])
+            sdb.save(path)
+            hdb.save(path + "_h")
+    _search([qpath, tpath, os.path.join(tmp, "result"),
+             os.path.join(tmp, "search_tmp")], space)
+    return _convertalis([qpath, tpath, os.path.join(tmp, "result"),
+                         positional[2]], space)
 
 
 def _clust(positional, space):
@@ -415,8 +581,20 @@ BASE_COMMANDS = [
             "<i:seqDB> <o:fasta>", "Convert DB to FASTA", hidden=True),
     Command("rmdb", _rmdb, lambda: P.ParamSpace(P.common_flags()),
             "<i:db>", "Remove a DB file family", hidden=True),
-    Command("align", _align, lambda: P.ParamSpace(P.common_flags() + P.kmermatcher_flags() + P.align_flags()),
+    Command("align", _align, lambda: P.ParamSpace(P.common_flags() + P.kmermatcher_flags() + P.align_flags() + [
+        P.Flag("--alignment-mode", "alignment_mode", int, 0,
+               "0 auto, 1 score+end, 2 +start+cov, 3 +seq.id", r"[0-5]"),
+        P.Flag("--max-accept", "max_accept", int, 2**31 - 1, "Maximum accepted alignments per query"),
+        P.Flag("--max-rejected", "max_rejected", int, 2**31 - 1, "Maximum rejected alignments before give-up")]),
             "<i:qDB> <i:tDB> <i:prefDB> <o:alnDB>", "Gapped banded alignment", hidden=True),
+    Command("prefilter", _prefilter, lambda: P.ParamSpace(P.common_flags() + P.search_flags()),
+            "<i:qDB> <i:tDB> <o:prefDB>", "Sensitive double-k-mer-match prefilter", hidden=True),
+    Command("easy-search", _easy_search, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags()),
+            "<i:queryFasta> <i:targetFasta> <o:tsv> <tmpDir>", "Sensitive homology search (FASTA in, BLAST-tab out)", hidden=True),
+    Command("convertalis", _convertalis, lambda: P.ParamSpace(P.common_flags()),
+            "<i:qDB> <i:tDB> <i:alnDB> <o:tsv>", "Convert alignment DB to BLAST-tab TSV", hidden=True),
+    Command("search", _search, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags()),
+            "<i:qDB> <i:tDB> <o:alnDB> <tmpDir>", "Sensitive homology search (prefilter + align)", hidden=True),
     Command("clust", _clust, lambda: P.ParamSpace(P.common_flags()),
             "<i:seqDB> <i:alnDB> <o:cluDB>", "Greedy incremental clustering", hidden=True),
     Command("mergeclusters", _mergeclusters, lambda: P.ParamSpace(P.common_flags()),

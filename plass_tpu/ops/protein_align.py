@@ -183,7 +183,34 @@ class ProteinAligner:
         r["qStart"] = r["qEnd"] - int(rv[2])
         r["qCov"] = _cov32(r["qStart"], r["qEnd"], L)
         r["tCov"] = _cov32(r["dbStart"], r["dbEnd"], db_len)
+        low_cov = not _has_cov(cov_thr, cov_mode, r["qCov"], r["tCov"])
+        if alignment_mode == 1 or low_cov:
+            return r
+        # cigar over the alignment rectangle (banded_sw,
+        # StripedSmithWaterman.cpp:246-268,781-984)
+        r["cigar"] = self._banded_cigar(dbnum, r, gap_open, gap_extend)
         return r
+
+    def _banded_cigar(self, dbnum, r, gap_open, gap_extend):
+        t_len = r["dbEnd"] - r["dbStart"] + 1
+        q_len = r["qEnd"] - r["qStart"] + 1
+        band = abs(t_len - q_len) + 1
+        tseq = np.ascontiguousarray(dbnum[r["dbStart"]:r["dbEnd"] + 1])
+        qseq = np.ascontiguousarray(self.qnum[r["qStart"]:r["qEnd"] + 1])
+        comp = np.ascontiguousarray(self.comp[r["qStart"]:r["qEnd"] + 1])
+        mat = np.ascontiguousarray(self.sub8)
+        cap = (q_len + t_len + 2)
+        out = np.zeros(cap, dtype=np.uint8)
+        n = self.nat.banded_backtrace(
+            tseq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), t_len,
+            qseq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), q_len,
+            comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), self.alpha,
+            gap_open, gap_extend, band, r["score1"],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            return None
+        return out[:n].tobytes().decode()
 
     def score_identical(self, dbnum, evaluer):
         """SmithWaterman::scoreIdentical with int16 accumulation."""
@@ -217,19 +244,20 @@ def compute_seq_id(seq_id_mode, aa_ids, qlen, tlen, aln_len):
 
 
 def init_sw_mode(alignment_mode, cov_thr, seq_id_thr):
-    """Alignment::initSWMode (Alignment.cpp:174-198): 1 = SCORE_ONLY,
-    2 = SCORE_COV, 3 = SCORE_COV_SEQID."""
+    """Alignment::initSWMode (Alignment.cpp:174-198), returning Matcher's
+    numbering (ssw_align's alignmentMode): 0 = SCORE_ONLY, 1 = SCORE_COV,
+    2 = SCORE_COV_SEQID."""
     if alignment_mode == 0:  # FAST_AUTO
         if cov_thr > 0.0 and seq_id_thr == 0.0:
-            return 2
+            return 1
         if cov_thr > 0.0 and seq_id_thr > 0.0:
-            return 3
-        return 1
+            return 2
+        return 0
     if alignment_mode == 2:
-        return 2
+        return 1
     if alignment_mode == 3:
-        return 3
-    return 1
+        return 2
+    return 0
 
 
 def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
@@ -284,14 +312,14 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
             aa_ids = 0
             if is_identity:
                 a = aligner.score_identical(tnum, evaluer)
-                if sw_mode == 3:
+                if sw_mode == 2:
                     backtrace = "M" * L
                     aa_ids = L
             else:
                 a = aligner.ssw_align(tnum, gap_open, gap_extend, sw_mode,
                                       eval_thr, evaluer, cov_mode, cov_thr,
                                       mask_len)
-                if sw_mode == 3 and a.get("cigar") is not None:
+                if sw_mode == 2 and a.get("cigar") is not None:
                     backtrace = a["cigar"]
                     aa_ids = _count_ids(qnum, tnum, a["qStart"],
                                         a["dbStart"], backtrace)
@@ -303,7 +331,7 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
             ts_u = ts & 0xFFFFFFFF
             aln_len = (max(qe - qs_u, te - ts_u) + 1) & 0xFFFFFFFF
             qcov, tcov = a["qCov"], a["tCov"]
-            if sw_mode == 3:
+            if sw_mode == 2:
                 if backtrace:
                     aln_len = len(backtrace)
                 seq_id = compute_seq_id(seq_id_mode, aa_ids, L, tlen,
@@ -359,16 +387,38 @@ def _count_ids(qnum, tnum, q_start, t_start, backtrace):
     return ids
 
 
-def protein_align_results_to_db(results):
-    """Serialize (Matcher::resultToBuffer, no backtrace)."""
+def protein_align_results_to_db(results, add_backtrace=False):
+    """Serialize (Matcher::resultToBuffer; backtrace column with -a)."""
     w = seqdb.DBWriter(seqdb.ALIGNMENT_RES)
     for key in sorted(results):
         lines = []
         for r in results[key]:
-            lines.append(
+            line = (
                 f"{r['dbKey']}\t{r['score']}\t{format_seq_id(r['seqId'])}\t"
                 f"{r['eval']:.3E}\t{r['qStartPos']}\t{r['qEndPos']}\t"
                 f"{r['qLen']}\t{r['dbStartPos']}\t{r['dbEndPos']}\t"
-                f"{r['dbLen']}\n")
+                f"{r['dbLen']}")
+            if add_backtrace:
+                line += "\t" + compress_cigar(r.get("backtrace", ""))
+            lines.append(line + "\n")
         w.write(key, "".join(lines).encode(), add_newline=False)
     return w.finish()
+
+
+def compress_cigar(backtrace):
+    """Matcher::compressAlignment (Matcher.cpp:211-230): run-length
+    encode, always writing the count; the state machine starts at
+    ('M', 0) so an empty backtrace yields "0M" and one not starting with
+    M gets an "0M" prefix (reference behavior)."""
+    out = []
+    state = "M"
+    counter = 0
+    for c in backtrace:
+        if c != state:
+            out.append(f"{counter}{state}")
+            state = c
+            counter = 1
+        else:
+            counter += 1
+    out.append(f"{counter}{state}")
+    return "".join(out)
