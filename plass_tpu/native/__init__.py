@@ -11,7 +11,7 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-_SOURCES = ["ssw.cpp", "extend.cpp", "banded.cpp"]
+_SOURCES = ["ssw.cpp", "extend.cpp", "banded.cpp", "tantan.cpp"]
 
 
 def _build(so_path):
@@ -61,4 +61,10 @@ def lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
         _LIB.banded_backtrace.restype = ctypes.c_int64
+        f64p = ctypes.POINTER(ctypes.c_double)
+        _LIB.tantan_mask.argtypes = [
+            u8p, ctypes.c_int64, f64p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_uint8]
+        _LIB.tantan_mask.restype = ctypes.c_int64
         return _LIB

@@ -111,10 +111,15 @@ class KmerIndex:
         if mask:
             from . import tantan
             masker = tantan.TantanMasker(seed_mat)
+        # the SequenceLookup used for ungapped diagonal scoring holds the
+        # *masked* sequences when masking is on (IndexBuilder.cpp:520-521,
+        # maskedLookup), so keep what we indexed
+        self.nums = []
         for i in range(tdb.size):
             num = seed_mat.aa2num[np.asarray(tdb.get_seq(i))]
             if masker is not None:
                 num = masker.mask(num)
+            self.nums.append(num)
             starts, packed = extract_kmers(num, positions, x_idx)
             if kmer_thr > 0 and len(packed):
                 window = num[starts[:, None] + positions[None, :]]
@@ -491,8 +496,10 @@ def prefilter(qdb, tdb, params=None, same_db=None):
     seed_sub8 = seed.sub.astype(np.int8)
 
     # target numeric cache for diagonal scoring
-    tnums = [ungapped.aa2num[np.asarray(tdb.get_seq(i))]
-             for i in range(tdb.size)]
+    # diagonal scoring reads the index's (possibly masked) sequences; the
+    # seed and ungapped matrices share one letter order, so the numeric
+    # encodings are interchangeable
+    tnums = index.nums
     tkeys = tdb.keys
     tkey_to_id = {int(kk): i for i, kk in enumerate(tkeys)}
 

@@ -362,10 +362,14 @@ def main():
     aa2num = protein_letter_map(letters)
     # 256x256 ascii-indexed LUT (SubstitutionMatrix::createAsciiSubMat)
     ascii_mat = sub_int[aa2num[:, None], aa2num[None, :]]
+    # likelihood ratios P(a,b)/(pa*pb) for tantan masking
+    # (ProbabilityMatrix, BaseMatrix.h:80-93)
+    lratio = prob / (pback[:, None] * pback[None, :])
     np.savez(
         os.path.join(OUT, "blosum62.npz"),
         letters=np.frombuffer("".join(letters).encode(), dtype=np.uint8),
         sub=sub_int, pback=pback, aa2num=aa2num, ascii_mat=ascii_mat,
+        lratio=lratio,
     )
 
     # ---- seed matrix for the sensitive prefilter (VTML80, bitFactor 8.0)
@@ -381,10 +385,12 @@ def main():
     vsub_int, _ = gen_sub_matrix_int(vprob, True, 8.0, bias=-0.2)
     vaa2num = protein_letter_map(vletters)
     vascii = vsub_int[vaa2num[:, None], vaa2num[None, :]]
+    vlratio = vprob / (vpback[:, None] * vpback[None, :])
     np.savez(
         os.path.join(OUT, "vtml80_8.npz"),
         letters=np.frombuffer("".join(vletters).encode(), dtype=np.uint8),
         sub=vsub_int, pback=vpback, aa2num=vaa2num, ascii_mat=vascii,
+        lratio=vlratio,
     )
 
     # ---- blosum62 at bitFactor 2.0 with the prefilter's -0.2 bias
@@ -413,10 +419,12 @@ def main():
     reverse[nidx["T"]] = nidx["A"]
     reverse[nidx["C"]] = nidx["G"]
     reverse[nidx["G"]] = nidx["C"]
+    nlratio = nprob / (npback[:, None] * npback[None, :])
     np.savez(
         os.path.join(OUT, "nucleotide.npz"),
         letters=np.frombuffer("".join(nletters).encode(), dtype=np.uint8),
         sub=nsub_int, pback=npback, aa2num=naa2num, ascii_mat=nascii, reverse=reverse,
+        lratio=nlratio,
     )
 
     # ---- reduced alphabets (13 for kmermatcher, 7 for filternoncoding)

@@ -26,7 +26,7 @@ def test_prefilter_query_target_bytes():
     from plass_tpu.ops import prefilter as pf
     q = seqdb.SeqDB.open(f"{GOLDEN}/q")
     t = seqdb.SeqDB.open(f"{GOLDEN}/t")
-    hits = pf.prefilter(q, t, pf.PrefilterParams(mask=0))
+    hits = pf.prefilter(q, t, pf.PrefilterParams())
     mine = _load_records_db(pf.prefilter_to_db(hits, q.keys))
     assert mine == _load_records(f"{GOLDEN}/pref_qt")
 
@@ -37,7 +37,7 @@ def test_prefilter_self_bytes():
     quirks (mod-256 diagonals, ==0 initial state, last-position drop)."""
     from plass_tpu.ops import prefilter as pf
     s = seqdb.SeqDB.open(f"{GOLDEN}/s")
-    hits = pf.prefilter(s, s, pf.PrefilterParams(mask=0, sensitivity=5.7))
+    hits = pf.prefilter(s, s, pf.PrefilterParams(sensitivity=5.7))
     mine = _load_records_db(pf.prefilter_to_db(hits, s.keys))
     assert mine == _load_records(f"{GOLDEN}/pref_self")
 
@@ -50,7 +50,7 @@ def test_search_query_target_bytes(tmp_path):
     t = seqdb.SeqDB.open(f"{GOLDEN}/t")
     out = str(tmp_path / "aln")
     run_search(q, t, out, str(tmp_path / "tmp"),
-               SearchParams(mask=0, add_backtrace=True))
+               SearchParams(add_backtrace=True))
     assert _load_records(out) == _load_records(f"{GOLDEN}/search_qt")
 
 
@@ -62,7 +62,7 @@ def test_search_self_regression_flags(tmp_path):
     s = seqdb.SeqDB.open(f"{GOLDEN}/s")
     out = str(tmp_path / "aln")
     run_search(s, s, out, str(tmp_path / "tmp"),
-               SearchParams(mask=0, sensitivity=5.0, max_seqs=5000,
+               SearchParams(sensitivity=5.0, max_seqs=5000,
                             min_ungapped_score=100, add_backtrace=True,
                             seq_id_thr=0.89))
     assert _load_records(out) == _load_records(f"{GOLDEN}/search_self")
@@ -77,7 +77,7 @@ def test_convertalis_m8(tmp_path):
     t = seqdb.SeqDB.open(f"{GOLDEN}/t")
     aln = str(tmp_path / "aln")
     run_search(q, t, aln, str(tmp_path / "tmp"),
-               SearchParams(mask=0, add_backtrace=True))
+               SearchParams(add_backtrace=True))
     out = str(tmp_path / "m8.tsv")
     _convertalis([f"{GOLDEN}/q", f"{GOLDEN}/t", aln, out], None)
     assert open(out, "rb").read() == open(f"{GOLDEN}/m8_qt.tsv", "rb").read()

@@ -62,10 +62,10 @@ for name, keys in (("t", db.keys[:300]), ("q", db.keys[300:350]),
     seqdb.subdb(hdb, keys).save(base + name + "_h")
 EOF
 cd /tmp/goldensearch
-"$REF_PLASS" prefilter q t pref_qt --threads 1 --mask 0 > pref.log 2>&1
-"$REF_PLASS" prefilter s s pref_self --threads 1 --mask 0 -s 5.7 >> pref.log 2>&1
-"$REF_PLASS" search q t search_qt tmp_qt --threads 1 --mask 0 -a > search.log 2>&1
-"$REF_PLASS" search s s search_self tmp_self --threads 1 --mask 0 -s 5 \
+"$REF_PLASS" prefilter q t pref_qt --threads 1 > pref.log 2>&1
+"$REF_PLASS" prefilter s s pref_self --threads 1 -s 5.7 >> pref.log 2>&1
+"$REF_PLASS" search q t search_qt tmp_qt --threads 1 -a > search.log 2>&1
+"$REF_PLASS" search s s search_self tmp_self --threads 1 -s 5 \
     --max-seqs 5000 --min-ungapped-score 100 -a --min-seq-id 0.89 >> search.log 2>&1
 "$REF_PLASS" convertalis q t search_qt m8_qt.tsv --threads 1 >> search.log 2>&1
 "$REF_PLASS" convertalis s s search_self m8_self.tsv --threads 1 >> search.log 2>&1
