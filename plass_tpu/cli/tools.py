@@ -214,7 +214,9 @@ def _prefilter(positional, space):
         exact_kmer_matching=bool(v["exact_kmer_matching"]),
         add_self_matches=v["add_self_matches"])
     hits = pf.prefilter(qdb, tdb, p, same_db=same)
-    pf.prefilter_to_db(hits, qdb.keys).save(positional[2])
+    qorder = [int(qdb.keys[i]) for i in
+              np.argsort(qdb.offsets, kind="stable")]
+    pf.prefilter_to_db(hits, qorder).save(positional[2])
     return 0
 
 
@@ -231,7 +233,10 @@ def _search(positional, space):
         spaced_kmer=bool(v["search_spaced_kmer"]),
         exact_kmer_matching=bool(v["exact_kmer_matching"]),
         start_sens=v["start_sens"], sens_steps=v["sens_steps"],
-        alignment_mode=v["alignment_mode"],
+        # search forces real seq.id computation unless ungapped
+        # (Search.cpp:181-182)
+        alignment_mode=(v["alignment_mode"]
+                        if v["alignment_mode"] == 4 else 3),
         add_backtrace=v["add_backtrace"],
         eval_thr=v["eval_thr"] if space_was_set(space, "eval_thr") else 1e-3,
         seq_id_thr=(v["min_seq_id"].aminoacids
@@ -291,7 +296,7 @@ def _convertalis(positional, space):
     tnames = {int(th.keys[i]): parse_fasta_header(
         th.get_data(i).tobytes().decode().strip()) for i in range(th.size)}
     with open(positional[3], "w") as out:
-        for i in range(aln.size):
+        for i in sorted(range(aln.size), key=lambda j: int(aln.offsets[j])):
             qkey = int(aln.keys[i])
             for line in aln.get_data(i).tobytes().decode().splitlines():
                 if not line:
@@ -530,8 +535,175 @@ def _splitdb(positional, space):
     return 0
 
 
+RESULT_DBTYPES = (seqdb.ALIGNMENT_RES, seqdb.CLUSTER_RES,
+                  seqdb.PREFILTER_RES)
+
+
+def _createtsv4(positional, space):
+    """4-arg createtsv: map record keys and per-line first columns to
+    header accessions (createtsv.cpp:84-160, default --target-column 1)."""
+    from ..data.headers import parse_fasta_header
+    qh = seqdb.SeqDB.open(positional[0] + "_h")
+    same = os.path.realpath(positional[0]) == os.path.realpath(positional[1])
+    th = qh if same else seqdb.SeqDB.open(positional[1] + "_h")
+    res = seqdb.SeqDB.open(positional[2])
+    qnames = {int(qh.keys[i]): parse_fasta_header(
+        qh.get_data(i).tobytes().decode().rstrip("\n"))
+        for i in range(qh.size)}
+    tnames = qnames if same else {int(th.keys[i]): parse_fasta_header(
+        th.get_data(i).tobytes().decode().rstrip("\n"))
+        for i in range(th.size)}
+    with open(positional[3], "w") as out:
+        for i in sorted(range(res.size), key=lambda j: int(res.offsets[j])):
+            qname = qnames[int(res.keys[i])]
+            for line in res.get_data(i).tobytes().decode().splitlines():
+                if not line:
+                    continue
+                first, _, rest = line.partition("\t")
+                tname = tnames[int(first)]
+                out.write(f"{qname}\t{tname}" +
+                          (f"\t{rest}" if rest else "") + "\n")
+    return 0
+
+
+def _result2flat(positional, space):
+    """result2flat.cpp: flatten a result/sequence DB into FASTA, headers
+    from the query header DB; with --use-fasta-header result-DB lines get
+    their first column replaced by the target accession."""
+    from ..data.headers import parse_fasta_header
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: result2flat <i:qDB> <i:tDB> <i:resDB> <o:fasta>")
+    use_header = bool(space.values.get("use_fasta_header", False)) \
+        if space is not None else False
+    qh = seqdb.SeqDB.open(positional[0] + "_h")
+    same = os.path.realpath(positional[0]) == os.path.realpath(positional[1])
+    th = qh if same else seqdb.SeqDB.open(positional[1] + "_h")
+    res = seqdb.SeqDB.open(positional[2])
+    thdr = {int(th.keys[i]): th.get_data(i).tobytes().decode()
+            for i in range(th.size)}
+    qhdr = qhdr_full = {int(qh.keys[i]): qh.get_data(i).tobytes().decode()
+                        for i in range(qh.size)}
+    is_result = res.dbtype in RESULT_DBTYPES
+    # reference iterates in data-file (write) order
+    order = sorted(range(res.size), key=lambda i: int(res.offsets[i]))
+    with open(positional[3], "w") as out:
+        for i in order:
+            key = int(res.keys[i])
+            hd = qhdr_full[key]
+            if use_header:
+                hd = hd.split("\n", 1)[0] + " "
+            else:
+                hd = parse_fasta_header(hd)
+            out.write(">" + hd + "\n")
+            for line in res.get_data(i).tobytes().decode().splitlines():
+                if use_header and is_result and line:
+                    first = line.split("\t", 1)[0].split()[0]
+                    acc = parse_fasta_header(
+                        thdr[int(first)].rstrip("\n"))
+                    line = acc + line[len(first):]
+                out.write(line + "\n")
+    return 0
+
+
+def _createseqfiledb(positional, space):
+    """createseqfiledb.cpp: per cluster record, concatenated FASTA of all
+    member sequences (full headers)."""
+    if len(positional) != 3:
+        raise ValueError(
+            "usage: createseqfiledb <i:seqDB> <i:cluDB> <o:db>")
+    db = seqdb.SeqDB.open(positional[0])
+    hdb = seqdb.SeqDB.open(positional[0] + "_h")
+    clu = seqdb.SeqDB.open(positional[1])
+    w = seqdb.DBWriter(seqdb.GENERIC_DB)
+    for i in range(clu.size):
+        parts = []
+        for tok in clu.get_data(i).tobytes().split():
+            member = int(tok)
+            hid = hdb.key_to_id(member)
+            sid = db.key_to_id(member)
+            parts.append(b">" + hdb.get_data(hid).tobytes()
+                         + db.get_data(sid).tobytes())
+        w.write(int(clu.keys[i]), b"".join(parts), add_newline=False)
+    w.finish().save(positional[2])
+    return 0
+
+
+def _cluster(positional, space):
+    from ..workflow.cluster import ClusterParams, run_cluster
+    if len(positional) != 3:
+        raise ValueError("usage: cluster <i:seqDB> <o:cluDB> <tmpDir>")
+    v = space.values
+    p = ClusterParams(
+        seq_id_thr=(v["min_seq_id"].aminoacids
+                    if space_was_set(space, "min_seq_id") else 0.0),
+        cov_thr=v["cov_thr"] if space_was_set(space, "cov_thr") else 0.8,
+        cov_mode=v["cov_mode"],
+        eval_thr=v["eval_thr"] if space_was_set(space, "eval_thr") else 1e-3,
+        sensitivity=(v["sensitivity"]
+                     if space_was_set(space, "sensitivity") else None),
+        max_seqs=v["max_seqs"] if space_was_set(space, "max_seqs") else 20,
+        mask=v["search_mask"],
+        remove_tmp=v["remove_tmp_files"])
+    run_cluster(positional[0], positional[1], positional[2], p)
+    return 0
+
+
+def _easy_cluster(positional, space, linear=False):
+    """easy-cluster / easy-linclust (easycluster.sh): createdb ->
+    cluster -> cluster.tsv + rep_seq.fasta + all_seqs.fasta."""
+    from ..data.createdb import create_db
+    if len(positional) != 3:
+        raise ValueError(
+            "usage: easy-cluster <i:fasta> <o:prefix> <tmpDir>")
+    fasta, prefix, tmp = positional
+    os.makedirs(tmp, exist_ok=True)
+    inp = os.path.join(tmp, "input")
+    if not os.path.exists(inp + ".dbtype"):
+        sdb, hdb = create_db([fasta], raw_headers=True)
+        sdb.save(inp)
+        hdb.save(inp + "_h")
+    clu = os.path.join(tmp, "clu")
+    if not os.path.exists(clu + ".dbtype"):
+        if linear:
+            from ..assembler.cluster import merged_clusters_to_db
+            from ..workflow.linclust import LinclustParams, run_linclust
+            db = seqdb.SeqDB.open(inp)
+            v = space.values
+            lp = LinclustParams(
+                kmer_size=0, alphabet_size=13, kmers_per_sequence=21,
+                kmers_per_sequence_scale=0.0,
+                seq_id_thr=(v["min_seq_id"].aminoacids
+                            if space_was_set(space, "min_seq_id") else 0.9),
+                cov_thr=(v["cov_thr"]
+                         if space_was_set(space, "cov_thr") else 0.8),
+                cov_mode=v["cov_mode"], gap_open=11, gap_extend=1,
+                max_seq_len=65535, wrapped_scoring=False, cluster_mode=-1)
+            merged_clusters_to_db(run_linclust(db, lp)).save(clu)
+        else:
+            _cluster([inp, clu, os.path.join(tmp, "clu_tmp")], space)
+    _createtsv4([inp, inp, clu, prefix + "_cluster.tsv"], space)
+    from ..assembler.cluster import result2repseq
+    db = seqdb.SeqDB.open(inp)
+    rep = os.path.join(tmp, "clu_rep")
+    result2repseq(db, seqdb.SeqDB.open(clu)).save(rep)
+    space.values["use_fasta_header"] = True
+    _result2flat([inp, inp, rep, prefix + "_rep_seq.fasta"], space)
+    space.values["use_fasta_header"] = False
+    seqs = os.path.join(tmp, "clu_seqs")
+    _createseqfiledb([inp, clu, seqs], space)
+    _result2flat([inp, inp, seqs, prefix + "_all_seqs.fasta"], space)
+    return 0
+
+
+def _easy_linclust(positional, space):
+    return _easy_cluster(positional, space, linear=True)
+
+
 def _createtsv(positional, space):
     from ..data.dbtools import create_tsv
+    if len(positional) == 4:
+        return _createtsv4(positional, space)
     if len(positional) < 2:
         raise ValueError("usage: createtsv <i:db> [<i:hdb>] <o:tsv>")
     db = seqdb.SeqDB.open(positional[0])
@@ -589,6 +761,22 @@ BASE_COMMANDS = [
             "<i:qDB> <i:tDB> <i:prefDB> <o:alnDB>", "Gapped banded alignment", hidden=True),
     Command("prefilter", _prefilter, lambda: P.ParamSpace(P.common_flags() + P.search_flags()),
             "<i:qDB> <i:tDB> <o:prefDB>", "Sensitive double-k-mer-match prefilter", hidden=True),
+    Command("cluster", _cluster, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags() + [
+        P.Flag("--cluster-mode", "cluster_mode", int, 0, "0 set-cover, 1 connected component, 2 greedy", r"[0-3]"),
+        P.Flag("--cluster-steps", "cluster_steps", int, 3, "Cascaded clustering steps")]),
+            "<i:seqDB> <o:cluDB> <tmpDir>", "Cascaded clustering", hidden=True),
+    Command("easy-cluster", _easy_cluster, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags() + [
+        P.Flag("--cluster-mode", "cluster_mode", int, 0, "0 set-cover, 1 connected component, 2 greedy", r"[0-3]"),
+        P.Flag("--use-fasta-header", "use_fasta_header", bool, False, "Use full fasta header")]),
+            "<i:fasta> <o:prefix> <tmpDir>", "Cascaded clustering (FASTA in, FASTA/TSV out)", hidden=True),
+    Command("easy-linclust", _easy_linclust, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags() + [
+        P.Flag("--use-fasta-header", "use_fasta_header", bool, False, "Use full fasta header")]),
+            "<i:fasta> <o:prefix> <tmpDir>", "Linear-time clustering (FASTA in, FASTA/TSV out)", hidden=True),
+    Command("result2flat", _result2flat, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--use-fasta-header", "use_fasta_header", bool, False, "Use full fasta header")]),
+            "<i:qDB> <i:tDB> <i:resDB> <o:fasta>", "Flatten result DB to FASTA", hidden=True),
+    Command("createseqfiledb", _createseqfiledb, lambda: P.ParamSpace(P.common_flags()),
+            "<i:seqDB> <i:cluDB> <o:db>", "Per-cluster FASTA records", hidden=True),
     Command("easy-search", _easy_search, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags()),
             "<i:queryFasta> <i:targetFasta> <o:tsv> <tmpDir>", "Sensitive homology search (FASTA in, BLAST-tab out)", hidden=True),
     Command("convertalis", _convertalis, lambda: P.ParamSpace(P.common_flags()),

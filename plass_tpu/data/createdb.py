@@ -28,26 +28,40 @@ def iupac_revcomp(arr):
     return IUPAC_COMPLEMENT[arr][::-1]
 
 
-def create_db(paths, dbtype=None):
+def create_db(paths, dbtype=None, raw_headers=False):
     """Build (sequence SeqDB, header SeqDB) from FASTA/FASTQ files.
 
     dbtype None = auto-detect nucleotide vs amino acid from the first
-    sequences (createdb.cpp dbType detection).
+    sequences (createdb.cpp dbType detection). raw_headers=True keeps the
+    original header bytes (the zero-copy --createdb-mode 1 of the easy-*
+    workflows, where the header DB points into the input FASTA,
+    EasyCluster.cpp:17, createdb.cpp:134-160) instead of hard mode's
+    name+' '+comment normalization (createdb.cpp:159-166).
     """
+    from .fastx import iter_fastx_raw
     seq_writer = seqdb.DBWriter(seqdb.NUCLEOTIDES)
     hdr_writer = seqdb.DBWriter(seqdb.GENERIC_DB)
     key = 0
     sample = []
+    records = []
     for path in paths:
-        for name, comment, seq, qual in iter_fastx(path):
-            header = name + (b" " + comment if comment else b"")
-            seq_writer.write(key, seq)
-            hdr_writer.write(key, header)
+        for raw, name, comment, seq, qual in iter_fastx_raw(path):
+            header = raw if raw_headers \
+                else name + (b" " + comment if comment else b"")
+            records.append((key, header, seq))
             if len(sample) < 100:
                 sample.append(seq)
             key += 1
-    sdb = seq_writer.finish(sort_by_key=False)
-    hdb = hdr_writer.finish(sort_by_key=False)
+    # --shuffle (default on, off in zero-copy mode, createdb.cpp:48-51):
+    # deterministic 32-way round-robin split interleave — record id goes
+    # to shard id%32 and the shards are concatenated (createdb.cpp:60,219)
+    if not raw_headers and len(records) > 1:
+        records.sort(key=lambda r: (r[0] % 32, r[0]))
+    for k, header, seq in records:
+        seq_writer.write(k, seq)
+        hdr_writer.write(k, header)
+    sdb = seq_writer.finish()
+    hdb = hdr_writer.finish()
     if dbtype is None:
         dbtype = _detect_dbtype(sample)
     sdb.dbtype = dbtype
@@ -170,6 +184,6 @@ def merge_reads(paths):
                 seq_writer.write(key, s2rc)
                 hdr_writer.write(key, n2)
                 key += 1
-    sdb = seq_writer.finish(sort_by_key=False)
-    hdb = hdr_writer.finish(sort_by_key=False)
+    sdb = seq_writer.finish()
+    hdb = hdr_writer.finish()
     return sdb, hdb

@@ -22,6 +22,13 @@ def _open_any(path):
 
 def iter_fastx(path):
     """Yield (name, comment, seq, qual) from a FASTA/FASTQ file."""
+    for _raw, name, comment, seq, qual in iter_fastx_raw(path):
+        yield name, comment, seq, qual
+
+
+def iter_fastx_raw(path):
+    """Yield (raw_header, name, comment, seq, qual); raw_header keeps the
+    original header bytes after the '>'/'@' marker."""
     with _open_any(path) as f:
         first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         line = f.readline()
@@ -41,7 +48,7 @@ def iter_fastx(path):
                 while line and not line.startswith(b">") and not line.startswith(b"@"):
                     seq_parts.append(line.strip())
                     line = f.readline()
-                yield name, comment, b"".join(seq_parts), b""
+                yield head, name, comment, b"".join(seq_parts), b""
             elif line.startswith(b"@"):
                 head = line[1:]
                 name, _, comment = head.partition(b" ")
@@ -49,7 +56,7 @@ def iter_fastx(path):
                 plus = f.readline()
                 qual = f.readline().rstrip(b"\r\n")
                 # multi-line fastq is rare; handle the common 4-line records
-                yield name, comment, seq, qual
+                yield head, name, comment, seq, qual
                 line = f.readline()
             else:
                 raise ValueError(f"unrecognized record start in {path}: {line[:20]!r}")

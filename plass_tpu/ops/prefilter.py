@@ -327,7 +327,8 @@ def two_hit_diagonals(tids, diag, n_targets, l2_cache=None):
 MAX_DB_MATCHES = 2000000  # max(1e6, dbSize)*2, QueryMatcher.cpp:41
 
 
-def match_candidates(index, kmer_rows, ecnt, cand_qpos, index_to, n_targets):
+def match_candidates(index, kmer_rows, ecnt, cand_qpos, index_to, n_targets,
+                     count_mode=False):
     """Expand matched candidate k-mers to (target, diagonal) matches and
     run the segmented two-hit filter.
 
@@ -367,7 +368,7 @@ def match_candidates(index, kmer_rows, ecnt, cand_qpos, index_to, n_targets):
         start = idx
         base = int(cum[idx]) - int(ecnt[idx])
 
-    merged_t = merged_d = None
+    merged_t = merged_d = merged_c = None
     for seg in segments:
         if not len(seg):
             continue
@@ -376,17 +377,62 @@ def match_candidates(index, kmer_rows, ecnt, cand_qpos, index_to, n_targets):
         tpos = index.pos[eidx]
         qpos = np.repeat(cand_qpos[seg], ecnt[seg])
         diag = (qpos - tpos).astype(np.uint16)
-        st, sd = two_hit_diagonals(tids, diag, n_targets)
+        if count_mode:
+            st, sd, sc = two_hit_counts(tids, diag, n_targets)
+        else:
+            st, sd = two_hit_diagonals(tids, diag, n_targets)
+            sc = None
         if merged_t is None:
-            merged_t, merged_d = st, sd
+            merged_t, merged_d, merged_c = st, sd, sc
         else:
             merged_t = np.concatenate([merged_t, st])
             merged_d = np.concatenate([merged_d, sd])
-            merged_t, merged_d = merge_by_diagonal(merged_t, merged_d,
-                                                   n_targets)
+            if count_mode:
+                merged_c = np.concatenate([merged_c, sc])
+                merged_t, merged_d, merged_c = merge_by_score(
+                    merged_t, merged_d, merged_c, n_targets)
+            else:
+                merged_t, merged_d = merge_by_diagonal(merged_t, merged_d,
+                                                       n_targets)
     if merged_t is None:
-        return (np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.uint16))
+        z = (np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.uint16))
+        return z + (np.zeros(0, dtype=np.int32),) if count_mode else z
+    if count_mode:
+        return merged_t, merged_d, merged_c
     return merged_t, merged_d
+
+
+def merge_by_score(tids, diag, counts, n_targets, l2_cache=None):
+    """CacheFriendlyOperations::mergeElementsByScore
+    (CacheFriendlyOperations.cpp:112-143): re-bin, saturating-add counts
+    per target, emit one entry per target with its first diagonal."""
+    if l2_cache is None:
+        l2_cache = _l2_cache_size()
+    bincount = 2
+    while bincount < 2048 and n_targets // bincount >= l2_cache:
+        bincount *= 2
+    out_t, out_d, out_c = [], [], []
+    bin_of = tids & np.int32(bincount - 1)
+    for b in range(bincount):
+        idx = np.flatnonzero(bin_of == b)
+        if not len(idx):
+            continue
+        t, d, c = tids[idx], diag[idx], counts[idx]
+        order = np.argsort(t, kind="stable")
+        ts, ds, cs = t[order], d[order], c[order]
+        first = np.ones(len(ts), dtype=bool)
+        first[1:] = ts[1:] != ts[:-1]
+        group = np.cumsum(first) - 1
+        tot = np.zeros(int(group[-1]) + 1, dtype=np.int64)
+        np.add.at(tot, group, cs)
+        tot = np.minimum(tot, 255).astype(np.int32)
+        pos = idx[order][first]
+        reorder = np.argsort(pos, kind="stable")
+        out_t.append(ts[first][reorder])
+        out_d.append(ds[first][reorder])
+        out_c.append(tot[reorder])
+    return (np.concatenate(out_t), np.concatenate(out_d),
+            np.concatenate(out_c))
 
 
 def merge_by_diagonal(tids, diag, n_targets, l2_cache=None):
@@ -423,6 +469,51 @@ def merge_by_diagonal(tids, diag, n_targets, l2_cache=None):
     return np.concatenate(out_t), np.concatenate(out_d)
 
 
+def two_hit_counts(tids, diag, n_targets, l2_cache=None):
+    """computeTotalScore variant of the two-hit filter
+    (CacheFriendlyOperations.cpp:175-196, diagonalScoring off): surviving
+    entries are counted per target (saturating at 255) and one entry per
+    target is emitted carrying (count, first surviving diagonal)."""
+    if l2_cache is None:
+        l2_cache = _l2_cache_size()
+    bincount = 2
+    while bincount < 2048 and n_targets // bincount >= l2_cache:
+        bincount *= 2
+    out_t, out_d, out_c = [], [], []
+    bin_of = tids & np.int64(bincount - 1) if tids.dtype != np.int32 \
+        else tids & np.int32(bincount - 1)
+    for b in range(bincount):
+        idx = np.flatnonzero(bin_of == b)
+        if not len(idx):
+            continue
+        t, d = tids[idx], diag[idx]
+        d8 = (d & np.uint16(0xFF)).astype(np.uint8)
+        order = np.argsort(t, kind="stable")
+        ts, ds, d8s = t[order], d[order], d8[order]
+        run_first = np.ones(len(ts), dtype=bool)
+        run_first[1:] = ts[1:] != ts[:-1]
+        prev8 = np.empty(len(ts), dtype=np.uint8)
+        prev8[1:] = d8s[:-1]
+        prev8[run_first] = 0
+        kept = d8s == prev8
+        if kept.any():
+            kt, kd, kpos = ts[kept], ds[kept], idx[order][kept]
+            first = np.ones(len(kt), dtype=bool)
+            first[1:] = kt[1:] != kt[:-1]
+            counts = np.diff(np.append(np.flatnonzero(first), len(kt)))
+            counts = np.minimum(counts, 255).astype(np.int32)
+            pos = kpos[first]
+            reorder = np.argsort(pos, kind="stable")
+            out_t.append(kt[first][reorder])
+            out_d.append(kd[first][reorder])
+            out_c.append(counts[reorder])
+    if not out_t:
+        return (np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.uint16),
+                np.zeros(0, dtype=np.int32))
+    return (np.concatenate(out_t).astype(np.int32), np.concatenate(out_d),
+            np.concatenate(out_c))
+
+
 def diagonal_scores_exact(qprofile, tnum, diags):
     """Exact local ungapped max along each diagonal
     (UngappedAlignment::scalarDiagonalScoring semantics with the
@@ -456,7 +547,8 @@ class PrefilterParams:
     def __init__(self, sensitivity=4.0, kmer_size=0, kmer_score=None,
                  max_seqs=300, min_ungapped_score=15, comp_bias_corr=True,
                  spaced_kmer=True, mask=1, exact_kmer_matching=False,
-                 add_self_matches=False, seed_mat=None, ungapped_mat=None):
+                 add_self_matches=False, seed_mat=None, ungapped_mat=None,
+                 diag_score=True):
         self.sensitivity = sensitivity
         self.kmer_size = kmer_size
         self.kmer_score = kmer_score
@@ -469,6 +561,7 @@ class PrefilterParams:
         self.add_self_matches = add_self_matches
         self.seed_mat = seed_mat
         self.ungapped_mat = ungapped_mat
+        self.diag_score = diag_score
 
 
 def prefilter(qdb, tdb, params=None, same_db=None):
@@ -516,7 +609,7 @@ def prefilter(qdb, tdb, params=None, same_db=None):
             comp = np.zeros(L, dtype=np.float32)
 
         starts, packed = extract_kmers(qnum_seed, positions, x_idx)
-        hits_t = hits_d = None
+        hits_t = hits_d = hits_c = None
         if len(starts):
             # per-instance threshold: kmerThr - round(bias sum), with the
             # reference's float32 sequential accumulation over the spaced
@@ -558,14 +651,48 @@ def prefilter(qdb, tdb, params=None, same_db=None):
                 tot = int(ecnt.sum())
                 if tot:
                     span = int(positions[-1]) + 1
-                    hits_t, hits_d = match_candidates(
-                        index, lo, ecnt, starts[cand_inst], L - span,
-                        tdb.size)
+                    if p.diag_score:
+                        hits_t, hits_d = match_candidates(
+                            index, lo, ecnt, starts[cand_inst], L - span,
+                            tdb.size)
+                    else:
+                        hits_t, hits_d, hits_c = match_candidates(
+                            index, lo, ecnt, starts[cand_inst], L - span,
+                            tdb.size, count_mode=True)
 
         results = []
         identity_tid = None
         if same_db or p.add_self_matches:
             identity_tid = tkey_to_id.get(qkey)
+        if hits_t is not None and len(hits_t) and not p.diag_score:
+            # KMER_SCORE mode (diagonal scoring off): the prefilter score
+            # is the per-target double-match count
+            # (QueryMatcher.cpp:175-186, getResult<KMER_SCORE>)
+            hist = np.bincount(np.minimum(hits_c, 255),
+                               minlength=SCORE_RANGE)
+            cum = 0
+            thr = 0
+            for sc in range(SCORE_RANGE - 1, 0, -1):
+                cum += int(hist[sc])
+                if cum >= max_seqs:
+                    thr = sc
+                    break
+            thr = max(p.min_ungapped_score, thr)
+            keep = hits_c >= thr
+            if identity_tid is not None:
+                keep &= hits_t != identity_tid
+            ht, hc, dg = hits_t[keep], hits_c[keep], hits_d[keep]
+            sdg = np.where(dg.astype(np.int32) < 32768, dg.astype(np.int32),
+                           dg.astype(np.int32) - 65536)
+            order = np.lexsort((ht, -np.abs(hc)))
+            budget = max_seqs - (1 if identity_tid is not None else 0)
+            for j in order[:budget]:
+                results.append((int(tkeys[ht[j]]), int(hc[j]),
+                                int(sdg[j])))
+            if identity_tid is not None:
+                results.insert(0, (qkey, 255, 0))
+            out[qkey] = results
+            continue
         if hits_t is not None and len(hits_t):
             # diagonal scoring with the 2-bit-factor matrix + comp/4 bias
             # (UngappedAlignment::createProfile, UngappedAlignment.cpp:322-331)
@@ -613,7 +740,9 @@ def prefilter(qdb, tdb, params=None, same_db=None):
             for j in order[:budget]:
                 results.append((int(tkeys[ht[j]]), int(ex[j]), int(sdg[j])))
         if identity_tid is not None:
-            results.insert(0, (qkey, 65535, 0))
+            # identity raw score: USHRT_MAX in diagonal mode, UCHAR_MAX in
+            # k-mer-count mode (QueryMatcher.cpp:343-353)
+            results.insert(0, (qkey, 65535 if p.diag_score else 255, 0))
         out[qkey] = results
     return out
 

@@ -387,10 +387,14 @@ def _count_ids(qnum, tnum, q_start, t_start, backtrace):
     return ids
 
 
-def protein_align_results_to_db(results, add_backtrace=False):
-    """Serialize (Matcher::resultToBuffer; backtrace column with -a)."""
+def protein_align_results_to_db(results, add_backtrace=False,
+                                key_order=None):
+    """Serialize (Matcher::resultToBuffer; backtrace column with -a).
+    key_order: physical record order (the reference writes in query
+    data-file order); defaults to ascending key."""
     w = seqdb.DBWriter(seqdb.ALIGNMENT_RES)
-    for key in sorted(results):
+    keys = key_order if key_order is not None else sorted(results)
+    for key in keys:
         lines = []
         for r in results[key]:
             line = (

@@ -83,6 +83,10 @@ def run_search(qdb, tdb, out_path, tmp_base, params=None):
     wf = engine.Workflow(tmp, remove_tmp=p.remove_tmp)
 
     same_db = qdb is tdb
+    # physical record order of the query DB (reference processes and
+    # writes queries in data-file order, LINEAR_ACCCESS)
+    qorder = [int(qdb.keys[i]) for i in
+              np.argsort(qdb.offsets, kind="stable")]
     steps = _sens_schedule(p)
     merged = {}
     for si, sens in enumerate(steps):
@@ -95,7 +99,7 @@ def run_search(qdb, tdb, out_path, tmp_base, params=None):
                 spaced_kmer=p.spaced_kmer,
                 exact_kmer_matching=p.exact_kmer_matching)
             hits = pf.prefilter(qdb, tdb, pr, same_db=same_db)
-            return {f"pref_{si}": pf.prefilter_to_db(hits, qdb.keys)}
+            return {f"pref_{si}": pf.prefilter_to_db(hits, qorder)}
         pref_db = wf.step(f"pref_{si}", _pref, outputs=(f"pref_{si}",))
 
         def _aln(si=si):
@@ -112,7 +116,7 @@ def run_search(qdb, tdb, out_path, tmp_base, params=None):
                 seq_id_mode=p.seq_id_mode, max_accept=p.max_accept,
                 max_reject=p.max_reject)
             return {f"aln_{si}": protein_align_results_to_db(
-                res, add_backtrace=p.add_backtrace)}
+                res, add_backtrace=p.add_backtrace, key_order=qorder)}
         aln = wf.step(f"aln_{si}", _aln, outputs=(f"aln_{si}",))
         merged[si] = aln[f"aln_{si}"]
         del pref_db

@@ -69,5 +69,12 @@ cd /tmp/goldensearch
     --max-seqs 5000 --min-ungapped-score 100 -a --min-seq-id 0.89 >> search.log 2>&1
 "$REF_PLASS" convertalis q t search_qt m8_qt.tsv --threads 1 >> search.log 2>&1
 "$REF_PLASS" convertalis s s search_self m8_self.tsv --threads 1 >> search.log 2>&1
+"$REF_PLASS" convert2fasta s s.fasta > cluster.log 2>&1
+"$REF_PLASS" convert2fasta q q.fasta >> cluster.log 2>&1
+"$REF_PLASS" convert2fasta t t.fasta >> cluster.log 2>&1
+"$REF_PLASS" cluster s clu_cascaded tmp_clu --threads 1 >> cluster.log 2>&1
+"$REF_PLASS" easy-cluster s.fasta ec tmp_ec --threads 1 >> cluster.log 2>&1
+"$REF_PLASS" easy-linclust s.fasta el tmp_el --threads 1 >> cluster.log 2>&1
+"$REF_PLASS" easy-search q.fasta t.fasta es.tsv tmp_es --threads 1 >> cluster.log 2>&1
 
 echo "all goldens regenerated"
