@@ -700,6 +700,221 @@ def _easy_linclust(positional, space):
     return _easy_cluster(positional, space, linear=True)
 
 
+def _subtractdbs(positional, space):
+    """subtractdbs.cpp: remove from each left record the lines whose key
+    appears in the right DB's record for the same query (both sides
+    filtered by the e-value threshold when lines are alignment-format)."""
+    if len(positional) != 3:
+        raise ValueError(
+            "usage: subtractdbs <i:leftDB> <i:rightDB> <o:db>")
+    left = seqdb.SeqDB.open(positional[0])
+    right = seqdb.SeqDB.open(positional[1])
+    v = space.values
+    eval_thr = min(v.get("eval_thr", 0.001), v.get("eval_profile", 0.001))
+
+    def passing_keys(data):
+        out = []
+        for line in data.decode().splitlines():
+            if not line:
+                continue
+            f = line.split("\t")
+            evalue = float(f[3]) if len(f) >= 10 else 0.0
+            out.append((int(f[0].split()[0]), evalue <= eval_thr, line))
+        return out
+
+    w = seqdb.DBWriter(left.dbtype)
+    for i in range(left.size):
+        key = int(left.keys[i])
+        lines = passing_keys(left.get_data(i).tobytes())
+        drop = set()
+        j = right.key_to_id(key)
+        if j is not None:
+            for (k, ok, _line) in passing_keys(right.get_data(j).tobytes()):
+                if ok:
+                    drop.add(k)
+        body = "".join(line + "\n" for (k, ok, line) in lines
+                       if ok and k not in drop)
+        w.write(key, body.encode(), add_newline=False)
+    w.finish().save(positional[2])
+    return 0
+
+
+def _splitsequence(positional, space):
+    """splitsequence.cpp (hard mode): chop sequences into overlapping
+    windows of --max-seq-len with --sequence-overlap, ORF-style headers,
+    renumbered keys."""
+    from ..ops.orf import _orf_header
+    if len(positional) != 2:
+        raise ValueError("usage: splitsequence <i:seqDB> <o:seqDB>")
+    import math
+
+    db = seqdb.SeqDB.open(positional[0])
+    v = space.values
+    max_len = v.get("split_seq_len", 10000)
+    overlap = v.get("sequence_overlap", 300)
+    soft = v.get("sequence_split_mode", 1) == 1
+    hw = seqdb.DBWriter(seqdb.GENERIC_DB)
+    sw = None if soft else seqdb.DBWriter(db.dbtype)
+    keys, offs, lens = [], [], []
+    new_key = 0
+    # records iterated in data order (decomposeDomain walks offsets)
+    order = sorted(range(db.size), key=lambda j: int(db.offsets[j]))
+    for i in order:
+        key = int(db.keys[i])
+        seq = db.get_seq(i)
+        L = len(seq)
+        split_cnt = max(int(math.ceil(L / float(max_len - overlap))), 1)
+        for s in range(split_cnt):
+            start = s * max_len - s * overlap
+            ln = min(max_len, L - start)
+            if soft:
+                # soft mode: the output index points into the original
+                # data file (+2 emulating the record terminators,
+                # splitsequence.cpp:100-103); data is shared
+                keys.append(new_key)
+                offs.append(int(db.offsets[i]) + start)
+                lens.append(ln + 2)
+            else:
+                sw.write(new_key, bytes(seq[start:start + ln]))
+            hw.write(new_key,
+                     _orf_header(key, start, start + ln - 1, 0, 0))
+            new_key += 1
+    if soft:
+        out = seqdb.SeqDB(db.data, np.asarray(keys, dtype=np.uint32),
+                          np.asarray(offs, dtype=np.int64),
+                          np.asarray(lens, dtype=np.int64), db.dbtype)
+        out.save(positional[1])
+    else:
+        sw.finish(sort_by_key=False).save(positional[1])
+    hw.finish(sort_by_key=False).save(positional[1] + "_h")
+    return 0
+
+
+def _extractframes(positional, space):
+    """extractframes.cpp: emit the chosen reading frame(s) per strand with
+    ORF headers, renumbered keys."""
+    from ..data.createdb import iupac_revcomp
+    from ..ops.orf import _orf_header
+    if len(positional) != 2:
+        raise ValueError("usage: extractframes <i:seqDB> <o:seqDB>")
+    db = seqdb.SeqDB.open(positional[0])
+    v = space.values
+    fwd = _frames(v.get("forward_frames", "1,2,3"))
+    rev = _frames(v.get("reverse_frames", "1,2,3"))
+    sw = seqdb.DBWriter(db.dbtype)
+    hw = seqdb.DBWriter(seqdb.GENERIC_DB)
+    new_key = 0
+    # the reference's switch handles only exact single-frame masks;
+    # combined masks (like the "1,2,3" default) emit NOTHING
+    # (extractframes.cpp:58-110 — quirk kept for parity)
+    fwd_frame = {1: 0, 2: 1, 4: 2}.get(fwd)
+    rev_frame = {1: 0, 2: 1, 4: 2}.get(rev)
+    order = sorted(range(db.size), key=lambda j: int(db.offsets[j]))
+    for i in order:
+        key = int(db.keys[i])
+        seq = bytes(db.get_seq(i))
+        L = len(seq)
+        if fwd_frame is not None and L > fwd_frame:
+            f = fwd_frame
+            sw.write(new_key, seq[f:])
+            # writeOrfHeader(key, f, L-1-f): the frame offset shifts
+            # both coordinate ends (extractframes.cpp:59-76)
+            hw.write(new_key, _orf_header(key, f, L - 1 - f, 0, 0))
+            new_key += 1
+        if rev_frame is not None and L > rev_frame:
+            f = rev_frame
+            rc = bytes(iupac_revcomp(np.frombuffer(seq, dtype=np.uint8)))
+            sw.write(new_key, rc[f:])
+            hw.write(new_key, _orf_header(key, L - 1 - f, f, 0, 0))
+            new_key += 1
+    sw.finish(sort_by_key=False).save(positional[1])
+    hw.finish(sort_by_key=False).save(positional[1] + "_h")
+    return 0
+
+
+def _touchdb(positional, space):
+    """touchdb.cpp: page the DB into memory (posix_madvise WILLNEED)."""
+    db = seqdb.SeqDB.open(positional[0])
+    _ = int(np.asarray(db.data[:: max(len(db.data) // 4096, 1)]).sum())
+    return 0
+
+
+def _diskspaceavail(positional, space):
+    """diskspaceavail.cpp: print available disk space of the path."""
+    st = os.statvfs(positional[0] if positional else ".")
+    print((st.f_bavail * st.f_frsize) / 1024)
+    return 0
+
+
+def _apply(positional, space):
+    """apply.cpp: run a program per DB entry (record on stdin, new record
+    from stdout)."""
+    import subprocess
+    if len(positional) < 3:
+        raise ValueError("usage: apply <i:db> <o:db> -- <program> [args]")
+    db = seqdb.SeqDB.open(positional[0])
+    prog = positional[2:]
+    w = seqdb.DBWriter(seqdb.GENERIC_DB)
+    for i in range(db.size):
+        data = db.get_data(i).tobytes()
+        env = dict(os.environ,
+                   MMSEQS_ENTRY_NAME=str(int(db.keys[i])))
+        r = subprocess.run(prog, input=data, stdout=subprocess.PIPE,
+                           env=env, check=True)
+        w.write(int(db.keys[i]), r.stdout, add_newline=False)
+    w.finish().save(positional[1])
+    return 0
+
+
+def _tar2db(positional, space):
+    """tar2db.cpp: one record per tar member + .lookup/.source files."""
+    import tarfile
+    if len(positional) != 2:
+        raise ValueError("usage: tar2db <i:tar> <o:db>")
+    w = seqdb.DBWriter(seqdb.GENERIC_DB)
+    lookup = []
+    key = 0
+    with tarfile.open(positional[0]) as tf:
+        for m in tf:
+            if not m.isfile():
+                continue
+            w.write(key, tf.extractfile(m).read(), add_newline=False)
+            lookup.append((key, m.name))
+            key += 1
+    w.finish(sort_by_key=False).save(positional[1])
+    with open(positional[1] + ".lookup", "w") as f:
+        for k, name in lookup:
+            f.write(f"{k}\t{name}\t0\n")
+    with open(positional[1] + ".source", "w") as f:
+        f.write(f"0\t{os.path.basename(positional[0])}\n")
+    return 0
+
+
+def _swapdb(positional, space):
+    """swapdb.cpp: transpose a result DB (target keys become records
+    listing the queries that hit them, lines otherwise unchanged except
+    the first column)."""
+    if len(positional) != 2:
+        raise ValueError("usage: swapdb <i:resultDB> <o:resultDB>")
+    db = seqdb.SeqDB.open(positional[0])
+    swapped = {}
+    for i in range(db.size):
+        qkey = int(db.keys[i])
+        for line in db.get_data(i).tobytes().decode().splitlines():
+            if not line:
+                continue
+            first, _, rest = line.partition("\t")
+            tkey = int(first.split()[0])
+            swapped.setdefault(tkey, []).append(
+                f"{qkey}" + (f"\t{rest}" if rest else ""))
+    w = seqdb.DBWriter(db.dbtype)
+    for tkey in sorted(swapped):
+        w.write(tkey, ("\n".join(swapped[tkey]) + "\n").encode(),
+                add_newline=False)
+    w.finish().save(positional[1])
+    return 0
+
+
 def _createtsv(positional, space):
     from ..data.dbtools import create_tsv
     if len(positional) == 4:
@@ -761,6 +976,29 @@ BASE_COMMANDS = [
             "<i:qDB> <i:tDB> <i:prefDB> <o:alnDB>", "Gapped banded alignment", hidden=True),
     Command("prefilter", _prefilter, lambda: P.ParamSpace(P.common_flags() + P.search_flags()),
             "<i:qDB> <i:tDB> <o:prefDB>", "Sensitive double-k-mer-match prefilter", hidden=True),
+    Command("subtractdbs", _subtractdbs, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("-e", "eval_thr", float, 0.001, "E-value threshold"),
+        P.Flag("--e-profile", "eval_profile", float, 0.001, "Profile E-value threshold")]),
+            "<i:leftDB> <i:rightDB> <o:db>", "Remove right-side hits from left result DB", hidden=True),
+    Command("splitsequence", _splitsequence, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--max-seq-len", "split_seq_len", int, 10000, "Window length"),
+        P.Flag("--sequence-overlap", "sequence_overlap", int, 300, "Window overlap"),
+        P.Flag("--sequence-split-mode", "sequence_split_mode", int, 1, "0 copy data, 1 soft link", r"[0-1]")]),
+            "<i:seqDB> <o:seqDB>", "Split long sequences into overlapping windows", hidden=True),
+    Command("extractframes", _extractframes, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--forward-frames", "forward_frames", str, "1,2,3", "Forward frames"),
+        P.Flag("--reverse-frames", "reverse_frames", str, "1,2,3", "Reverse frames")]),
+            "<i:seqDB> <o:seqDB>", "Extract reading frames", hidden=True),
+    Command("touchdb", _touchdb, lambda: P.ParamSpace(P.common_flags()),
+            "<i:db>", "Page a DB into memory", hidden=True),
+    Command("diskspaceavail", _diskspaceavail, lambda: P.ParamSpace(P.common_flags()),
+            "<i:path>", "Print available disk space (KB)", hidden=True),
+    Command("apply", _apply, lambda: P.ParamSpace(P.common_flags()),
+            "<i:db> <o:db> -- <program> [args]", "Run a program on every DB entry", hidden=True),
+    Command("tar2db", _tar2db, lambda: P.ParamSpace(P.common_flags()),
+            "<i:tar> <o:db>", "Convert tar archive members to DB records", hidden=True),
+    Command("swapdb", _swapdb, lambda: P.ParamSpace(P.common_flags()),
+            "<i:resultDB> <o:resultDB>", "Transpose a result DB", hidden=True),
     Command("cluster", _cluster, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags() + [
         P.Flag("--cluster-mode", "cluster_mode", int, 0, "0 set-cover, 1 connected component, 2 greedy", r"[0-3]"),
         P.Flag("--cluster-steps", "cluster_steps", int, 3, "Cascaded clustering steps")]),
