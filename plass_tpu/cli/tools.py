@@ -384,16 +384,183 @@ def _result2repseq(positional, space):
 
 
 def _filterdb(positional, space):
+    """filterdb.cpp: per-record line filtering — by key file, by numeric
+    comparison on a column, sorting entries, extracting the first N
+    lines, or keeping lines that tie the first line (--beats-first)."""
     from ..assembler.cluster import filter_lines_by_keys
     if len(positional) != 2:
-        raise ValueError("usage: filterdb <i:db> <o:db> --filter-file <file>")
-    path = space.values.get("filter_file", "")
-    if not path:
-        raise ValueError("filterdb: only --filter-file mode is supported")
-    keys = [int(line.split()[0]) for line in open(path) if line.strip()]
+        raise ValueError("usage: filterdb <i:db> <o:db> [mode flags]")
+    v = space.values
+    path = v.get("filter_file", "")
     db = seqdb.SeqDB.open(positional[0])
-    filter_lines_by_keys(db, keys).save(positional[1])
+    if path:
+        keys = [int(line.split()[0]) for line in open(path) if line.strip()]
+        filter_lines_by_keys(db, keys).save(positional[1])
+        return 0
+    col = v.get("filter_column", 1) - 1
+    op = v.get("comparison_operator", "")
+    comp_value = v.get("comparison_value", 0.0)
+    sort_entries = v.get("sort_entries", 0)
+    extract_lines = v.get("extract_lines", 0)
+    beats_first = v.get("beats_first", False)
+    w = seqdb.DBWriter(db.dbtype)
+    for i in range(db.size):
+        lines = [l for l in db.get_data(i).tobytes().decode().splitlines()
+                 if l]
+        out = []
+        if sort_entries:
+            vals = [float(l.split("\t")[col]) for l in lines]
+            order = sorted(range(len(lines)), key=lambda j: vals[j],
+                           reverse=(sort_entries == 2))
+            out = [lines[j] for j in order]
+        elif extract_lines > 0:
+            out = lines[:extract_lines]
+        elif beats_first:
+            ref = None
+            for n, l in enumerate(lines):
+                val = float(l.split("\t")[col])
+                if n == 0:
+                    ref = val
+                    out.append(l)
+                elif ((op == "ge" and val >= ref)
+                      or (op == "le" and val <= ref)
+                      or (op == "e" and val == ref)):
+                    out.append(l)
+        elif op:
+            for l in lines:
+                val = float(l.split("\t")[col])
+                if ((op == "ge" and val >= comp_value)
+                        or (op == "le" and val <= comp_value)
+                        or (op == "e" and val == comp_value)):
+                    out.append(l)
+        else:
+            out = lines
+        w.write(int(db.keys[i]),
+                "".join(l + "\n" for l in out).encode(),
+                add_newline=False)
+    w.finish().save(positional[1])
     return 0
+
+
+def _result2rbh(positional, space):
+    """result2rbh.cpp: from bitscore-sorted merged A->B + swapped B->A
+    results, keep the B->A lines tying A's best bitscore."""
+    if len(positional) != 2:
+        raise ValueError("usage: result2rbh <i:resDB> <o:resDB>")
+    db = seqdb.SeqDB.open(positional[0])
+    w = seqdb.DBWriter(db.dbtype)
+    for i in range(db.size):
+        lines = [l for l in db.get_data(i).tobytes().decode().splitlines()
+                 if l]
+        best = 0
+        out = []
+        for n, l in enumerate(lines):
+            score = int(l.split("\t")[1])
+            if best == 0:
+                best = score
+            else:
+                if score < best:
+                    break
+                out.append(l)
+        w.write(int(db.keys[i]),
+                "".join(l + "\n" for l in out).encode(),
+                add_newline=False)
+    w.finish().save(positional[1])
+    return 0
+
+
+def _map(positional, space):
+    """map workflow (Map.cpp:11-19 + map.sh): prefilter at sensitivity 2
+    with a length-ratio coverage gate, then ungapped rescoring
+    (rescorediagonal --rescore-mode 2) at -c 0.95 --cov-mode 2
+    --min-seq-id 0.9 --sort-results 1; no composition bias, no masking."""
+    from ..ops import prefilter as pf
+    from ..ops.rescore import (RESCORE_ALIGNMENT, RescoreParams,
+                               rescore_diagonal, results_to_db)
+    if len(positional) != 4:
+        raise ValueError("usage: map <i:qDB> <i:tDB> <o:alnDB> <tmpDir>")
+    v = space.values
+    os.makedirs(positional[3], exist_ok=True)
+    qdb = seqdb.SeqDB.open(positional[0])
+    same = os.path.realpath(positional[0]) == os.path.realpath(positional[1])
+    tdb = qdb if same else seqdb.SeqDB.open(positional[1])
+    sens = v["sensitivity"] if "sensitivity" in space.was_set else 2.0
+    cov = v["cov_thr"] if "cov_thr" in space.was_set else 0.95
+    cov_mode = v["cov_mode"] if "cov_mode" in space.was_set else 2
+    seq_id = (v["min_seq_id"].aminoacids
+              if "min_seq_id" in space.was_set else 0.9)
+    pr = pf.PrefilterParams(
+        sensitivity=sens, max_seqs=v["max_seqs"],
+        comp_bias_corr=bool(v["comp_bias_corr"]
+                            if "comp_bias_corr" in space.was_set else 0),
+        mask=v["search_mask"] if "search_mask" in space.was_set else 0,
+        cov_thr=cov, cov_mode=cov_mode)
+    hits = pf.prefilter(qdb, tdb, pr, same_db=same)
+    rp = RescoreParams(
+        rescore_mode=RESCORE_ALIGNMENT, seq_id_thr=seq_id, cov_thr=cov,
+        cov_mode=cov_mode,
+        eval_thr=v["eval_thr"] if "eval_thr" in space.was_set else 0.001,
+        sort_results=1)
+    res = rescore_diagonal(qdb, hits, rp, tdb=None if same else tdb)
+    qorder = [int(qdb.keys[i]) for i in
+              np.argsort(qdb.offsets, kind="stable")]
+    db = results_to_db({k: res.get(k, []) for k in qorder})
+    db.save(positional[2])
+    return 0
+
+
+def _rbh(positional, space):
+    """rbh workflow (rbh.sh): search A vs B and B vs A, keep reciprocal
+    best hits by bitscore."""
+    if len(positional) != 4:
+        raise ValueError("usage: rbh <i:aDB> <i:bDB> <o:resDB> <tmpDir>")
+    a, b, out, tmp = positional
+    os.makedirs(tmp, exist_ok=True)
+    # Rbh.cpp:11-13 defaults: no composition bias, no masking, SCORE_COV_SEQID
+    if "comp_bias_corr" not in space.was_set:
+        space.values["comp_bias_corr"] = 0
+    if "search_mask" not in space.was_set:
+        space.values["search_mask"] = 0
+    # the driver serializes its own -s 4.0 default into the sub-searches,
+    # overriding search's 5.7 (createParameterString of searchworkflow)
+    if "sensitivity" not in space.was_set:
+        space.values["sensitivity"] = 4.0
+        space.was_set.add("sensitivity")
+    res_ab = os.path.join(tmp, "resAB")
+    res_ba = os.path.join(tmp, "resBA")
+    if not os.path.exists(res_ab + ".dbtype"):
+        _search([a, b, res_ab, os.path.join(tmp, "tempAB")], space)
+    if not os.path.exists(res_ba + ".dbtype"):
+        _search([b, a, res_ba, os.path.join(tmp, "tempBA")], space)
+    v = dict(space.values)
+
+    def filterdb(inp, outp, **kw):
+        space.values.update({"filter_file": "", "sort_entries": 0,
+                             "extract_lines": 0, "beats_first": False,
+                             "comparison_operator": "",
+                             "comparison_value": 0.0, "filter_column": 1})
+        space.values.update(kw)
+        _filterdb([inp, outp], space)
+    filterdb(res_ab, os.path.join(tmp, "resAB_sorted"),
+             sort_entries=2, filter_column=2)
+    filterdb(os.path.join(tmp, "resAB_sorted"),
+             os.path.join(tmp, "resA_best_B"), extract_lines=1)
+    filterdb(res_ba, os.path.join(tmp, "resB_best_A"),
+             beats_first=True, filter_column=2, comparison_operator="e")
+    space.values.update(v)
+    space.values["eval_thr"] = 1e8
+    space.was_set.add("eval_thr")
+    _swapresults([b, a, os.path.join(tmp, "resB_best_A"),
+                  os.path.join(tmp, "resB_best_A_swap")], space)
+    _mergedbs([os.path.join(tmp, "resA_best_B"),
+               os.path.join(tmp, "res_best_merged"),
+               os.path.join(tmp, "resA_best_B"),
+               os.path.join(tmp, "resB_best_A_swap")], space)
+    filterdb(os.path.join(tmp, "res_best_merged"),
+             os.path.join(tmp, "res_best_merged_sorted"),
+             sort_entries=2, filter_column=2)
+    return _result2rbh([os.path.join(tmp, "res_best_merged_sorted"), out],
+                       space)
 
 
 def _proteinaln2nucl(positional, space):
@@ -1028,8 +1195,20 @@ BASE_COMMANDS = [
     Command("result2repseq", _result2repseq, lambda: P.ParamSpace(P.common_flags()),
             "<i:seqDB> <i:resultDB> <o:seqDB>", "Extract representative sequences", hidden=True),
     Command("filterdb", _filterdb, lambda: P.ParamSpace(P.common_flags() + [
-        P.Flag("--filter-file", "filter_file", str, "", "Keep lines whose first column is in file")]),
+        P.Flag("--filter-file", "filter_file", str, "", "Keep lines whose first column is in file"),
+        P.Flag("--filter-column", "filter_column", int, 1, "Column to filter on (1-based)"),
+        P.Flag("--comparison-operator", "comparison_operator", str, "", "le, ge or e"),
+        P.Flag("--comparison-value", "comparison_value", float, 0.0, "Comparison value"),
+        P.Flag("--sort-entries", "sort_entries", int, 0, "1 increasing, 2 decreasing"),
+        P.Flag("--extract-lines", "extract_lines", int, 0, "Keep first N lines"),
+        P.Flag("--beats-first", "beats_first", bool, False, "Keep lines matching the first line's column")]),
             "<i:db> <o:db>", "Filter result DB lines", hidden=True),
+    Command("result2rbh", _result2rbh, lambda: P.ParamSpace(P.common_flags()),
+            "<i:resDB> <o:resDB>", "Extract reciprocal best hits", hidden=True),
+    Command("rbh", _rbh, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags()),
+            "<i:aDB> <i:bDB> <o:resDB> <tmpDir>", "Reciprocal best hit search", hidden=True),
+    Command("map", _map, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags()),
+            "<i:qDB> <i:tDB> <o:alnDB> <tmpDir>", "Fast exact mapping (high-identity search)", hidden=True),
     Command("proteinaln2nucl", _proteinaln2nucl, lambda: P.ParamSpace(P.common_flags() + P.align_flags()),
             "<i:qNuclDB> <i:tNuclDB> <i:qAaDB> <i:tAaDB> <i:alnDB> <o:alnDB>",
             "Map protein alignments to nucleotide space", hidden=True),

@@ -548,7 +548,7 @@ class PrefilterParams:
                  max_seqs=300, min_ungapped_score=15, comp_bias_corr=True,
                  spaced_kmer=True, mask=1, exact_kmer_matching=False,
                  add_self_matches=False, seed_mat=None, ungapped_mat=None,
-                 diag_score=True):
+                 diag_score=True, cov_thr=0.0, cov_mode=0):
         self.sensitivity = sensitivity
         self.kmer_size = kmer_size
         self.kmer_score = kmer_score
@@ -562,6 +562,8 @@ class PrefilterParams:
         self.seed_mat = seed_mat
         self.ungapped_mat = ungapped_mat
         self.diag_score = diag_score
+        self.cov_thr = cov_thr
+        self.cov_mode = cov_mode
 
 
 def prefilter(qdb, tdb, params=None, same_db=None):
@@ -743,8 +745,22 @@ def prefilter(qdb, tdb, params=None, same_db=None):
             # identity raw score: USHRT_MAX in diagonal mode, UCHAR_MAX in
             # k-mer-count mode (QueryMatcher.cpp:343-353)
             results.insert(0, (qkey, 65535 if p.diag_score else 255, 0))
+        if p.cov_thr > 0.0 and p.cov_mode in (0, 1, 5):
+            # post-hoc length-ratio coverage filter applied when writing
+            # hits (Prefiltering.cpp:835-842)
+            results = [
+                r for r in results
+                if _can_be_covered_pref(
+                    p.cov_thr, p.cov_mode, float(L),
+                    float(tdb.seq_len(tkey_to_id[r[0]])))]
         out[qkey] = results
     return out
+
+
+def _can_be_covered_pref(cov_thr, cov_mode, qlen, tlen):
+    """Util::canBeCovered for the prefilter output filter."""
+    from .rescore import _can_be_covered
+    return _can_be_covered(cov_thr, cov_mode, qlen, tlen)
 
 
 def _csr_gather(offsets, rows):

@@ -228,22 +228,28 @@ def _can_be_covered(cov_thr, cov_mode, qlen, tlen):
     return True
 
 
-def rescore_diagonal(db, hits, params=None, evaluer=None):
-    """rescorediagonal over an in-memory hits dict (query==target DB).
+def rescore_diagonal(db, hits, params=None, evaluer=None, tdb=None):
+    """rescorediagonal over an in-memory hits dict.
 
     hits: {query_key: [(target_key, pref_score, diagonal), ...]} — signed
     pref_score < 0 marks reverse-strand hits (nucleotide only).
-    Returns {query_key: np.ndarray[RESULT_DTYPE]} alignment records.
+    tdb: target DB when different from the query DB (identity hits are
+    then never taken, sameQTDB=false). Returns
+    {query_key: np.ndarray[RESULT_DTYPE]} alignment records.
     """
     params = params or RescoreParams()
+    same_db = tdb is None
+    if tdb is None:
+        tdb = db
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
     mat = constants.nucleotide() if is_nucl else constants.blosum62()
     if evaluer is None:
         evaluer = EvalueComputer.for_matrix(
             "nucleotide_ungapped" if is_nucl else "blosum62_ungapped",
-            db.total_residues())
+            tdb.total_residues())
     ascii_mat = mat.ascii_mat
     lut = db.id_lookup_array()
+    tlut = tdb.id_lookup_array()
 
     # nucleotide reverse-complement of raw chars (rescorediagonal.cpp:173-179):
     # revcomp through the numeric alphabet, X -> 'X' char
@@ -263,12 +269,12 @@ def rescore_diagonal(db, hits, params=None, evaluer=None):
         qrev = revcomp_chars(qseq) if is_nucl else None
         results = []
         for (tkey, pref_score, diagonal) in hlist:
-            tid = int(lut[tkey])
+            tid = int(tlut[tkey])
             is_reverse = is_nucl and pref_score < 0
             qseq_use = qrev if is_reverse else qseq
-            tseq = np.asarray(db.get_seq(tid))
+            tseq = np.asarray(tdb.get_seq(tid))
             tlen = len(tseq)
-            is_identity = (qid == tid)  # sameQTDB always true here
+            is_identity = same_db and (qid == tid)
             if not _can_be_covered(params.cov_thr, params.cov_mode,
                                    orig_qlen, tlen):
                 continue

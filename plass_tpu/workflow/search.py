@@ -109,7 +109,8 @@ def run_search(qdb, tdb, out_path, tmp_base, params=None):
                 qdb, hits, seq_id_thr=p.seq_id_thr, cov_thr=p.cov_thr,
                 cov_mode=p.cov_mode, eval_thr=p.eval_thr,
                 aln_len_thr=p.aln_len_thr, gap_open=p.gap_open,
-                gap_extend=p.gap_extend, tdb=None if same_db else tdb,
+                gap_extend=p.gap_extend, comp_bias_corr=p.comp_bias_corr,
+                tdb=None if same_db else tdb,
                 alignment_mode=p.alignment_mode,
                 add_backtrace=p.add_backtrace,
                 include_identity=p.include_identity,

@@ -70,6 +70,28 @@ def test_easy_search_m8(tmp_path):
     assert open(out, "rb").read() == open(f"{GOLDEN}/es.tsv", "rb").read()
 
 
+@needs_golden
+def test_rbh_bytes(tmp_path):
+    """Reciprocal-best-hit workflow (rbh.sh: two searches at the driver's
+    serialized -s 4.0, bitscore sort/extract, swap, merge, result2rbh)."""
+    from plass_tpu.cli.tools import _rbh
+    space = _command_space("rbh")
+    out = str(tmp_path / "rbh")
+    _rbh([f"{GOLDEN}/q", f"{GOLDEN}/t", out, str(tmp_path / "tmp")], space)
+    assert _load_records(out) == _load_records(f"{GOLDEN}/rbh_res")
+
+
+@needs_golden
+def test_map_bytes(tmp_path):
+    """map workflow: prefilter with coverage gate + ungapped
+    rescorediagonal at high identity."""
+    from plass_tpu.cli.tools import _map
+    space = _command_space("map")
+    out = str(tmp_path / "map")
+    _map([f"{GOLDEN}/q", f"{GOLDEN}/t", out, str(tmp_path / "tmp")], space)
+    assert _load_records(out) == _load_records(f"{GOLDEN}/map_res")
+
+
 def test_automatic_cluster_params():
     """setAutomaticThreshold/Iterations boundaries (Cluster.cpp:22-40)."""
     from plass_tpu.workflow.cluster import (automatic_iterations,

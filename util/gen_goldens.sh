@@ -76,5 +76,7 @@ cd /tmp/goldensearch
 "$REF_PLASS" easy-cluster s.fasta ec tmp_ec --threads 1 >> cluster.log 2>&1
 "$REF_PLASS" easy-linclust s.fasta el tmp_el --threads 1 >> cluster.log 2>&1
 "$REF_PLASS" easy-search q.fasta t.fasta es.tsv tmp_es --threads 1 >> cluster.log 2>&1
+"$REF_PLASS" rbh q t rbh_res tmp_rbh --threads 1 >> cluster.log 2>&1
+"$REF_PLASS" map q t map_res tmp_map --threads 1 >> cluster.log 2>&1
 
 echo "all goldens regenerated"
