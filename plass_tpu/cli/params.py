@@ -190,6 +190,21 @@ def search_flags():
     ]
 
 
+def tax_flags():
+    return [
+        Flag("--lca-ranks", "lca_ranks", str, "", "Comma-separated ranks for the ranks column"),
+        Flag("--tax-lineage", "tax_lineage", int, 0, "0 none, 1 named lineage, 2 taxid lineage", r"[0-2]"),
+        Flag("--blacklist", "blacklist", str,
+             "12908:unclassified sequences,28384:other sequences",
+             "Comma-separated blacklisted taxa"),
+        Flag("--majority", "majority", float, 0.5, "Majority vote cutoff"),
+        Flag("--vote-mode", "vote_mode", int, 1, "0 uniform, 1 minus-log-eval, 2 score"),
+        Flag("--taxon-list", "taxon_list", str, "", "Taxonomy expression (! negates)"),
+        Flag("--lca-mode", "lca_mode", int, 3, "Taxonomy search mode", r"[1-4]"),
+        Flag("--tax-output-mode", "tax_output_mode", int, 0, "0 lca, 1 alignment, 2 both"),
+    ]
+
+
 def orf_flags():
     return [
         Flag("--orf-min-length", "orf_min_length", int, 45, "Min ORF codons"),

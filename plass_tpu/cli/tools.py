@@ -404,7 +404,7 @@ def _filterdb(positional, space):
     extract_lines = v.get("extract_lines", 0)
     beats_first = v.get("beats_first", False)
     w = seqdb.DBWriter(db.dbtype)
-    for i in range(db.size):
+    for i in seqdb.data_order(db):
         lines = [l for l in db.get_data(i).tobytes().decode().splitlines()
                  if l]
         out = []
@@ -449,7 +449,7 @@ def _result2rbh(positional, space):
         raise ValueError("usage: result2rbh <i:resDB> <o:resDB>")
     db = seqdb.SeqDB.open(positional[0])
     w = seqdb.DBWriter(db.dbtype)
-    for i in range(db.size):
+    for i in seqdb.data_order(db):
         lines = [l for l in db.get_data(i).tobytes().decode().splitlines()
                  if l]
         best = 0
@@ -890,7 +890,7 @@ def _subtractdbs(positional, space):
         return out
 
     w = seqdb.DBWriter(left.dbtype)
-    for i in range(left.size):
+    for i in seqdb.data_order(left):
         key = int(left.keys[i])
         lines = passing_keys(left.get_data(i).tobytes())
         drop = set()
@@ -1082,6 +1082,262 @@ def _swapdb(positional, space):
     return 0
 
 
+def _createtaxdb(positional, space):
+    """createtaxdb offline path (createtaxdb.sh:57-101): copy the provided
+    NCBI dump files next to the sequence DB and derive <db>_mapping by
+    joining <db>.lookup accessions with the accession->taxid file."""
+    import shutil
+
+    from ..data import taxonomy as taxmod
+    if len(positional) != 2:
+        raise ValueError("usage: createtaxdb <i:seqDB> <tmpDir> "
+                         "--ncbi-tax-dump <dir> --tax-mapping-file <file>")
+    v = space.values
+    dump = v.get("ncbi_tax_dump", "")
+    mapping_file = v.get("tax_mapping_file", "")
+    if not dump or not mapping_file:
+        raise ValueError("createtaxdb: downloads are unavailable; pass "
+                         "--ncbi-tax-dump and --tax-mapping-file")
+    db = positional[0]
+    for name in ("names.dmp", "nodes.dmp", "merged.dmp"):
+        shutil.copyfile(os.path.join(dump, name), f"{db}_{name[:-4]}.dmp")
+    deln = os.path.join(dump, "delnodes.dmp")
+    if os.path.exists(deln):
+        shutil.copyfile(deln, f"{db}_delnodes.dmp")
+    acc2tax = {}
+    for line in open(mapping_file):
+        parts = line.split()
+        if len(parts) >= 2:
+            acc2tax[parts[0]] = int(parts[1])
+    mapping = {}
+    for line in open(db + ".lookup"):
+        parts = line.split("\t")
+        if len(parts) >= 2 and parts[1] in acc2tax:
+            mapping[int(parts[0])] = acc2tax[parts[1]]
+    taxmod.write_mapping(db + "_mapping", mapping)
+    return 0
+
+
+def _tax_result_suffix(tax, node, ranks, show_lineage):
+    parts = [str(node.tax_id), node.rank, node.name]
+    if ranks:
+        parts.append(";".join(tax.at_ranks(node, ranks)))
+    if show_lineage == 1:
+        parts.append(tax.tax_lineage(node, True))
+    elif show_lineage == 2:
+        parts.append(tax.tax_lineage(node, False))
+    return "\t".join(parts)
+
+
+def _lca(positional, space, majority=False):
+    """lca / majoritylca (lca.cpp): LCA of each record's target taxa,
+    with the default unclassified-sequences blacklist."""
+    from ..data import taxonomy as taxmod
+    if len(positional) != 3:
+        raise ValueError("usage: lca <i:taxSeqDB> <i:resultDB> <o:taxDB>")
+    v = space.values
+    tax = taxmod.Taxonomy.open(positional[0])
+    mapping = taxmod.read_mapping(positional[0] + "_mapping")
+    db = seqdb.SeqDB.open(positional[1])
+    ranks = [r for r in v.get("lca_ranks", "").split(",") if r]
+    show_lineage = v.get("tax_lineage", 0)
+    blacklist = taxmod.parse_blacklist(tax, v.get("blacklist",
+                                                  taxmod.DEFAULT_BLACKLIST))
+    no_tax = "0\tno rank\tunclassified"
+    if ranks:
+        no_tax += "\t"
+    if show_lineage > 0:
+        no_tax += "\t"
+    w = seqdb.DBWriter(seqdb.TAX_RES)
+    order = sorted(range(db.size), key=lambda j: int(db.offsets[j]))
+    for i in order:
+        key = int(db.keys[i])
+        data = db.get_data(i).tobytes()
+        taxa = []
+        for line in data.decode().splitlines():
+            if not line:
+                continue
+            tkey = int(line.split("\t")[0].split()[0])
+            taxon = mapping.get(tkey)
+            if taxon is None:
+                continue
+            if any(tax.is_ancestor(b, taxon) for b in blacklist):
+                continue
+            if majority:
+                taxa.append((taxon, 1.0))
+            else:
+                taxa.append(taxon)
+        if len(data) <= 1:
+            w.write(key, (no_tax + "\n").encode(), add_newline=False)
+            continue
+        if majority:
+            sel = taxmod.weighted_majority_lca(
+                tax, taxa, v.get("majority", 0.5))
+            node = tax.node(sel) if sel else None
+        else:
+            node = tax.lca(taxa)
+        if node is None:
+            w.write(key, (no_tax + "\n").encode(), add_newline=False)
+            continue
+        w.write(key, (_tax_result_suffix(tax, node, ranks, show_lineage)
+                      + "\n").encode(), add_newline=False)
+    w.finish().save(positional[2])
+    return 0
+
+
+def _majoritylca(positional, space):
+    return _lca(positional, space, majority=True)
+
+
+def _addtaxonomy(positional, space):
+    """addtaxonomy.cpp: append taxid/rank/name columns to result lines."""
+    from ..data import taxonomy as taxmod
+    if len(positional) != 3:
+        raise ValueError(
+            "usage: addtaxonomy <i:taxSeqDB> <i:resultDB> <o:resultDB>")
+    v = space.values
+    tax = taxmod.Taxonomy.open(positional[0])
+    mapping = taxmod.read_mapping(positional[0] + "_mapping")
+    db = seqdb.SeqDB.open(positional[1])
+    ranks = [r for r in v.get("lca_ranks", "").split(",") if r]
+    show_lineage = v.get("tax_lineage", 0)
+    w = seqdb.DBWriter(db.dbtype)
+    for i in seqdb.data_order(db):
+        data = db.get_data(i).tobytes()
+        if len(data) <= 1:
+            continue  # empty input records are skipped (addtaxonomy.cpp:64)
+        out = []
+        for line in data.decode().splitlines():
+            if not line:
+                continue
+            tkey = int(line.split("\t")[0].split()[0])
+            taxon = mapping.get(tkey)
+            node = tax.node(taxon) if taxon else None
+            if node is None:
+                continue
+            out.append(line + "\t"
+                       + _tax_result_suffix(tax, node, ranks, show_lineage))
+        w.write(int(db.keys[i]),
+                "".join(l + "\n" for l in out).encode(),
+                add_newline=False)
+    w.finish().save(positional[2])
+    return 0
+
+
+def _taxonomyreport(positional, space):
+    """taxonomyreport.cpp: Kraken-style clade report from a taxonomy
+    result DB (children sorted by descending clade count)."""
+    from ..data import taxonomy as taxmod
+    if len(positional) != 3:
+        raise ValueError(
+            "usage: taxonomyreport <i:taxSeqDB> <i:taxResultDB> <o:tsv>")
+    tax = taxmod.Taxonomy.open(positional[0])
+    db = seqdb.SeqDB.open(positional[1])
+    per_taxon = {}
+    total = db.size
+    for i in range(db.size):
+        data = db.get_data(i).tobytes().decode()
+        taxon = 0
+        first = data.split("\n", 1)[0]
+        if first:
+            taxon = int(first.split("\t")[0])
+        per_taxon[taxon] = per_taxon.get(taxon, 0) + 1
+    # clade counts + children
+    clade = {}
+    children = {}
+    for taxon, cnt in per_taxon.items():
+        if taxon == 0:
+            clade[0] = clade.get(0, 0) + cnt
+            continue
+        lineage = tax._lineage_ids(taxon)
+        for t in lineage:
+            clade[t] = clade.get(t, 0) + cnt
+        for child, parent in zip(lineage[:-1], lineage[1:]):
+            children.setdefault(parent, set()).add(child)
+    out = open(positional[2], "w")
+
+    def emit(taxon, depth):
+        cnt = clade.get(taxon, 0)
+        if cnt == 0:
+            return
+        node = tax.node(taxon)
+        out.write(f"{100 * cnt / float(total):.4f}\t{cnt}\t"
+                  f"{per_taxon.get(taxon, 0)}\t{node.rank}\t{taxon}\t"
+                  f"{'  ' * depth}{node.name}\n")
+        for c in sorted(children.get(taxon, ()),
+                        key=lambda t: -clade.get(t, 0)):
+            emit(c, depth + 1)
+    if clade.get(0, 0) > 0:
+        out.write(f"{100 * clade[0] / float(total):.4f}\t{clade[0]}\t"
+                  f"{per_taxon.get(0, 0)}\tno rank\t0\tunclassified\n")
+    emit(1, 0)
+    out.close()
+    return 0
+
+
+def _filtertaxdb(positional, space):
+    """filtertaxdb.cpp: keep result lines whose taxon matches the
+    taxonomy expression (--taxon-list, '!' negates)."""
+    from ..data import taxonomy as taxmod
+    if len(positional) != 3:
+        raise ValueError(
+            "usage: filtertaxdb <i:taxSeqDB> <i:taxResultDB> <o:taxResultDB>")
+    tax = taxmod.Taxonomy.open(positional[0])
+    expr = taxmod.TaxonomyExpression(
+        space.values.get("taxon_list", ""), tax)
+    db = seqdb.SeqDB.open(positional[1])
+    w = seqdb.DBWriter(db.dbtype)
+    for i in seqdb.data_order(db):
+        out = []
+        for line in db.get_data(i).tobytes().decode().splitlines():
+            if not line:
+                continue
+            taxon = int(line.split("\t")[0])
+            if expr.matches(taxon):
+                out.append(line)
+        w.write(int(db.keys[i]),
+                "".join(l + "\n" for l in out).encode(),
+                add_newline=False)
+    w.finish().save(positional[2])
+    return 0
+
+
+def _taxonomy(positional, space):
+    """taxonomy workflow (taxonomy.sh, top-hit mode): search ->
+    best-evalue filter -> lca. The reference's default approximate-2bLCA
+    needs LCA-aware alignment and falls back to top-hit here."""
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: taxonomy <i:qDB> <i:taxSeqDB> <o:taxDB> <tmpDir>")
+    q, t, out, tmp = positional
+    os.makedirs(tmp, exist_ok=True)
+    # setTaxonomyDefaults (Taxonomy.cpp:13-24): sensitivity 2, -e 1,
+    # --max-accept 30 --max-rejected 5
+    v = space.values
+    if "sensitivity" not in space.was_set:
+        v["sensitivity"] = 2.0
+        space.was_set.add("sensitivity")
+    if "eval_thr" not in space.was_set:
+        v["eval_thr"] = 1.0
+        space.was_set.add("eval_thr")
+    if "max_accept" not in space.was_set:
+        v["max_accept"] = 30
+    if "max_rejected" not in space.was_set:
+        v["max_rejected"] = 5
+    first = os.path.join(tmp, "first")
+    if not os.path.exists(first + ".dbtype"):
+        _search([q, t, first, os.path.join(tmp, "tmp_hsp1")], space)
+    top1 = os.path.join(tmp, "top1")
+    sv = dict(space.values)
+    space.values.update({"filter_file": "", "sort_entries": 0,
+                         "extract_lines": 0, "beats_first": True,
+                         "comparison_operator": "le",
+                         "comparison_value": 0.0, "filter_column": 4})
+    _filterdb([first, top1], space)
+    space.values.update(sv)
+    return _lca([t, top1, out], space)
+
+
 def _createtsv(positional, space):
     from ..data.dbtools import create_tsv
     if len(positional) == 4:
@@ -1143,6 +1399,22 @@ BASE_COMMANDS = [
             "<i:qDB> <i:tDB> <i:prefDB> <o:alnDB>", "Gapped banded alignment", hidden=True),
     Command("prefilter", _prefilter, lambda: P.ParamSpace(P.common_flags() + P.search_flags()),
             "<i:qDB> <i:tDB> <o:prefDB>", "Sensitive double-k-mer-match prefilter", hidden=True),
+    Command("createtaxdb", _createtaxdb, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--ncbi-tax-dump", "ncbi_tax_dump", str, "", "Directory with NCBI nodes/names/merged dmp files"),
+        P.Flag("--tax-mapping-file", "tax_mapping_file", str, "", "Accession to taxid TSV")]),
+            "<i:seqDB> <tmpDir>", "Attach an NCBI taxonomy to a sequence DB", hidden=True),
+    Command("lca", _lca, lambda: P.ParamSpace(P.common_flags() + P.tax_flags()),
+            "<i:taxSeqDB> <i:resultDB> <o:taxDB>", "Lowest common ancestor per query", hidden=True),
+    Command("majoritylca", _majoritylca, lambda: P.ParamSpace(P.common_flags() + P.tax_flags()),
+            "<i:taxSeqDB> <i:resultDB> <o:taxDB>", "Weighted majority LCA per query", hidden=True),
+    Command("addtaxonomy", _addtaxonomy, lambda: P.ParamSpace(P.common_flags() + P.tax_flags()),
+            "<i:taxSeqDB> <i:resultDB> <o:resultDB>", "Annotate result lines with taxonomy", hidden=True),
+    Command("taxonomyreport", _taxonomyreport, lambda: P.ParamSpace(P.common_flags() + P.tax_flags()),
+            "<i:taxSeqDB> <i:taxResultDB> <o:tsv>", "Kraken-style taxonomy report", hidden=True),
+    Command("filtertaxdb", _filtertaxdb, lambda: P.ParamSpace(P.common_flags() + P.tax_flags()),
+            "<i:taxSeqDB> <i:taxResultDB> <o:taxResultDB>", "Filter by taxonomy expression", hidden=True),
+    Command("taxonomy", _taxonomy, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags() + P.tax_flags()),
+            "<i:qDB> <i:taxSeqDB> <o:taxDB> <tmpDir>", "Taxonomic classification (search + LCA)", hidden=True),
     Command("subtractdbs", _subtractdbs, lambda: P.ParamSpace(P.common_flags() + [
         P.Flag("-e", "eval_thr", float, 0.001, "E-value threshold"),
         P.Flag("--e-profile", "eval_profile", float, 0.001, "Profile E-value threshold")]),

@@ -25,6 +25,7 @@ NUCLEOTIDES = 1
 ALIGNMENT_RES = 5
 CLUSTER_RES = 6
 PREFILTER_RES = 7
+TAX_RES = 8
 GENERIC_DB = 12
 PREFILTER_REV_RES = 14
 
@@ -193,6 +194,13 @@ def _write_index(path, keys, offsets, lengths):
     with open(path, "w") as f:
         for k, o, l in zip(keys, offsets, lengths):
             f.write(f"{k}\t{o}\t{l}\n")
+
+
+def data_order(db):
+    """Record indices in data-file (write) order — the order the
+    reference's LINEAR_ACCCESS readers iterate and writers preserve."""
+    import numpy as np
+    return np.argsort(db.offsets, kind="stable")
 
 
 def renumber(db):

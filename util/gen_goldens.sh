@@ -79,4 +79,7 @@ cd /tmp/goldensearch
 "$REF_PLASS" rbh q t rbh_res tmp_rbh --threads 1 >> cluster.log 2>&1
 "$REF_PLASS" map q t map_res tmp_map --threads 1 >> cluster.log 2>&1
 
+echo "== /tmp/goldentax (taxonomy fixture + goldens)"
+sh "$REPO/util/gen_goldens_tax.sh" "$REF_PLASS"
+
 echo "all goldens regenerated"
