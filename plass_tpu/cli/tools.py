@@ -403,12 +403,37 @@ def _filterdb(positional, space):
     sort_entries = v.get("sort_entries", 0)
     extract_lines = v.get("extract_lines", 0)
     beats_first = v.get("beats_first", False)
+    regex = v.get("filter_regex", "")
+    mapping_file = v.get("mapping_file", "")
+    trim = v.get("trim_to_one_column", False)
+    mapping = {}
+    if mapping_file:
+        for line in open(mapping_file):
+            parts = line.split()
+            if len(parts) >= 2:
+                mapping.setdefault(parts[0], []).append(parts[1])
     w = seqdb.DBWriter(db.dbtype)
     for i in seqdb.data_order(db):
         lines = [l for l in db.get_data(i).tobytes().decode().splitlines()
                  if l]
         out = []
-        if sort_entries:
+        if mapping_file:
+            # FILE_MAPPING (filterdb.cpp:407-452): replace the filter
+            # column with each mapped value; unmapped lines are dropped
+            for l in lines:
+                cols = l.split("\t")
+                for val in mapping.get(cols[0 if col < 0 else col].split()[0],
+                                       ()):
+                    out.append("\t".join(cols[:col] + [val]
+                                          + cols[col + 1:]))
+        elif regex:
+            import re as _re
+            pat = _re.compile(regex)
+            for l in lines:
+                cols = l.split("\t")
+                if pat.search(cols[col]):
+                    out.append(cols[col] if trim else l)
+        elif sort_entries:
             vals = [float(l.split("\t")[col]) for l in lines]
             order = sorted(range(len(lines)), key=lambda j: vals[j],
                            reverse=(sort_entries == 2))
@@ -1082,6 +1107,146 @@ def _swapdb(positional, space):
     return 0
 
 
+def _orftocontig(positional, space):
+    from ..data.multihit import orftocontig
+    if len(positional) != 3:
+        raise ValueError(
+            "usage: orftocontig <i:contigDB> <i:orfDB> <o:alnDB>")
+    contigs = seqdb.SeqDB.open(positional[0])
+    orf_h = seqdb.SeqDB.open(positional[1] + "_h")
+    orftocontig(contigs, orf_h).save(positional[2])
+    return 0
+
+
+def _result2stats(positional, space):
+    from ..data.multihit import result2stats_linecount
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: result2stats <i:qDB> <i:tDB> <i:resultDB> <o:statsDB>")
+    if space.values.get("stat", "linecount") != "linecount":
+        raise ValueError("result2stats: only --stat linecount implemented")
+    result2stats_linecount(seqdb.SeqDB.open(positional[2])).save(
+        positional[3])
+    return 0
+
+
+def _besthitperset(positional, space):
+    from ..data.multihit import besthitperset
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: besthitperset <i:qDB> <i:tDB> <i:resultDB> <o:db>")
+    out = besthitperset(positional[1], seqdb.SeqDB.open(positional[2]),
+                        simple_best_hit=space.values.get("simple_best_hit",
+                                                         False))
+    out.save(positional[3])
+    return 0
+
+
+def _combinepvalperset(positional, space):
+    from ..data.multihit import combinepvalperset
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: combinepvalperset <i:qDB> <i:tDB> <i:resultDB> <o:db>")
+    out = combinepvalperset(
+        positional[0], positional[1], seqdb.SeqDB.open(positional[2]),
+        alpha=space.values.get("alpha", 1.0),
+        mode=space.values.get("aggregation_mode", 0))
+    out.save(positional[3])
+    return 0
+
+
+def _mergeresultsbyset(positional, space):
+    from ..data.multihit import mergeresultsbyset
+    if len(positional) != 3:
+        raise ValueError(
+            "usage: mergeresultsbyset <i:setDB> <i:resultDB> <o:db>")
+    out = mergeresultsbyset(seqdb.SeqDB.open(positional[0]),
+                            seqdb.SeqDB.open(positional[1]))
+    out.save(positional[2])
+    return 0
+
+
+def _multihitdb(positional, space):
+    """multihitdb workflow (multihitdb.sh): per-input-file sets, ORF
+    extraction/translation, member/set mapping DBs and set sizes."""
+    from ..data.createdb import create_db
+    from ..data.multihit import orftocontig, result2stats_linecount
+    if len(positional) < 3:
+        raise ValueError(
+            "usage: multihitdb <i:fasta1> ... <o:setDB> <tmpDir>")
+    fastas, outdb, tmp = positional[:-2], positional[-2], positional[-1]
+    os.makedirs(tmp, exist_ok=True)
+    sdb, hdb = create_db(fastas)
+    if sdb.dbtype != seqdb.NUCLEOTIDES:
+        raise ValueError("multihitdb: protein mode not implemented "
+                         "(multihitdb.sh:83)")
+    sdb.save(outdb + "_nucl")
+    hdb.save(outdb + "_nucl_h")
+    # contig -> set (file index) via the lookup file numbers
+    from ..data.headers import parse_fasta_header
+    from ..data.fastx import iter_fastx_raw
+    key = 0
+    contig_to_set = {}
+    for fi, fasta in enumerate(fastas):
+        for _ in iter_fastx_raw(fasta):
+            contig_to_set[key] = fi
+            key += 1
+    with open(outdb + "_nucl_contig_to_set.tsv", "w") as f:
+        for k in sorted(contig_to_set):
+            f.write(f"{k}\t{contig_to_set[k]}\n")
+    # ORFs + translation (EXTRACTORFS_PAR: orf-min-length 30)
+    from ..ops import orf as orf_mod
+    from ..ops import translate as tr
+    odb, ohdb = orf_mod.extract_orfs(sdb, min_length=30)
+    odb.save(outdb + "_nucl_orf")
+    ohdb.save(outdb + "_nucl_orf_h")
+    aa = tr.translate_nucs(odb, ohdb, 1)
+    aa.save(outdb)
+    seqdb.copy_db_files(outdb + "_nucl_orf_h", outdb + "_h")
+    # member (orf) -> set via its contig
+    m2s = seqdb.DBWriter(seqdb.GENERIC_DB)
+    from ..ops.orf import parse_orf_header
+    s2m = {}
+    for i in range(ohdb.size):
+        okey = int(ohdb.keys[i])
+        loc = parse_orf_header(ohdb.get_data(i).tobytes().decode())
+        set_key = contig_to_set[loc["id"]]
+        m2s.write(okey, f"{set_key}\n".encode(), add_newline=False)
+        s2m.setdefault(set_key, []).append(okey)
+    m2s.finish().save(outdb + "_member_to_set")
+    s2m_w = seqdb.DBWriter(seqdb.GENERIC_DB)
+    for set_key in sorted(s2m):
+        s2m_w.write(set_key,
+                    "".join(f"{m}\n" for m in s2m[set_key]).encode(),
+                    add_newline=False)
+    s2m_db = s2m_w.finish()
+    s2m_db.save(outdb + "_set_to_member")
+    result2stats_linecount(s2m_db).save(outdb + "_set_size")
+    return 0
+
+
+def _multihitsearch(positional, space):
+    """multihitsearch workflow (multihitsearch.sh): search the ORF
+    proteins, aggregate best hits per target set, merge per query set."""
+    from ..data.multihit import besthitperset, mergeresultsbyset
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: multihitsearch <i:qSetDB> <i:tSetDB> <o:db> <tmpDir>")
+    q, t, out, tmp = positional
+    os.makedirs(tmp, exist_ok=True)
+    result = os.path.join(tmp, "result")
+    if not os.path.exists(result + ".dbtype"):
+        _search([q, t, result, os.path.join(tmp, "search")], space)
+    agg = besthitperset(t, seqdb.SeqDB.open(result),
+                        simple_best_hit=space.values.get("simple_best_hit",
+                                                         False))
+    agg_path = os.path.join(tmp, "aggregate")
+    agg.save(agg_path)
+    mergeresultsbyset(seqdb.SeqDB.open(q + "_set_to_member"),
+                      seqdb.SeqDB.open(agg_path)).save(out)
+    return 0
+
+
 def _createtaxdb(positional, space):
     """createtaxdb offline path (createtaxdb.sh:57-101): copy the provided
     NCBI dump files next to the sequence DB and derive <db>_mapping by
@@ -1399,6 +1564,26 @@ BASE_COMMANDS = [
             "<i:qDB> <i:tDB> <i:prefDB> <o:alnDB>", "Gapped banded alignment", hidden=True),
     Command("prefilter", _prefilter, lambda: P.ParamSpace(P.common_flags() + P.search_flags()),
             "<i:qDB> <i:tDB> <o:prefDB>", "Sensitive double-k-mer-match prefilter", hidden=True),
+    Command("orftocontig", _orftocontig, lambda: P.ParamSpace(P.common_flags()),
+            "<i:contigDB> <i:orfDB> <o:alnDB>", "Write ORF locations as alignment records", hidden=True),
+    Command("result2stats", _result2stats, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--stat", "stat", str, "linecount", "Statistic to compute")]),
+            "<i:qDB> <i:tDB> <i:resultDB> <o:statsDB>", "Per-record statistics", hidden=True),
+    Command("besthitperset", _besthitperset, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--simple-best-hit", "simple_best_hit", bool, False, "Use E-value instead of corrected P")]),
+            "<i:qDB> <i:tDB> <i:resultDB> <o:db>", "Best hit per target set", hidden=True),
+    Command("combinepvalperset", _combinepvalperset, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--alpha", "alpha", float, 1.0, "Truncation threshold numerator"),
+        P.Flag("--aggregation-mode", "aggregation_mode", int, 0,
+               "0 multihit, 1 min, 2 product, 3 truncated product", r"[0-3]")]),
+            "<i:qDB> <i:tDB> <i:resultDB> <o:db>", "Combine P-values per target set", hidden=True),
+    Command("mergeresultsbyset", _mergeresultsbyset, lambda: P.ParamSpace(P.common_flags()),
+            "<i:setDB> <i:resultDB> <o:db>", "Concatenate member results per set", hidden=True),
+    Command("multihitdb", _multihitdb, lambda: P.ParamSpace(P.common_flags() + P.orf_flags()),
+            "<i:fasta1> ... <o:setDB> <tmpDir>", "Build a multi-hit set database", hidden=True),
+    Command("multihitsearch", _multihitsearch, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags() + [
+        P.Flag("--simple-best-hit", "simple_best_hit", bool, False, "Use E-value instead of corrected P")]),
+            "<i:qSetDB> <i:tSetDB> <o:db> <tmpDir>", "Search with per-set aggregation", hidden=True),
     Command("createtaxdb", _createtaxdb, lambda: P.ParamSpace(P.common_flags() + [
         P.Flag("--ncbi-tax-dump", "ncbi_tax_dump", str, "", "Directory with NCBI nodes/names/merged dmp files"),
         P.Flag("--tax-mapping-file", "tax_mapping_file", str, "", "Accession to taxid TSV")]),
@@ -1473,7 +1658,10 @@ BASE_COMMANDS = [
         P.Flag("--comparison-value", "comparison_value", float, 0.0, "Comparison value"),
         P.Flag("--sort-entries", "sort_entries", int, 0, "1 increasing, 2 decreasing"),
         P.Flag("--extract-lines", "extract_lines", int, 0, "Keep first N lines"),
-        P.Flag("--beats-first", "beats_first", bool, False, "Keep lines matching the first line's column")]),
+        P.Flag("--beats-first", "beats_first", bool, False, "Keep lines matching the first line's column"),
+        P.Flag("--filter-regex", "filter_regex", str, "", "Keep lines whose column matches the regex"),
+        P.Flag("--mapping-file", "mapping_file", str, "", "Map the filter column through a TSV"),
+        P.Flag("--trim-to-one-column", "trim_to_one_column", bool, False, "Output only the filter column")]),
             "<i:db> <o:db>", "Filter result DB lines", hidden=True),
     Command("result2rbh", _result2rbh, lambda: P.ParamSpace(P.common_flags()),
             "<i:resDB> <o:resDB>", "Extract reciprocal best hits", hidden=True),

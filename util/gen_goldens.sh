@@ -82,4 +82,7 @@ cd /tmp/goldensearch
 echo "== /tmp/goldentax (taxonomy fixture + goldens)"
 sh "$REPO/util/gen_goldens_tax.sh" "$REF_PLASS"
 
+echo "== /tmp/goldenmh (multi-hit fixture + goldens)"
+sh "$REPO/util/gen_goldens_mh.sh" "$REF_PLASS"
+
 echo "all goldens regenerated"
