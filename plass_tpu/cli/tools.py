@@ -50,12 +50,14 @@ def load_prefilter(path):
 
 
 def _createdb(positional, space):
-    from ..data.createdb import create_db
+    from ..data.createdb import create_db, write_lookup, write_source
     if len(positional) < 2:
         raise ValueError("usage: createdb <i:fastaFile1> ... <o:seqDB>")
     sdb, hdb = create_db(positional[:-1])
     sdb.save(positional[-1])
     hdb.save(positional[-1] + "_h")
+    write_lookup(positional[-1], sdb.lookup_entries)
+    write_source(positional[-1], sdb.source_names)
     return 0
 
 
@@ -1697,3 +1699,6 @@ BASE_COMMANDS = [
     Command("reverseseq", _reverseseq, lambda: P.ParamSpace(P.common_flags()),
             "<i:seqDB> <o:seqDB>", "Reverse sequences", hidden=True),
 ]
+
+from .tools_db import COMMANDS as _DB_COMMANDS  # noqa: E402
+BASE_COMMANDS.extend(_DB_COMMANDS)

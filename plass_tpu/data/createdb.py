@@ -28,6 +28,34 @@ def iupac_revcomp(arr):
     return IUPAC_COMPLEMENT[arr][::-1]
 
 
+def write_lookup(path, entries):
+    """Write `<db>.lookup`: ``key\\taccession\\tfileNumber`` per record
+    (DBReader::lookupEntryToBuffer, DBReader.cpp:686-694)."""
+    with open(path + ".lookup", "w") as f:
+        for key, name, filenum in entries:
+            f.write(f"{key}\t{name}\t{filenum}\n")
+
+
+def read_lookup(path):
+    """Parse `<db>.lookup` into [(key, accession, fileNumber)]."""
+    out = []
+    with open(path + ".lookup") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                out.append((int(parts[0]), parts[1],
+                            int(parts[2]) if len(parts) > 2 else 0))
+    return out
+
+
+def write_source(path, names):
+    """Write `<db>.source`: ``fileNumber\\tbaseName`` (createdb.cpp:121)."""
+    import os
+    with open(path + ".source", "w") as f:
+        for i, name in enumerate(names):
+            f.write(f"{i}\t{os.path.basename(name)}\n")
+
+
 def create_db(paths, dbtype=None, raw_headers=False):
     """Build (sequence SeqDB, header SeqDB) from FASTA/FASTQ files.
 
@@ -44,11 +72,13 @@ def create_db(paths, dbtype=None, raw_headers=False):
     key = 0
     sample = []
     records = []
-    for path in paths:
+    lookup = []
+    for filenum, path in enumerate(paths):
         for raw, name, comment, seq, qual in iter_fastx_raw(path):
             header = raw if raw_headers \
                 else name + (b" " + comment if comment else b"")
             records.append((key, header, seq))
+            lookup.append((key, name.decode(), filenum))
             if len(sample) < 100:
                 sample.append(seq)
             key += 1
@@ -65,6 +95,8 @@ def create_db(paths, dbtype=None, raw_headers=False):
     if dbtype is None:
         dbtype = _detect_dbtype(sample)
     sdb.dbtype = dbtype
+    sdb.lookup_entries = lookup
+    sdb.source_names = list(paths)
     return sdb, hdb
 
 

@@ -190,15 +190,24 @@ def tsv_to_db(text, dbtype=seqdb.GENERIC_DB):
     return w.finish()
 
 
-def prefix_id(db, prefix=None, tsv=False):
-    """prefixid.cpp: prepend the record key (or a fixed string) to every
-    line of each record."""
+def prefix_id(db, prefix=None, tsv=False, suffix=False, mapping=None):
+    """prefixid/suffixid (prefixid.cpp addid): prepend (or append with
+    suffix=True) the record key, a fixed string, or the record's lookup
+    accession (mapping={key: name}) to every line of each record."""
     w = seqdb.DBWriter(db.dbtype)
     for i in data_order(db):
         key = int(db.keys[i])
-        pre = prefix if prefix is not None else str(key)
+        if prefix is not None:
+            add = prefix
+        elif mapping is not None:
+            add = mapping[key]
+        else:
+            add = str(key)
         body = db.get_data(i).tobytes().decode()
-        lines = [f"{pre}\t{ln}" for ln in body.splitlines() if ln]
+        if suffix:
+            lines = [f"{ln}\t{add}" for ln in body.splitlines() if ln]
+        else:
+            lines = [f"{add}\t{ln}" for ln in body.splitlines() if ln]
         w.write(key, ("\n".join(lines) + "\n").encode() if lines else b"",
                 add_newline=False)
     return w.finish()

@@ -22,18 +22,43 @@ import numpy as np
 # dbtype ids (Parameters.h:63-82)
 AMINO_ACIDS = 0
 NUCLEOTIDES = 1
+HMM_PROFILE = 2
 ALIGNMENT_RES = 5
 CLUSTER_RES = 6
 PREFILTER_RES = 7
 TAX_RES = 8
+INDEX_DB = 9
+CA3M_DB = 10
+MSA_DB = 11
 GENERIC_DB = 12
 PREFILTER_REV_RES = 14
+OFFSETDB = 15
+
+# Parameters::getDbTypeName (Parameters.h:1111-1134)
+DBTYPE_NAMES = {
+    0: "Aminoacid", 1: "Nucleotide", 2: "Profile", 3: "Profile state",
+    4: "Profile profile", 5: "Alignment", 6: "Clustering", 7: "Prefilter",
+    8: "Taxonomy", 9: "Index", 10: "CA3M", 11: "MSA", 12: "Generic",
+    14: "Bi-directional prefilter", 15: "Offsetted headers",
+    16: "Directory", 17: "Flatfile", 19: "stdin",
+}
 
 
 def read_dbtype(path):
     with open(path + ".dbtype", "rb") as f:
         raw = int.from_bytes(f.read(4), "little")
     return raw & 0x7FFFFFFF
+
+
+def read_dbtype_raw(path):
+    """Full 4-byte dbtype incl. the compressed flag in bit 31
+    (DBReader::getExtendedDbtype / DBWriter::writeDbtypeFile)."""
+    with open(path + ".dbtype", "rb") as f:
+        return int.from_bytes(f.read(4), "little")
+
+
+def is_compressed(path):
+    return bool(read_dbtype_raw(path) & (1 << 31))
 
 
 def write_dbtype(path, dbtype):
@@ -69,6 +94,8 @@ class SeqDB:
         dbtype = read_dbtype(path)
         data = np.fromfile(path, dtype=np.uint8)
         idx = _read_index(path + ".index")
+        if read_dbtype_raw(path) & (1 << 31):
+            return _decompress_db(data, idx[0], idx[1], idx[2], dbtype)
         return cls(data, idx[0], idx[1], idx[2], dbtype)
 
     @classmethod
@@ -180,6 +207,64 @@ class DBWriter:
             offsets = offsets[order]
             lengths = lengths[order]
         return SeqDB(data, keys, offsets, lengths, self.dbtype)
+
+
+def _decompress_db(data, keys, offsets, lengths, dbtype):
+    """Expand a per-record ZSTD-compressed DB into a plain SeqDB.
+
+    On-disk compressed record framing (DBWriter::writeEnd,
+    DBWriter.cpp:322-379; DBReader::getDataCompressed, DBReader.cpp:507-535):
+    ``[uint32 cSize][payload cSize bytes][terminator]`` where the terminator
+    is 0x00 for a ZSTD frame and 0xFF for a short (<60 byte) raw record; the
+    index length keeps the UNCOMPRESSED record length (payload + NUL).
+    """
+    import zstandard
+    dctx = zstandard.ZstdDecompressor()
+    writer = DBWriter(dbtype)
+    for i in range(len(keys)):
+        o = int(offsets[i])
+        csize = int.from_bytes(data[o:o + 4].tobytes(), "little")
+        payload = data[o + 4: o + 4 + csize].tobytes()
+        term = int(data[o + 4 + csize])
+        if term == 0:
+            payload = dctx.decompress(payload, max_output_size=1 << 31)
+        writer.write(int(keys[i]), payload, add_newline=False)
+    return writer.finish(sort_by_key=False)
+
+
+def save_compressed(db, path):
+    """Write a DB in the reference's per-record ZSTD-compressed layout.
+
+    Mirrors DBWriter with WRITER_COMPRESSED_MODE (DBWriter.cpp:274-384):
+    records < 60 bytes stay raw with an 0xFF terminator; the index records
+    the uncompressed length (+1 for the terminator); bit 31 of the dbtype
+    marks the DB compressed.
+    """
+    import zstandard
+    order = data_order(db)
+    keys, lengths, offsets = [], [], []
+    pos = 0
+    with open(path, "wb") as f:
+        for i in order:
+            payload = db.get_data(int(i)).tobytes()
+            if len(payload) < 60:
+                framed = (len(payload).to_bytes(4, "little") + payload + b"\xff")
+            else:
+                cctx = zstandard.ZstdCompressor(level=3)
+                comp = cctx.compress(payload)
+                framed = len(comp).to_bytes(4, "little") + comp + b"\x00"
+            f.write(framed)
+            keys.append(int(db.keys[int(i)]))
+            offsets.append(pos)
+            lengths.append(len(payload) + 1)
+            pos += len(framed)
+    order2 = np.argsort(np.asarray(keys, dtype=np.uint32), kind="stable")
+    _write_index(path + ".index",
+                 np.asarray(keys, dtype=np.uint32)[order2],
+                 np.asarray(offsets, dtype=np.int64)[order2],
+                 np.asarray(lengths, dtype=np.int64)[order2])
+    with open(path + ".dbtype", "wb") as f:
+        f.write(int(db.dbtype | (1 << 31)).to_bytes(4, "little"))
 
 
 def _read_index(path):
