@@ -349,6 +349,216 @@ def _extractalignedregion(positional, space):
     return 0
 
 
+def _offsetalignment(positional, space):
+    """offsetalignment (util/offsetalignment.cpp): project ORF alignments
+    back to source-contig coordinates."""
+    from ..data.offsetaln import offset_alignment
+    if len(positional) != 6:
+        raise ValueError("usage: offsetalignment <i:qDB> <i:qOrfDB> "
+                         "<i:tDB> <i:tOrfDB> <i:alnDB> <o:alnDB>")
+    v = space.values
+    aln = seqdb.SeqDB.open(positional[4])
+    q_hdr = seqdb.SeqDB.open(positional[1] + "_h")
+    t_hdr = q_hdr if positional[3] == positional[1] \
+        else seqdb.SeqDB.open(positional[3] + "_h")
+    out = offset_alignment(positional[0], q_hdr, positional[2], t_hdr, aln,
+                           search_type=v.get("search_type", 0))
+    out.save(positional[5])
+    return 0
+
+
+def _summarizeheaders(positional, space):
+    """summarizeheaders (util/summarizeheaders.cpp): cluster headers ->
+    one Uniclust/Metaclust-style summary line per cluster."""
+    from ..data.summarize import summarize_metaclust, summarize_uniprot
+    if len(positional) != 4:
+        raise ValueError("usage: summarizeheaders <i:qHdrDB> <i:tHdrDB> "
+                         "<i:cluDB> <o:db>")
+    v = space.values
+    fn = summarize_uniprot if v.get("header_type", 1) == 1 else summarize_metaclust
+    prefix = v.get("summary_prefix", "cl")
+    qdb = seqdb.SeqDB.open(positional[0])
+    tdb = qdb if positional[1] == positional[0] else seqdb.SeqDB.open(positional[1])
+    cdb = seqdb.SeqDB.open(positional[2])
+    writer = seqdb.DBWriter(seqdb.GENERIC_DB)
+    for i in seqdb.data_order(cdb):
+        i = int(i)
+        headers = []
+        rep = ""
+        for n, line in enumerate(cdb.get_data(i).tobytes().decode().splitlines()):
+            if not line:
+                continue
+            src = qdb if n == 0 else tdb
+            if n == 0:
+                rep = line
+            headers.append(src.get_data(src.key_to_id(int(line))).tobytes().decode())
+        writer.write(int(cdb.keys[i]), fn(headers, prefix, rep).encode(),
+                     add_newline=False)
+    writer.finish().save(positional[3])
+    return 0
+
+
+def _diffseqdbs(positional, space):
+    """diffseqdbs (util/diffseqdbs.cpp): compare two sequence DBs by header
+    and write removed / kept-mapping / new key files."""
+    if len(positional) != 5:
+        raise ValueError("usage: diffseqdbs <i:oldDB> <i:newDB> "
+                         "<o:removedKeys> <o:keptKeys> <o:newKeys>")
+    v = space.values
+    use_seq_id = v.get("use_seq_id", False)
+
+    def header_key(raw):
+        text = raw.decode()
+        if use_seq_id:  # Util::parseFastaHeader: first word, db|acc|... aware
+            from ..data.headers import parse_fasta_header
+            return parse_fasta_header(text)
+        return "".join(text.split())
+
+    old = seqdb.SeqDB.open(positional[0] + "_h")
+    new = seqdb.SeqDB.open(positional[1] + "_h")
+    keys_old = [(header_key(old.get_data(i).tobytes()), int(old.keys[i]))
+                for i in range(old.size)]
+    keys_new = [(header_key(new.get_data(i).tobytes()), int(new.keys[i]))
+                for i in range(new.size)]
+    keys_new_sorted = sorted(range(len(keys_new)),
+                             key=lambda i: keys_new[i][0])
+    sorted_headers = [keys_new[i][0] for i in keys_new_sorted]
+    import bisect
+    checked = [False] * len(keys_new)
+    mapped = [0] * len(keys_new)
+    removed = []
+    for oid, (h, okey) in enumerate(keys_old):
+        pos = bisect.bisect_left(sorted_headers, h)
+        if pos < len(sorted_headers) and sorted_headers[pos] == h:
+            nid = keys_new_sorted[pos]
+            checked[nid] = True
+            mapped[nid] = oid
+        else:
+            removed.append(okey)
+    with open(positional[2], "w") as f:
+        for k in removed:
+            f.write(f"{k}\n")
+    # reference iterates keysNew in SORTED order (the array was sorted
+    # in place, diffseqdbs.cpp:103-143)
+    with open(positional[3], "w") as fk, open(positional[4], "w") as fn:
+        for pos in range(len(keys_new_sorted)):
+            nid = keys_new_sorted[pos]
+            if checked[nid]:
+                fk.write(f"{keys_old[mapped[nid]][1]}\t{keys_new[nid][1]}\n")
+            else:
+                fn.write(f"{keys_new[nid][1]}\n")
+    return 0
+
+
+def _gff2db(positional, space):
+    """gff2db (util/gff2db.cpp): extract GFF features from a sequence DB
+    into a new nucleotide DB with ORF-style headers."""
+    from ..data.createdb import read_lookup, IUPAC_COMPLEMENT
+    from ..ops.orf import _orf_header
+    if len(positional) < 3:
+        raise ValueError("usage: gff2db <i:gff1> ... <i:seqDB> <o:db>")
+    v = space.values
+    gffs = positional[:-2]
+    seq_path, out = positional[-2], positional[-1]
+    db = seqdb.SeqDB.open(seq_path)
+    name2key = {name: key for key, name, _ in read_lookup(seq_path)}
+    features = [s for s in v.get("gff_type", "").split(",") if s]
+    writer = seqdb.DBWriter(seqdb.NUCLEOTIDES)
+    hwriter = seqdb.DBWriter(seqdb.GENERIC_DB)
+    lookup_lines = []
+    key = 0
+    with open(out + ".source", "w") as f:
+        for i, g in enumerate(gffs):
+            f.write(f"{i}\t{os.path.basename(g)}\n")
+    for fi, gff in enumerate(gffs):
+        idx = 0
+        with open(gff) as f:
+            for line in f:
+                if line.startswith("#") or line == "\n":
+                    continue
+                cols = line.rstrip("\n").split("\t")
+                if len(cols) < 9:
+                    logger.warning("Not enough columns in GFF file")
+                    continue
+                if features and cols[2] not in features:
+                    continue
+                start, end = int(cols[3]), int(cols[4])
+                if start == end:
+                    logger.warning("Invalid sequence length in line %d", idx)
+                    continue
+                strand, name = cols[6], cols[0]
+                if name not in name2key:
+                    raise ValueError(
+                        f"GFF entry not found in database lookup: {name}")
+                lkey = name2key[name]
+                sid = db.key_to_id(lkey)
+                seq = db.get_seq(sid).tobytes()
+                if strand == "+":
+                    hwriter.write(key, _orf_header(lkey, start, end, 0, 0) + b"\n",
+                                  add_newline=False)
+                    lookup_lines.append(f"{key}\t{name}_{idx}_{start}_{end}\t{fi}\n")
+                    frag = seq[start - 1: start - 1 + (end - start + 1)]
+                else:
+                    hwriter.write(key, _orf_header(lkey, end, start, 0, 0) + b"\n",
+                                  add_newline=False)
+                    lookup_lines.append(f"{key}\t{name}_{idx}_{end}_{start}\t{fi}\n")
+                    window = np.frombuffer(seq[start - 1: end], dtype=np.uint8)
+                    frag = IUPAC_COMPLEMENT[window][::-1].tobytes()
+                writer.write(key, frag)
+                key += 1
+                idx += 1
+    writer.finish().save(out)
+    hwriter.finish().save(out + "_h")
+    with open(out + ".lookup", "w") as f:
+        f.writelines(lookup_lines)
+    return 0
+
+
+def _maskbygff(positional, space):
+    """maskbygff (util/maskbygff.cpp): X out GFF regions of a sequence DB;
+    keys are renumbered from --id-offset."""
+    if len(positional) != 3:
+        raise ValueError("usage: maskbygff <i:gff> <i:seqDB> <o:seqDB>")
+    v = space.values
+    gff_type = v.get("gff_type", "")
+    offset = v.get("id_offset", 0)
+    db = seqdb.SeqDB.open(positional[1])
+    seqs = {str(int(db.keys[i])): bytearray(db.get_seq(i).tobytes())
+            for i in range(db.size)}
+    n = 0
+    with open(positional[0]) as f:
+        for line in f:
+            n += 1
+            if line.startswith("#"):
+                continue
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) != 9:
+                logger.warning("Invalid GFF format in line %d!", n)
+                continue
+            name, ftype = cols[0], cols[2]
+            if gff_type and ftype != gff_type:
+                continue
+            start, end = int(cols[3]), int(cols[4])
+            if end <= start or end == 0 or start == 0:
+                logger.warning("Invalid sequence length in line %d!", n)
+                continue
+            if name not in seqs:
+                raise ValueError(f"GFF entry not found in input database: {name}")
+            body = seqs[name]
+            body[start - 1: end] = b"X" * (end - start + 1)
+    writer = seqdb.DBWriter(db.dbtype)
+    hdb = seqdb.SeqDB.open(positional[1] + "_h")
+    hwriter = seqdb.DBWriter(seqdb.GENERIC_DB)
+    for i in range(db.size):
+        newkey = offset + i
+        writer.write(newkey, bytes(seqs[str(int(db.keys[i]))]))
+        hwriter.write(newkey, hdb.get_data(hdb.key_to_id(int(db.keys[i]))).tobytes(),
+                      add_newline=False)
+    writer.finish().save(positional[2])
+    hwriter.finish().save(positional[2] + "_h")
+    return 0
+
+
 def _db_flags():
     return P.common_flags() + [
         P.Flag("--id-list", "id_list", str, "", "Entries to print, comma-separated"),
@@ -365,6 +575,12 @@ def _db_flags():
         P.Flag("--overlap", "overlap", float, 0.0, "Maximum overlap of covered regions"),
         P.Flag("-a", "add_backtrace", bool, False, "Keep backtraces"),
         P.Flag("--extract-mode", "extract_mode", int, 2, "Extract 1: query, 2: target", r"[1-2]"),
+        P.Flag("--search-type", "search_type", int, 0, "0 auto, 1 aa, 2 translated, 3 nucl, 4 trans-nucl-aln", r"[0-4]"),
+        P.Flag("--header-type", "header_type", int, 1, "1: Uniclust, 2: Metaclust", r"[1-2]"),
+        P.Flag("--summary-prefix", "summary_prefix", str, "cl", "Summary prefix"),
+        P.Flag("--use-seq-id", "use_seq_id", bool, False, "Match by sequence ID instead of full header"),
+        P.Flag("--gff-type", "gff_type", str, "", "GFF feature type(s), comma-separated"),
+        P.Flag("--id-offset", "id_offset", int, 0, "Numeric ids in index file are offset by this value"),
     ]
 
 
@@ -393,4 +609,17 @@ COMMANDS = [
             "<i:alnDB> <o:alnDB>", "Greedy non-overlapping domain selection", hidden=True),
     Command("extractalignedregion", _extractalignedregion, lambda: P.ParamSpace(_db_flags()),
             "<i:qDB> <i:tDB> <i:alnDB> <o:seqDB>", "Extract aligned regions", hidden=True),
+    Command("offsetalignment", _offsetalignment, lambda: P.ParamSpace(_db_flags()),
+            "<i:qDB> <i:qOrfDB> <i:tDB> <i:tOrfDB> <i:alnDB> <o:alnDB>",
+            "Map ORF alignments back to contig coordinates", hidden=True),
+    Command("summarizeheaders", _summarizeheaders, lambda: P.ParamSpace(_db_flags()),
+            "<i:qHdrDB> <i:tHdrDB> <i:cluDB> <o:db>",
+            "Summarize cluster headers (Uniclust/Metaclust style)", hidden=True),
+    Command("diffseqdbs", _diffseqdbs, lambda: P.ParamSpace(_db_flags()),
+            "<i:oldDB> <i:newDB> <o:removed> <o:kept> <o:new>",
+            "Diff two sequence DBs by header", hidden=True),
+    Command("gff2db", _gff2db, lambda: P.ParamSpace(_db_flags()),
+            "<i:gff1> ... <i:seqDB> <o:db>", "Extract GFF features into a DB", hidden=True),
+    Command("maskbygff", _maskbygff, lambda: P.ParamSpace(_db_flags()),
+            "<i:gff> <i:seqDB> <o:seqDB>", "X out GFF regions", hidden=True),
 ]
