@@ -1702,3 +1702,5 @@ BASE_COMMANDS = [
 
 from .tools_db import COMMANDS as _DB_COMMANDS  # noqa: E402
 BASE_COMMANDS.extend(_DB_COMMANDS)
+from .tools_profile import COMMANDS as _PROFILE_COMMANDS  # noqa: E402
+BASE_COMMANDS.extend(_PROFILE_COMMANDS)

@@ -11,12 +11,14 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-_SOURCES = ["ssw.cpp", "extend.cpp", "banded.cpp", "tantan.cpp"]
+_SOURCES = ["ssw.cpp", "extend.cpp", "banded.cpp", "tantan.cpp", "pssm.cpp"]
 
 
 def _build(so_path):
     srcs = [os.path.join(_DIR, s) for s in _SOURCES]
-    cmd = ["g++", "-O3", "-std=c++14", "-shared", "-fPIC", *srcs,
+    # -mavx2: pssm.cpp mirrors the reference's AVX2 rcp/NR weight kernel
+    # (the reference binaries are -march=native AVX2 builds)
+    cmd = ["g++", "-O3", "-std=c++14", "-mavx2", "-shared", "-fPIC", *srcs,
            "-o", so_path]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -67,4 +69,21 @@ def lib():
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_uint8]
         _LIB.tantan_mask.restype = ctypes.c_int64
+        f32p = ctypes.POINTER(ctypes.c_float)
+        _LIB.pssm_compute.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_float, ctypes.c_float, f64p, f32p,
+            i8p, f32p, f32p, u8p]
+        _LIB.pssm_neff_to_char.argtypes = [ctypes.c_float]
+        _LIB.pssm_neff_to_char.restype = ctypes.c_uint8
+        _LIB.pssm_score_mask.argtypes = [ctypes.c_float]
+        _LIB.pssm_score_mask.restype = ctypes.c_uint8
+        _LIB.pssm_score_unmask.argtypes = [ctypes.c_uint8]
+        _LIB.pssm_score_unmask.restype = ctypes.c_float
+        _LIB.pssm_neff_to_float.argtypes = [ctypes.c_uint8]
+        _LIB.pssm_neff_to_float.restype = ctypes.c_float
+        _LIB.pssm_scalar_prod20.argtypes = [f32p, f32p]
+        _LIB.pssm_scalar_prod20.restype = ctypes.c_float
+        _LIB.pssm_flog2.argtypes = [ctypes.c_float]
+        _LIB.pssm_flog2.restype = ctypes.c_float
         return _LIB

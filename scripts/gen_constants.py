@@ -365,11 +365,18 @@ def main():
     # likelihood ratios P(a,b)/(pa*pb) for tantan masking
     # (ProbabilityMatrix, BaseMatrix.h:80-93)
     lratio = prob / (pback[:, None] * pback[None, :])
+    # pseudocount matrix R[a][b] = P(a|b) = prob[a][b]/rowsum(prob)[b]
+    # (BaseMatrix::generateSubMatrix, BaseMatrix.cpp:109-121; the divisor is
+    # computeBackground's row-sum background with X pinned to ANY_BACK, NOT
+    # the file background stored as `pback`)
+    rowsum_pback = prob.sum(axis=1)
+    rowsum_pback[len(letters) - 1] = ANY_BACK
+    pseudo_r = (prob / rowsum_pback[None, :]).astype(np.float32)
     np.savez(
         os.path.join(OUT, "blosum62.npz"),
         letters=np.frombuffer("".join(letters).encode(), dtype=np.uint8),
         sub=sub_int, pback=pback, aa2num=aa2num, ascii_mat=ascii_mat,
-        lratio=lratio,
+        lratio=lratio, prob=prob, pseudo_r=pseudo_r,
     )
 
     # ---- seed matrix for the sensitive prefilter (VTML80, bitFactor 8.0)

@@ -1,0 +1,134 @@
+"""Byte-parity tests for the profile/MSA subsystem against the reference
+binary: result2profile, profile2pssm, profile2consensus, profile2repseq,
+result2msa, filterresult, msa2profile.
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REF = "/tmp/refbuild/src/plass"
+OURS = os.path.join(os.path.dirname(__file__), "..", "bin", "plass")
+
+needs_ref = pytest.mark.skipif(not os.path.exists(REF),
+                               reason="reference binary not built")
+
+
+def run_ref(*args):
+    return subprocess.run([REF, *[str(a) for a in args], "-v", "0"],
+                          capture_output=True, check=True)
+
+
+def run_ours(*args):
+    return subprocess.run([OURS, *[str(a) for a in args]],
+                          capture_output=True, check=True)
+
+
+def db_bytes(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    with open(path + ".index", "rb") as f:
+        index = f.read()
+    return data, index
+
+
+@pytest.fixture(scope="module")
+def search_result(tmp_path_factory):
+    """Self-search alignment DB with backtraces over a protein family."""
+    d = tmp_path_factory.mktemp("prof")
+    rng = np.random.RandomState(11)
+    alphabet = list("ACDEFGHIKLMNPQRSTVWY")
+    base = "".join(rng.choice(alphabet, 120))
+    rows = []
+    for i in range(8):
+        mut = list(base)
+        for j in rng.choice(len(base), 18, replace=False):
+            mut[j] = rng.choice(alphabet)
+        # some indels for non-trivial backtraces
+        if i % 3 == 1:
+            del mut[40:43]
+        if i % 3 == 2:
+            mut[60:60] = list(rng.choice(alphabet, 4))
+        rows.append((f">p{i}", "".join(mut)))
+    fasta = d / "in.fasta"
+    fasta.write_text("".join(f"{h}\n{s}\n" for h, s in rows))
+    db = str(d / "seq")
+    aln = str(d / "aln")
+    run_ref("createdb", fasta, db)
+    run_ref("kmermatcher", db, d / "pref", "-k", "6",
+            "--kmer-per-seq", "60", "--threads", "1")
+    run_ref("align", db, db, d / "pref", aln, "-a", "-e", "10000",
+            "--threads", "1")
+    return db, aln
+
+
+@needs_ref
+def test_result2profile_parity(tmp_path, search_result):
+    db, aln = search_result
+    run_ref("result2profile", db, db, aln, tmp_path / "ref", "--threads", "1")
+    run_ours("result2profile", db, db, aln, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@pytest.fixture(scope="module")
+def profile_db(tmp_path_factory, search_result):
+    db, aln = search_result
+    d = tmp_path_factory.mktemp("profdb")
+    out = str(d / "prof")
+    run_ref("result2profile", db, db, aln, out, "--threads", "1")
+    return out
+
+
+@needs_ref
+def test_profile2pssm_parity(tmp_path, profile_db):
+    run_ref("profile2pssm", profile_db, tmp_path / "ref.tsv", "--threads", "1")
+    run_ours("profile2pssm", profile_db, tmp_path / "ours.tsv")
+    assert (tmp_path / "ref.tsv").read_bytes() == (tmp_path / "ours.tsv").read_bytes()
+    run_ref("profile2pssm", profile_db, tmp_path / "refdb", "--db-output", "--threads", "1")
+    run_ours("profile2pssm", profile_db, tmp_path / "oursdb", "--db-output")
+    assert db_bytes(str(tmp_path / "refdb")) == db_bytes(str(tmp_path / "oursdb"))
+
+
+@needs_ref
+def test_profile2seq_parity(tmp_path, profile_db):
+    for cmd in ("profile2consensus", "profile2repseq"):
+        run_ref(cmd, profile_db, tmp_path / f"ref_{cmd}", "--threads", "1")
+        run_ours(cmd, profile_db, tmp_path / f"ours_{cmd}")
+        assert db_bytes(str(tmp_path / f"ref_{cmd}")) == \
+            db_bytes(str(tmp_path / f"ours_{cmd}")), cmd
+
+
+@needs_ref
+def test_filterresult_parity(tmp_path, search_result):
+    db, aln = search_result
+    run_ref("filterresult", db, db, aln, tmp_path / "ref", "--threads", "1")
+    run_ours("filterresult", db, db, aln, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@needs_ref
+def test_result2msa_parity(tmp_path, search_result):
+    db, aln = search_result
+    run_ref("result2msa", db, db, aln, tmp_path / "ref", "--threads", "1")
+    run_ours("result2msa", db, db, aln, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@needs_ref
+def test_result2msa_filtered_parity(tmp_path, search_result):
+    db, aln = search_result
+    run_ref("result2msa", db, db, aln, tmp_path / "ref", "--threads", "1",
+            "--filter-msa", "1")
+    run_ours("result2msa", db, db, aln, tmp_path / "ours", "--filter-msa", "1")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@needs_ref
+def test_msa2profile_parity(tmp_path, search_result):
+    db, aln = search_result
+    msa = tmp_path / "msa"
+    run_ref("result2msa", db, db, aln, msa, "--threads", "1")
+    run_ref("msa2profile", msa, tmp_path / "ref", "--threads", "1")
+    run_ours("msa2profile", msa, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
