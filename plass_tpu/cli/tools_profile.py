@@ -401,6 +401,405 @@ def _convertprofiledb(positional, space):
                      "supported in this build")
 
 
+_TRANSITIONS = {
+    ("M", "M"): "M", ("I", "M"): "I", ("D", "M"): "D",
+    ("M", "D"): "D", ("I", "D"): None, ("D", "D"): "D",
+    ("M", "I"): "I", ("I", "I"): "I", ("D", "I"): None,
+}
+
+
+def translate_backtrace(ab, bc):
+    """BacktraceTranslator::translateResult (commons/BacktraceTranslator.h):
+    compose A->B and B->C alignments into A->C. Returns dict or None."""
+    start_b_ab = ab["dbStartPos"]
+    start_b_bc = bc["qStartPos"]
+    dist = abs(start_b_ab - start_b_bc)
+    bt_ab, bt_bc = ab["backtrace"], bc["backtrace"]
+    if start_b_ab < start_b_bc:
+        a_off = b_off = bt_off = 0
+        while b_off < dist and bt_off < len(bt_ab):
+            b_off += bt_ab[bt_off] in "MD"
+            a_off += bt_ab[bt_off] in "MI"
+            bt_off += 1
+        off_ab, off_bc = bt_off, 0
+        start_a = ab["qStartPos"] + a_off
+        start_c = bc["dbStartPos"]
+    elif start_b_ab > start_b_bc:
+        b_off = c_off = bt_off = 0
+        while b_off < dist and bt_off < len(bt_bc):
+            b_off += bt_bc[bt_off] in "MI"
+            c_off += bt_bc[bt_off] in "MD"
+            bt_off += 1
+        off_ab, off_bc = 0, bt_off
+        start_a = ab["qStartPos"]
+        start_c = bc["dbStartPos"] + c_off
+    else:
+        off_ab = off_bc = 0
+        start_a = ab["qStartPos"]
+        start_c = bc["dbStartPos"]
+
+    out = []
+    last_m = 0
+    q_aln = db_aln = 0
+    i = 0
+    while off_ab < len(bt_ab) and off_bc < len(bt_bc):
+        i += 1
+        t = _TRANSITIONS[(bt_ab[off_ab], bt_bc[off_bc])]
+        if t is None:
+            i -= 1
+        else:
+            if t == "M":
+                last_m = i
+                q_aln += 1
+                db_aln += 1
+            elif t == "D":
+                q_aln += 1
+            else:
+                db_aln += 1
+            out.append(t)
+        off_ab += 1
+        off_bc += 1
+    return {
+        "dbKey": bc["dbKey"], "score": bc["score"], "seqId": bc["seqId"],
+        "eval": bc["eval"], "qStartPos": start_a,
+        "qEndPos": start_a + q_aln - 1, "qLen": ab["qLen"],
+        "dbStartPos": start_c, "dbEndPos": start_c + db_aln - 1,
+        "dbLen": bc["dbLen"], "backtrace": "".join(out[:last_m]),
+    }
+
+
+def _expandaln(positional, space, return_aln=True):
+    """expandaln / expand2profile (util/expandaln.cpp): transitively expand
+    A->B hits with B->C hits into A->C alignments or a profile."""
+    from .. import constants
+    from ..ops import msa as MSA
+    from ..ops.evalue import EvalueComputer
+    from ..ops.protein_align import calc_local_aa_bias, compress_cigar
+    from ..ops.rescore import format_seq_id
+    if len(positional) != 5:
+        raise ValueError("usage: expandaln <i:aDB> <i:cDB> <i:abDB> "
+                         "<i:bcDB> <o:db>")
+    v = space.values
+    mat = constants.blosum62()
+    adb = seqdb.SeqDB.open(positional[0])
+    cdb = adb if positional[1] == positional[0] else seqdb.SeqDB.open(positional[1])
+    abdb = seqdb.SeqDB.open(positional[2])
+    bcdb = seqdb.SeqDB.open(positional[3])
+    eval_profile = v.get("eval_profile", EVAL_PROFILE_DEFAULT)
+    cov_thr = v.get("cov_thr", 0.0)
+    cov_mode = v.get("cov_mode", 0)
+    seq_id_thr = v.get("seq_id_thr", 0.0)
+    eval_thr = v.get("eval_thr", 0.001)
+    aln_len_thr = v.get("aln_len_thr", 0)
+    expansion_mode = v.get("expansion_mode", 0)  # EXPAND_TRANSFER_EVALUE
+    comp_bias = bool(v.get("comp_bias_corr", 1))
+    gap_open, gap_extend = v.get("gap_open", 11), v.get("gap_extend", 1)
+    evaluer = EvalueComputer.for_matrix("blosum62_11_1", cdb.total_residues())
+    writer = seqdb.DBWriter(
+        seqdb.ALIGNMENT_RES if return_aln else seqdb.HMM_PROFILE)
+    sub = mat.sub.astype(np.int64)
+
+    # pre-parse B->C result lists lazily
+    bc_cache = {}
+
+    def bc_results(bkey):
+        if bkey not in bc_cache:
+            bid = bcdb.key_to_id(bkey)
+            recs = [_parse_aln_line(ln) for ln in
+                    bcdb.get_data(bid).tobytes().decode().split("\n") if ln]
+            recs.sort(key=lambda r: -r["score"])  # stable by construction
+            bc_cache[bkey] = recs
+        return bc_cache[bkey]
+
+    for i in seqdb.data_order(abdb):
+        i = int(i)
+        qkey = int(abdb.keys[i])
+        aid = adb.key_to_id(qkey)
+        anum = mat.aa2num[adb.get_seq(aid)]
+        La = len(anum)
+        bias = np.zeros(La, dtype=np.float64)
+        if comp_bias:
+            bias = calc_local_aa_bias(mat.sub, mat.pback, anum)
+        bias_short = np.where(bias < 0.0, bias - 0.5, bias + 0.5).astype(np.int64)
+        intervals = {}
+        results_ac = []
+        seq_set = []
+        for line in abdb.get_data(i).tobytes().decode().split("\n"):
+            if not line:
+                continue
+            ab = _parse_aln_line(line)
+            if not return_aln and ab["eval"] > eval_profile:
+                continue
+            if not ab["backtrace"]:
+                raise ValueError("Alignment must contain a backtrace")
+            for bc in bc_results(ab["dbKey"]):
+                if not bc["backtrace"]:
+                    raise ValueError("Alignment must contain a backtrace")
+                ac = translate_backtrace(ab, bc)
+                if not ac["backtrace"]:
+                    continue
+                from ..ops.rescore import _can_be_covered
+                if not _can_be_covered(cov_thr, cov_mode, ac["qLen"], ac["dbLen"]):
+                    continue
+                ckey = ac["dbKey"]
+                if ckey in intervals:
+                    lo, hi = min(ac["qStartPos"], ac["qEndPos"]), max(
+                        ac["qStartPos"], ac["qEndPos"])
+                    if intervals[ckey][lo:hi + 1].any():
+                        continue
+                    # reference quirk: an already-seen C key that does NOT
+                    # overlap is silently dropped (expandaln.cpp:262-268)
+                    continue
+                cid = cdb.key_to_id(ckey)
+                cnum = mat.aa2num[cdb.get_seq(cid)]
+                # rescoreResultByBacktrace (expandaln.cpp:24-73)
+                score = 0
+                idents = 0
+                qp, tp = ac["qStartPos"], ac["dbStartPos"]
+                last = ""
+                for st in ac["backtrace"]:
+                    if st == "M":
+                        score += int(sub[anum[qp]][cnum[tp]]) + int(bias_short[qp])
+                        idents += int(anum[qp] == cnum[tp])
+                        qp += 1
+                        tp += 1
+                    elif st == "I":
+                        score -= gap_extend if last == "I" else gap_open
+                        qp += 1
+                    else:
+                        score -= gap_extend if last == "D" else gap_open
+                        tp += 1
+                    last = st
+                if score < -6:
+                    continue
+                if expansion_mode == 1:  # EXPAND_RESCORE_BACKTRACE
+                    ac["eval"] = float(evaluer.evalue(score, La))
+                    ac["score"] = int(float(evaluer.bit_score(score)) + 0.5)
+                    ac["seqId"] = float(np.float32(idents) / np.float32(len(ac["backtrace"])))
+                else:  # transfer from AB
+                    ac["eval"] = ab["eval"]
+                    ac["score"] = ab["score"]
+                    ac["seqId"] = ab["seqId"]
+                qcov = np.float32(abs(ac["qEndPos"] - ac["qStartPos"]) + 1) / np.float32(ac["qLen"])
+                tcov = np.float32(abs(ac["dbEndPos"] - ac["dbStartPos"]) + 1) / np.float32(ac["dbLen"])
+                from ..ops.rescore import _has_cov
+                has_cov = _has_cov(cov_thr, cov_mode, qcov, tcov)
+                has_seq_id = ac["seqId"] >= (seq_id_thr - np.finfo(np.float32).eps)
+                has_eval = ac["eval"] <= eval_thr
+                has_aln_len = len(ac["backtrace"]) >= aln_len_thr
+                if has_cov and has_seq_id and has_eval and has_aln_len:
+                    if not return_aln:
+                        seq_set.append(cnum)
+                    results_ac.append(ac)
+                    iv = intervals.setdefault(ckey, np.zeros(ac["qLen"] + 1, dtype=bool))
+                    lo, hi = min(ac["qStartPos"], ac["qEndPos"]), max(
+                        ac["qStartPos"], ac["qEndPos"])
+                    iv[lo:hi + 1] = True
+        if return_aln:
+            results_ac.sort(key=lambda r: (r["eval"], -r["score"], r["dbLen"], r["dbKey"]))
+            out = []
+            for r in results_ac:
+                out.append(
+                    f"{r['dbKey']}\t{r['score']}\t{format_seq_id(r['seqId'])}\t"
+                    f"{r['eval']:.3E}\t{r['qStartPos']}\t{r['qEndPos']}\t"
+                    f"{r['qLen']}\t{r['dbStartPos']}\t{r['dbEndPos']}\t"
+                    f"{r['dbLen']}\t{compress_cigar(r['backtrace'])}\n")
+            writer.write(qkey, "".join(out).encode(), add_newline=False)
+        else:
+            msa, center_len = MSA.compute_msa(anum, seq_set, results_ac,
+                                              no_deletion=True)
+            if v.get("filter_msa", 1):
+                keep, filtered = MSA.msa_filter(
+                    msa, center_len, coverage=int(v.get("cov_msa_thr", 0.0) * 100),
+                    qid_vec=_qid_vec(space), qsc=v.get("qsc", -20.0),
+                    max_seqid=int(v.get("filter_max_seq_id", 0.9) * 100),
+                    ndiff=v.get("filter_ndiff", 1000),
+                    filter_min_enable=v.get("filter_min_enable", 0))
+                msa = msa[[k for k in range(msa.shape[0]) if keep[k] != 0]]
+            res = MSA.compute_pssm(msa, center_len, wg=bool(v.get("wg", False)),
+                                   pca=v.get("pca", 0.0), pcb=v.get("pcb", 1.5))
+            if v.get("mask_profile", 1):
+                MSA.mask_profile(anum, res)
+            writer.write(qkey, MSA.profile_record(anum, res), add_newline=False)
+    writer.finish().save(positional[4])
+    return 0
+
+
+def _expandaln_cmd(positional, space):
+    return _expandaln(positional, space, return_aln=True)
+
+
+def _expand2profile(positional, space):
+    return _expandaln(positional, space, return_aln=False)
+
+
+def _summarizealis(positional, space):
+    """summarizealis (util/summarizealis.cpp): per query — hit count,
+    unique coverage, total coverage, average seq.id."""
+    if len(positional) != 2:
+        raise ValueError("usage: summarizealis <i:alnDB> <o:db>")
+    db = seqdb.SeqDB.open(positional[0])
+    writer = seqdb.DBWriter(seqdb.GENERIC_DB)
+    for i in seqdb.data_order(db):
+        i = int(i)
+        recs = [_parse_aln_line(ln) for ln in
+                db.get_data(i).tobytes().decode().split("\n") if ln]
+        if not recs:
+            writer.write(int(db.keys[i]), b"", add_newline=False)
+            continue
+        recs.sort(key=lambda r: min(r["qStartPos"], r["qEndPos"]))
+        res_cov = np.float32(0)
+        avg_id = np.float32(0)
+        uniq_cov = np.float32(0)
+        seq_len = 1
+        prev_qend = -1
+        for r in recs:
+            seq_len = r["qLen"]
+            qs = min(r["qStartPos"], r["qEndPos"])
+            qe = max(r["qStartPos"], r["qEndPos"])
+            uniq_cov += np.float32(max(prev_qend, qe) - max(prev_qend, qs))
+            res_cov += np.float32(qe - qs)
+            avg_id += np.float32(r["seqId"])
+            prev_qend = max(prev_qend, r["qEndPos"])
+        avg_id = np.float32(avg_id / np.float32(len(recs)))
+        res_cov = np.float32(res_cov / np.float32(seq_len))
+        uniq_cov = np.float32(uniq_cov / np.float32(seq_len))
+        body = (f"{len(recs)}\t{uniq_cov:.3f}\t{res_cov:.3f}\t{avg_id:.3f}\n")
+        writer.write(int(db.keys[i]), body.encode(), add_newline=False)
+    writer.finish().save(positional[1])
+    return 0
+
+
+def _result2dnamsa(positional, space):
+    """result2dnamsa (util/result2dnamsa.cpp): nucleotide MSA records with
+    strand-aware target rendering."""
+    from ..data.createdb import IUPAC_COMPLEMENT
+    if len(positional) != 4:
+        raise ValueError("usage: result2dnamsa <i:qDB> <i:tDB> <i:resDB> <o:msaDB>")
+    v = space.values
+    skip_query = v.get("skip_query", False)
+    same_db = positional[0] == positional[1]
+    qdb = seqdb.SeqDB.open(positional[0])
+    qhdr = seqdb.SeqDB.open(positional[0] + "_h")
+    tdb = qdb if same_db else seqdb.SeqDB.open(positional[1])
+    thdr = qhdr if same_db else seqdb.SeqDB.open(positional[1] + "_h")
+    rdb = seqdb.SeqDB.open(positional[2])
+    writer = seqdb.DBWriter(seqdb.MSA_DB)
+    for i in seqdb.data_order(rdb):
+        i = int(i)
+        qkey = int(rdb.keys[i])
+        qid = qdb.key_to_id(qkey)
+        parts = []
+        if not skip_query:
+            parts.append(b">" + qhdr.get_data(qhdr.key_to_id(qkey)).tobytes())
+            parts.append(qdb.get_data(qid).tobytes())
+        for line in rdb.get_data(i).tobytes().decode().split("\n"):
+            if not line:
+                continue
+            r = _parse_aln_line(line)
+            tid = tdb.key_to_id(r["dbKey"])
+            parts.append(b">" + thdr.get_data(tid).tobytes())
+            tseq = tdb.get_seq(tid).tobytes()
+            bt = r["backtrace"]
+            q_rev = r["qStartPos"] > r["qEndPos"]
+            t_rev = r["dbStartPos"] > r["dbEndPos"]
+            ts, te = r["dbStartPos"], r["dbEndPos"]
+            is_rev_strand = False
+            if q_rev and t_rev:
+                ts, te = te, ts
+                bt = bt[::-1]
+            elif q_rev and not t_rev:
+                is_rev_strand = True
+                ts, te = te, ts
+                bt = bt[::-1]
+            elif not q_rev and t_rev:
+                is_rev_strand = True
+            out = bytearray(b"-" * min(r["qStartPos"], r["qEndPos"]))
+            seq_pos = 0
+            for st in bt:
+                if st == "M":
+                    if is_rev_strand:
+                        c = IUPAC_COMPLEMENT[tseq[ts - seq_pos]]
+                    else:
+                        c = tseq[ts + seq_pos]
+                    out.append(c)
+                    seq_pos += 1
+                elif st == "I":
+                    out.append(ord("-"))
+                else:
+                    seq_pos += 1
+            qe = max(r["qStartPos"], r["qEndPos"])
+            out += b"-" * (r["qLen"] - (qe + 1))
+            out.append(ord("\n"))
+            parts.append(bytes(out))
+        writer.write(qkey, b"".join(parts), add_newline=False)
+    writer.finish().save(positional[3])
+    return 0
+
+
+def _convertmsa(positional, space):
+    """convertmsa (util/convertmsa.cpp): Stockholm flat file -> MSA DB of
+    FASTA blocks."""
+    import gzip
+    if len(positional) != 2:
+        raise ValueError("usage: convertmsa <i:stockholm[.gz]> <o:msaDB>")
+    v = space.values
+    ident_field = v.get("identifier_field", 0)
+    opener = gzip.open if positional[0].endswith(".gz") else open
+    writer = seqdb.DBWriter(seqdb.MSA_DB)
+    key = 0
+    in_entry = False
+    seq_order = []
+    seqs = {}
+    identifier = ""
+    with opener(positional[0], "rt") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if len(line) < 1:
+                continue
+            if not in_entry and line == "# STOCKHOLM 1.0":
+                in_entry = True
+                continue
+            if in_entry and line == "//":
+                in_entry = False
+                parts = []
+                for j, acc in enumerate(seq_order):
+                    head = acc
+                    if j == 0 and identifier:
+                        head = identifier + " " + acc
+                    parts.append(f">{head}\n{seqs[acc]}\n")
+                writer.write(key, "".join(parts).encode(), add_newline=False)
+                key += 1
+                seq_order = []
+                seqs = {}
+                identifier = ""
+                continue
+            if not in_entry:
+                continue
+            cols = line.split()
+            if line[0] == "#":
+                if line.startswith("#=GF") and len(cols) >= 3:
+                    if ident_field == 1 and cols[1].startswith("AC"):
+                        identifier = cols[2]
+                    elif ident_field == 0 and cols[1].startswith("ID"):
+                        identifier = cols[2]
+            else:
+                if len(cols) < 2:
+                    logger.error("Invalid sequence!")
+                    in_entry = False
+                    continue
+                acc = cols[0]
+                if acc in seqs:
+                    # the reference only '.'-replaces the FIRST chunk
+                    # (convertmsa.cpp:120-128)
+                    seqs[acc] += cols[1]
+                else:
+                    seq_order.append(acc)
+                    seqs[acc] = cols[1].replace(".", "-")
+    writer.finish().save(positional[1])
+    return 0
+
+
 def _profile_flags():
     return P.common_flags() + [
         P.Flag("-e", "eval_thr", float, 0.001, "E-value threshold"),
@@ -429,6 +828,18 @@ def _profile_flags():
     ]
 
 
+def _expand_flags():
+    return [
+        P.Flag("-c", "cov_thr", float, 0.0, "Coverage threshold"),
+        P.Flag("--cov-mode", "cov_mode", int, 0, "Coverage mode", r"[0-5]"),
+        P.Flag("--min-seq-id", "seq_id_thr", float, 0.0, "Sequence identity threshold"),
+        P.Flag("--min-aln-len", "aln_len_thr", int, 0, "Minimum alignment length"),
+        P.Flag("--expansion-mode", "expansion_mode", int, 0,
+               "0: transfer input alignment values, 1: rescore backtrace", r"[0-2]"),
+        P.Flag("--seq-id-mode", "seq_id_mode", int, 0, "SeqId denominator mode", r"[0-2]"),
+    ]
+
+
 COMMANDS = [
     Command("result2profile", _result2profile_cmd, lambda: P.ParamSpace(_profile_flags()),
             "<i:qDB> <i:tDB> <i:resDB> <o:profileDB>", "Compute profiles from results", hidden=True),
@@ -444,4 +855,17 @@ COMMANDS = [
             "<i:profileDB> <o:seqDB>", "Extract consensus sequences", hidden=True),
     Command("profile2repseq", _profile2repseq, lambda: P.ParamSpace(_profile_flags()),
             "<i:profileDB> <o:seqDB>", "Extract representative sequences", hidden=True),
+    Command("expandaln", _expandaln_cmd, lambda: P.ParamSpace(_profile_flags() + _expand_flags()),
+            "<i:aDB> <i:cDB> <i:abDB> <i:bcDB> <o:alnDB>",
+            "Expand A->B alignments with B->C alignments", hidden=True),
+    Command("expand2profile", _expand2profile, lambda: P.ParamSpace(_profile_flags() + _expand_flags()),
+            "<i:aDB> <i:cDB> <i:abDB> <i:bcDB> <o:profileDB>",
+            "Expand alignment results into a profile", hidden=True),
+    Command("summarizealis", _summarizealis, lambda: P.ParamSpace(_profile_flags()),
+            "<i:alnDB> <o:db>", "Summarize alignment results per query", hidden=True),
+    Command("result2dnamsa", _result2dnamsa, lambda: P.ParamSpace(_profile_flags()),
+            "<i:qDB> <i:tDB> <i:resDB> <o:msaDB>", "Compute DNA MSAs from results", hidden=True),
+    Command("convertmsa", _convertmsa, lambda: P.ParamSpace(_profile_flags() + [
+        P.Flag("--identifier-field", "identifier_field", int, 0, "0: ID, 1: AC", r"[0-1]")]),
+            "<i:stockholm[.gz]> <o:msaDB>", "Convert Stockholm MSAs to an MSA DB", hidden=True),
 ]

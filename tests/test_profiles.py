@@ -132,3 +132,81 @@ def test_msa2profile_parity(tmp_path, search_result):
     run_ref("msa2profile", msa, tmp_path / "ref", "--threads", "1")
     run_ours("msa2profile", msa, tmp_path / "ours")
     assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@needs_ref
+def test_expandaln_parity(tmp_path, search_result):
+    db, aln = search_result
+    run_ref("expandaln", db, db, aln, aln, tmp_path / "ref", "--threads", "1")
+    run_ours("expandaln", db, db, aln, aln, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@needs_ref
+def test_expand2profile_parity(tmp_path, search_result):
+    db, aln = search_result
+    run_ref("expand2profile", db, db, aln, aln, tmp_path / "ref", "--threads", "1")
+    run_ours("expand2profile", db, db, aln, aln, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@needs_ref
+def test_summarizealis_parity(tmp_path, search_result):
+    db, aln = search_result
+    run_ref("summarizealis", aln, tmp_path / "ref", "--threads", "1")
+    run_ours("summarizealis", aln, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@needs_ref
+def test_convertmsa_parity(tmp_path, search_result):
+    db, aln = search_result
+    sto = tmp_path / "flat.sto"
+    run_ref("result2msa", db, db, aln, sto, "--msa-format-mode", "4",
+            "--threads", "1")
+    run_ref("convertmsa", sto, tmp_path / "ref")
+    run_ours("convertmsa", sto, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@needs_ref
+def test_result2msa_stockholm_parity(tmp_path, search_result):
+    db, aln = search_result
+    run_ref("result2msa", db, db, aln, tmp_path / "ref.sto",
+            "--msa-format-mode", "4", "--threads", "1")
+    run_ours("result2msa", db, db, aln, tmp_path / "ours.sto",
+             "--msa-format-mode", "4")
+    assert (tmp_path / "ref.sto").read_bytes() == (tmp_path / "ours.sto").read_bytes()
+
+
+@pytest.fixture(scope="module")
+def nucl_search_result(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dnamsa")
+    rng = np.random.RandomState(3)
+    base = "".join(rng.choice(list("ACGT"), 150))
+    rows = []
+    for i in range(6):
+        mut = list(base)
+        for j in rng.choice(len(base), 10, replace=False):
+            mut[j] = rng.choice(list("ACGT"))
+        if i % 2:
+            del mut[50:53]
+        rows.append((f">n{i}", "".join(mut)))
+    fasta = d / "in.fasta"
+    fasta.write_text("".join(f"{h}\n{s}\n" for h, s in rows))
+    db = str(d / "seq")
+    aln = str(d / "aln")
+    run_ref("createdb", fasta, db)
+    run_ref("kmermatcher", db, d / "pref", "-k", "15",
+            "--kmer-per-seq", "60", "--threads", "1")
+    run_ref("align", db, db, d / "pref", aln, "-a", "-e", "10000",
+            "--threads", "1")
+    return db, aln
+
+
+@needs_ref
+def test_result2dnamsa_parity(tmp_path, nucl_search_result):
+    db, aln = nucl_search_result
+    run_ref("result2dnamsa", db, db, aln, tmp_path / "ref", "--threads", "1")
+    run_ours("result2dnamsa", db, db, aln, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
