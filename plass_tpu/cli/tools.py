@@ -1704,3 +1704,7 @@ from .tools_db import COMMANDS as _DB_COMMANDS  # noqa: E402
 BASE_COMMANDS.extend(_DB_COMMANDS)
 from .tools_profile import COMMANDS as _PROFILE_COMMANDS  # noqa: E402
 BASE_COMMANDS.extend(_PROFILE_COMMANDS)
+from .tools_misc import COMMANDS as _MISC_COMMANDS  # noqa: E402
+BASE_COMMANDS.extend(_MISC_COMMANDS)
+from .tools_domain import COMMANDS as _DOMAIN_COMMANDS  # noqa: E402
+BASE_COMMANDS.extend(_DOMAIN_COMMANDS)

@@ -1,0 +1,264 @@
+"""Misc base tools: version, clusthash, ungappedprefilter, alignall,
+easy-rbh (reference: lib/mmseqs/src/util/{versionstring,clusthash,
+alignall}.cpp, lib/mmseqs/src/prefiltering/ungappedprefilter.cpp,
+lib/mmseqs/src/workflow/EasyRbh.cpp + data/workflow/easyrbh.sh)."""
+import os
+
+import numpy as np
+
+from ..data import seqdb
+from ..utils.log import logger
+from . import params as P
+from .app import Command
+
+CLUST_HASH_DEFAULT_ALPH_SIZE = 3    # Parameters.h:239
+CLUST_HASH_DEFAULT_MIN_SEQ_ID = 99  # Parameters.h:240
+
+
+def _version(positional, space):
+    """versionstring.cpp: print the version string."""
+    from .. import __version__
+    print(__version__)
+    return 0
+
+
+def _horner_hash(codes, pows):
+    """Util::hash (Util.h:337-345): h = h*31 + x with 64-bit wraparound,
+    vectorized as a dot product against precomputed powers of 31."""
+    n = len(codes)
+    if n == 0:
+        return 0
+    with np.errstate(over="ignore"):
+        return int((codes.astype(np.uint64) * pows[n - 1::-1]).sum())
+
+
+def _pow31(max_len):
+    pows = np.empty(max(max_len, 1), dtype=np.uint64)
+    pows[0] = 1
+    with np.errstate(over="ignore"):
+        for i in range(1, len(pows)):
+            pows[i] = pows[i - 1] * np.uint64(31)
+    return pows
+
+
+def _clusthash(positional, space):
+    """clusthash.cpp: group sequences by a reduced-alphabet (or canonical
+    strand) hash, then link same-length members at >= --min-seq-id Hamming
+    identity into an alignment-format DB."""
+    from .. import constants
+    from ..data.createdb import IUPAC_COMPLEMENT
+    from ..ops.rescore import format_seq_id
+    if len(positional) != 2:
+        raise ValueError("usage: clusthash <i:seqDB> <o:alnDB>")
+    db = seqdb.SeqDB.open(positional[0])
+    v = space.values
+    alph = (v["alphabet_size"].aminoacids if "alphabet_size" in space.was_set
+            else CLUST_HASH_DEFAULT_ALPH_SIZE)
+    seq_id_thr = (v["min_seq_id"].aminoacids if "min_seq_id" in space.was_set
+                  else CLUST_HASH_DEFAULT_MIN_SEQ_ID / 100.0)
+    is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+    n = db.size
+    max_len = int(db.seq_lens().max()) if n else 1
+    pows = _pow31(max_len)
+    hashes = np.empty(n, dtype=np.uint64)
+    if is_nucl:
+        # canonical strand hash: min(h(seq), h(complement(reverse(seq))))
+        for i in range(n):
+            s = np.asarray(db.get_seq(i))
+            h1 = _horner_hash(s, pows)
+            h2 = _horner_hash(IUPAC_COMPLEMENT[s[::-1]], pows)
+            hashes[i] = min(h1, h2)
+    else:
+        red = constants.reduced(alph)
+        for i in range(n):
+            codes = red.aa2num[np.asarray(db.get_seq(i))]
+            hashes[i] = _horner_hash(codes, pows)
+    # sort by (hash, id) — SORT_PARALLEL over std::pair
+    order = np.lexsort((np.arange(n), hashes))
+    writer = seqdb.DBWriter(seqdb.ALIGNMENT_RES)
+    pos = 0
+    while pos < n:
+        end = pos
+        while end < n and hashes[order[end]] == hashes[order[pos]]:
+            end += 1
+        members = order[pos:end]
+        found = [False] * len(members)
+        seqs = [np.asarray(db.get_seq(i)) for i in members]
+        for i_idx, sid in enumerate(members):
+            qkey = int(db.keys[sid])
+            qlen = len(seqs[i_idx])
+            lines = [f"{qkey}\t255\t1.00\t0\t0\t{qlen - 1}\t{qlen}\t0\t"
+                     f"{qlen - 1}\t{qlen}\n"]
+            if not found[i_idx]:
+                for j_idx in range(len(members)):
+                    if found[j_idx] or j_idx == i_idx:
+                        continue
+                    if len(seqs[j_idx]) != qlen:
+                        continue
+                    ident = int(np.count_nonzero(seqs[i_idx] == seqs[j_idx]))
+                    seq_id = float(np.float32(ident) / np.float32(qlen))
+                    if seq_id >= seq_id_thr:
+                        tkey = int(db.keys[members[j_idx]])
+                        # raw fastSeqIdToBuffer output: identity is the
+                        # full "1.000" (no separator overwrite here,
+                        # clusthash.cpp:158-160)
+                        sid = ("1.000" if seq_id == 1.0
+                               else format_seq_id(seq_id))
+                        lines.append(
+                            f"{tkey}\t255\t{sid}\t0\t0\t"
+                            f"{qlen - 1}\t{qlen}\t0\t{qlen - 1}\t{qlen}\n")
+                        found[j_idx] = True
+            writer.write(qkey, "".join(lines).encode(), add_newline=False)
+        pos = end
+    writer.finish().save(positional[1])
+    return 0
+
+
+def _ungappedprefilter(positional, space):
+    """ungappedprefilter.cpp: optimal ungapped-diagonal all-vs-all search."""
+    from ..ops.prefilter import prefilter_to_db, ungapped_prefilter
+    if len(positional) != 3:
+        raise ValueError(
+            "usage: ungappedprefilter <i:qDB> <i:tDB> <o:prefDB>")
+    qdb = seqdb.SeqDB.open(positional[0])
+    same = (os.path.realpath(positional[0])
+            == os.path.realpath(positional[1]))
+    tdb = None if same else seqdb.SeqDB.open(positional[1])
+    v = space.values
+    hits = ungapped_prefilter(
+        qdb, tdb,
+        eval_thr=v["eval_thr"] if "eval_thr" in space.was_set else 1e-3,
+        cov_thr=v["cov_thr"], cov_mode=v["cov_mode"],
+        min_diag_score=v["min_ungapped_score"], max_seqs=v["max_seqs"],
+        comp_bias_corr=bool(v["comp_bias_corr"]),
+        include_identity=v["add_self_matches"])
+    prefilter_to_db(hits, qkeys=[int(k) for k in qdb.keys]) \
+        .save(positional[2])
+    return 0
+
+
+def _alignall(positional, space):
+    """alignall.cpp: within each result-DB entry's key set, align all
+    members against all members; lines are prefixed with the query key and
+    written under the entry's key (GENERIC_DB)."""
+    from .. import constants
+    from ..ops.evalue import EvalueComputer
+    from ..ops.nucl_align import _can_be_covered, _has_cov
+    from ..ops.protein_align import (ProteinAligner, compress_cigar,
+                                     init_sw_mode, sw_pair)
+    from ..ops.rescore import format_result_line
+    if len(positional) != 3:
+        raise ValueError("usage: alignall <i:tDB> <i:resDB> <o:alnDB>")
+    db = seqdb.SeqDB.open(positional[0])
+    if db.dbtype == seqdb.NUCLEOTIDES:
+        logger.error("Nucleotide alignall needs diagonal information.")
+        return 1
+    res = seqdb.SeqDB.open(positional[1])
+    v = space.values
+    add_backtrace = v["add_backtrace"]
+    alignment_mode = v.get("alignment_mode", 0)
+    if add_backtrace:
+        alignment_mode = 3
+    cov_thr, cov_mode = v["cov_thr"], v["cov_mode"]
+    seq_id_thr = (v["min_seq_id"].aminoacids
+                  if "min_seq_id" in space.was_set else 0.0)
+    eval_thr = v["eval_thr"] if "eval_thr" in space.was_set else 1e-3
+    aln_len_thr = (v["min_aln_len"].aminoacids
+                   if "min_aln_len" in space.was_set else 0)
+    gap_open = v["gap_open"] if "gap_open" in space.was_set else 11
+    gap_extend = v["gap_extend"] if "gap_extend" in space.was_set else 1
+    include_identity = v["add_self_matches"]
+    seq_id_mode = v["seq_id_mode"]
+    sw_mode = init_sw_mode(alignment_mode, cov_thr, seq_id_thr)
+    mat = constants.blosum62()
+    evaluer = EvalueComputer.for_matrix("blosum62_11_1",
+                                        db.total_residues())
+    aligner = ProteinAligner(mat, bool(v["comp_bias_corr"]))
+    writer = seqdb.DBWriter(seqdb.GENERIC_DB)
+    for ei in seqdb.data_order(res):
+        entry_key = int(res.keys[ei])
+        body = res.get_data(ei).tobytes().decode()
+        keys = [int(ln.split("\t", 1)[0].split(" ", 1)[0])
+                for ln in body.splitlines() if ln]
+        out_lines = []
+        for qkey in keys:
+            qid = db.key_to_id(qkey)
+            qnum = mat.aa2num[np.asarray(db.get_seq(qid))]
+            aligner.init_query(qnum)
+            L = aligner.L
+            for tkey in keys:
+                tid = db.key_to_id(tkey)
+                tnum = mat.aa2num[np.asarray(db.get_seq(tid))]
+                if not _can_be_covered(cov_thr, cov_mode, L, len(tnum)):
+                    continue
+                is_identity = (qid == tid) and include_identity
+                r = sw_pair(aligner, evaluer, tnum, tkey, is_identity,
+                            sw_mode, seq_id_mode, gap_open, gap_extend,
+                            eval_thr, cov_mode, cov_thr, L // 2,
+                            add_backtrace=add_backtrace)
+                ok = is_identity or (
+                    (r["eval"] <= eval_thr) and (r["seqId"] >= seq_id_thr)
+                    and _has_cov(cov_thr, cov_mode, r["qcov"], r["tcov"])
+                    and r["alnLength"] >= aln_len_thr)
+                if ok:
+                    bt = (compress_cigar(r.get("backtrace", ""))
+                          if add_backtrace else None)
+                    out_lines.append(f"{qkey}\t"
+                                     + format_result_line(r, bt))
+        writer.write(entry_key, "".join(out_lines).encode(),
+                     add_newline=False)
+    writer.finish().save(positional[2])
+    return 0
+
+
+def _easy_rbh(positional, space):
+    """easy-rbh: createdb both inputs -> rbh -> convertalis
+    (reference: lib/mmseqs/data/workflow/easyrbh.sh)."""
+    from ..data.createdb import create_db
+    from .tools import _convertalis, _rbh
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: easy-rbh <i:queryFasta> <i:targetFasta> <o:tsv> <tmpDir>")
+    # EasyRbh.cpp:36-45: -s 5.7 and SCORE_COV_SEQID staged as wasSet
+    if "sensitivity" not in space.was_set:
+        space.values["sensitivity"] = 5.7
+        space.was_set.add("sensitivity")
+    if "alignment_mode" not in space.was_set:
+        space.values["alignment_mode"] = 3
+        space.was_set.add("alignment_mode")
+    tmp = positional[3]
+    os.makedirs(tmp, exist_ok=True)
+    qpath = os.path.join(tmp, "query")
+    tpath = os.path.join(tmp, "target")
+    for fasta, path in ((positional[0], qpath), (positional[1], tpath)):
+        if not os.path.exists(path + ".dbtype"):
+            sdb, hdb = create_db([fasta])
+            sdb.save(path)
+            hdb.save(path + "_h")
+    _rbh([qpath, tpath, os.path.join(tmp, "result"),
+          os.path.join(tmp, "rbh_tmp")], space)
+    return _convertalis([qpath, tpath, os.path.join(tmp, "result"),
+                         positional[2]], space)
+
+
+COMMANDS = [
+    Command("version", _version, lambda: P.ParamSpace([]),
+            "", "Print version", hidden=True),
+    Command("clusthash", _clusthash, lambda: P.ParamSpace(
+        P.common_flags() + P.kmermatcher_flags() + P.align_flags()),
+            "<i:seqDB> <o:alnDB>", "Hash-based redundancy grouping",
+            hidden=True),
+    Command("ungappedprefilter", _ungappedprefilter, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + P.align_flags()),
+            "<i:qDB> <i:tDB> <o:prefDB>", "Optimal diagonal score search",
+            hidden=True),
+    Command("alignall", _alignall, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + P.align_flags()),
+            "<i:tDB> <i:resDB> <o:alnDB>", "All-vs-all within result sets",
+            hidden=True),
+    Command("easy-rbh", _easy_rbh, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + P.align_flags()),
+            "<i:qFasta> <i:tFasta> <o:tsv> <tmpDir>",
+            "Reciprocal best hit search (FASTA in, BLAST-tab out)",
+            hidden=True),
+]

@@ -840,6 +840,131 @@ def _expand_flags():
     ]
 
 
+def _result2pp(positional, space):
+    """result2pp (util/result2pp.cpp): merge target profiles into the query
+    profile along alignment backtraces, producing a profile-profile merged
+    HMM_PROFILE DB."""
+    from ..native import lib as native_lib
+    from ..ops.msa import PROFILE_AA_SIZE
+    from ..ops.profiledb import read_profile
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: result2pp <i:qProfDB> <i:tProfDB> <i:resDB> <o:profDB>")
+    v = space.values
+    eval_profile = v.get("eval_profile", EVAL_PROFILE_DEFAULT)
+    qdbr = seqdb.SeqDB.open(positional[0])
+    same_db = positional[0] == positional[1]
+    tdbr = qdbr if same_db else seqdb.SeqDB.open(positional[1])
+    rdb = seqdb.SeqDB.open(positional[2])
+    nat = native_lib()
+    writer = seqdb.DBWriter(seqdb.HMM_PROFILE)
+    f32, f64 = np.float32, np.float64
+    tcache = {}
+    for i in seqdb.data_order(rdb):
+        qkey = int(rdb.keys[i])
+        qid = qdbr.key_to_id(qkey)
+        qraw = qdbr.get_data(qid).tobytes()
+        lines = [ln for ln in rdb.get_data(i).tobytes().decode().split("\n")
+                 if ln]
+        if not lines:
+            writer.write(qkey, qraw, add_newline=False)
+            continue
+        qp = read_profile(qraw)
+        L = len(qp["query"])
+        qprob = qp["prob"]
+        qneff = qp["neff"]
+        max_neff_q = f32(qneff.max()) if L else f32(0.0)
+        out = np.zeros((L, PROFILE_AA_SIZE), dtype=np.float32)
+        neff_m = qneff.copy()
+        min_qstart = 2**31 - 1
+        max_qend = 0
+        did_merge = False
+        for line in lines:
+            r = _parse_aln_line(line)
+            if len(line.split("\t")) <= 10:
+                raise ValueError(
+                    "Alignment must contain the alignment information. "
+                    "Compute the alignment with option -a.")
+            if not (r["eval"] <= eval_profile
+                    and (r["dbKey"] != qkey or not same_db)):
+                continue
+            did_merge = True
+            tid = tdbr.key_to_id(r["dbKey"])
+            if tid not in tcache:
+                tcache[tid] = read_profile(tdbr.get_data(tid).tobytes())
+            tp = tcache[tid]
+            tprob, tneff = tp["prob"], tp["neff"]
+            max_neff_t = f32(tneff.max()) if len(tneff) else f32(0.0)
+            qpos, tpos = r["qStartPos"], r["dbStartPos"]
+            min_qstart = min(min_qstart, r["qStartPos"])
+            max_qend = max(max_qend, r["qEndPos"])
+            bt = r["backtrace"]
+            avg_entropy = f32(0.0)
+            qpn, tpn = qpos, tpos
+            for op in bt:
+                q_prob = qprob[qpn] * qneff[qpn]          # float32 vector
+                t_prob = tprob[tpn] * tneff[tpn]
+                mixed = q_prob + t_prob
+                out[qpn] += mixed
+                mixed = mixed / f32(qneff[qpn] + tneff[tpn])
+                terms = np.where(mixed > 0.0,
+                                 -mixed.astype(f64) * np.log(mixed,
+                                                             dtype=f64),
+                                 0.0)
+                for t in terms:  # float += double, per reference order
+                    avg_entropy = f32(f64(avg_entropy) + t)
+                if op == "M":
+                    qpn += 1
+                    tpn += 1
+                elif op == "I":
+                    qpn += 1
+                else:
+                    tpn += 1
+            for li in range(r["qStartPos"], r["qEndPos"]):
+                s = f32(0.0)
+                for val in out[li]:
+                    s = f32(s + val)
+                if s != 0.0:
+                    out[li] *= f32(f64(1.0) / f64(s))
+            avg_entropy = f32(avg_entropy / f32(len(bt)))
+            avg_new_neff = f32(np.exp(f64(avg_entropy)))
+            qpn, tpn = qpos, tpos
+            for op in bt:
+                w = f32((qneff[qpn] + tneff[tpn])
+                        / (max_neff_q + max_neff_t))
+                neff_m[qpn] = f32(f64(avg_new_neff) + 1
+                                  - np.exp(np.log(f64(avg_new_neff))
+                                           * (1 - f64(w))))
+                if op == "M":
+                    qpn += 1
+                    tpn += 1
+                elif op == "I":
+                    qpn += 1
+                else:
+                    tpn += 1
+        if not did_merge:
+            writer.write(qkey, qraw, add_newline=False)
+            continue
+        out[:min_qstart] = qprob[:min_qstart]
+        out[max_qend:L] = qprob[max_qend:L]
+        rec = bytearray()
+        for li in range(L):
+            max_prob = -np.inf
+            cons = 0
+            for aa in range(PROFILE_AA_SIZE):
+                p = float(out[li, aa])
+                rec.append(nat.pssm_score_mask(f32(p)))
+                if p > max_prob:
+                    cons = aa
+                    max_prob = p
+            rec.append(int(qp["query"][li]))
+            rec.append(cons)
+            rec.append(nat.pssm_neff_to_char(f32(neff_m[li])))
+        writer.write(qkey, bytes(rec), add_newline=False)
+    writer.finish().save(positional[3])
+    return 0
+
+
 COMMANDS = [
     Command("result2profile", _result2profile_cmd, lambda: P.ParamSpace(_profile_flags()),
             "<i:qDB> <i:tDB> <i:resDB> <o:profileDB>", "Compute profiles from results", hidden=True),
@@ -868,4 +993,7 @@ COMMANDS = [
     Command("convertmsa", _convertmsa, lambda: P.ParamSpace(_profile_flags() + [
         P.Flag("--identifier-field", "identifier_field", int, 0, "0: ID, 1: AC", r"[0-1]")]),
             "<i:stockholm[.gz]> <o:msaDB>", "Convert Stockholm MSAs to an MSA DB", hidden=True),
+    Command("result2pp", _result2pp, lambda: P.ParamSpace(_profile_flags()),
+            "<i:qProfDB> <i:tProfDB> <i:resDB> <o:profDB>",
+            "Merge target profiles into query profiles along alignments", hidden=True),
 ]

@@ -11,15 +11,16 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-_SOURCES = ["ssw.cpp", "extend.cpp", "banded.cpp", "tantan.cpp", "pssm.cpp"]
+_SOURCES = ["ssw.cpp", "extend.cpp", "banded.cpp", "tantan.cpp", "pssm.cpp",
+            "ungapped.cpp"]
 
 
 def _build(so_path):
     srcs = [os.path.join(_DIR, s) for s in _SOURCES]
     # -mavx2: pssm.cpp mirrors the reference's AVX2 rcp/NR weight kernel
     # (the reference binaries are -march=native AVX2 builds)
-    cmd = ["g++", "-O3", "-std=c++14", "-mavx2", "-shared", "-fPIC", *srcs,
-           "-o", so_path]
+    cmd = ["g++", "-O3", "-std=c++14", "-mavx2", "-fopenmp", "-shared",
+           "-fPIC", *srcs, "-o", so_path]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -86,4 +87,11 @@ def lib():
         _LIB.pssm_scalar_prod20.restype = ctypes.c_float
         _LIB.pssm_flog2.argtypes = [ctypes.c_float]
         _LIB.pssm_flog2.restype = ctypes.c_float
+        _LIB.ungapped_max_score.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8, u8p,
+            ctypes.c_int64]
+        _LIB.ungapped_max_score.restype = ctypes.c_int32
+        _LIB.ungapped_all.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8, u8p,
+            i64p, i64p, ctypes.c_int64, i32p]
         return _LIB

@@ -64,8 +64,12 @@ class EvalueComputer:
 
     def evalue(self, score, query_len, xp=np):
         score = xp.asarray(score, dtype=xp.float64)
-        return self.area(score, xp.asarray(query_len, dtype=xp.float64), xp) \
-            * self.K * xp.exp(-self.lam * score)
+        # association matters for subnormal E-values: the reference computes
+        # evaluePerArea = K*exp(-lambda*s) first, then multiplies by area
+        # (EvalueComputation.h:36-40, sls_alignment_evaluer.hpp:154-157)
+        epa = self.K * xp.exp(-self.lam * score)
+        return epa * self.area(score,
+                               xp.asarray(query_len, dtype=xp.float64), xp)
 
     def bit_score(self, score, xp=np):
         return (self.lam * xp.asarray(score, dtype=xp.float64) - self.log_K) / np.log(2.0)

@@ -793,3 +793,87 @@ def prefilter_to_db(hits, qkeys=None):
             lines.append(b"%d\t%d\t%d\n" % (tkey, score, diag))
         writer.write(qkey, b"".join(lines), add_newline=False)
     return writer.finish()
+
+
+def ungapped_prefilter(qdb, tdb=None, eval_thr=1e-3, cov_thr=0.0, cov_mode=0,
+                       min_diag_score=15, max_seqs=300, comp_bias_corr=True,
+                       include_identity=False):
+    """All-vs-all best ungapped-diagonal search (`ungappedprefilter`,
+    lib/mmseqs/src/prefiltering/ungappedprefilter.cpp:23-162).
+
+    Every query is scored against every target with the saturated-uint8
+    ungapped diagonal DP (SmithWaterman::ungapped_alignment) run in the
+    native batch kernel; hits pass when score > min_diag_score and the
+    ALP E-value <= eval_thr (identity hits always pass when same-DB or
+    include_identity). Output per query: hits sorted by (score desc,
+    target key asc), truncated to max_seqs, formatted as prefilter
+    records with diagonal 0.
+
+    Returns {query_key: [(target_key, score, 0), ...]}.
+    """
+    import ctypes
+
+    from ..native import lib as native_lib
+    from .evalue import EvalueComputer
+    from .protein_align import ProteinAligner
+
+    same_db = tdb is None
+    if tdb is None:
+        tdb = qdb
+    is_nucl = qdb.dbtype == seqdb.NUCLEOTIDES
+    mat = constants.nucleotide() if is_nucl else constants.blosum62()
+    evaluer = EvalueComputer.for_matrix(
+        "nucleotide_ungapped" if is_nucl else "blosum62_ungapped",
+        tdb.total_residues())
+    # ssw_init applies the composition-bias correction regardless of the
+    # query sequence type (StripedSmithWaterman.cpp:700-706 checks only
+    # isProfile), so nucleotide queries get it too when enabled
+    aligner = ProteinAligner(mat, comp_bias_corr)
+    nat = native_lib()
+
+    n_t = tdb.size
+    tnums = [mat.aa2num[np.asarray(tdb.get_seq(i))] for i in range(n_t)]
+    tlens = np.array([len(t) for t in tnums], dtype=np.int64)
+    toffs = np.zeros(n_t, dtype=np.int64)
+    if n_t:
+        np.cumsum(tlens[:-1], out=toffs[1:])
+    tdata = (np.concatenate(tnums).astype(np.uint8) if n_t
+             else np.zeros(0, dtype=np.uint8))
+    tkeys = np.asarray(tdb.keys, dtype=np.int64)
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    out = {}
+    for qid in range(qdb.size):
+        qkey = int(qdb.keys[qid])
+        qnum = mat.aa2num[np.asarray(qdb.get_seq(qid))]
+        aligner.init_query(qnum)
+        L = aligner.L
+        # [A][L] linear byte profile = striped profile values in scalar order
+        qprof = np.ascontiguousarray(
+            (aligner.linear + aligner.bias).astype(np.uint8))
+        cov_ok = np.array([_can_be_covered_pref(cov_thr, cov_mode, L, tl)
+                           for tl in tlens], dtype=bool)
+        sel = np.nonzero(cov_ok)[0].astype(np.int64)
+        scores = np.zeros(len(sel), dtype=np.int32)
+        if len(sel):
+            so = np.ascontiguousarray(toffs[sel])
+            sl = np.ascontiguousarray(tlens[sel])
+            nat.ungapped_all(
+                qprof.ctypes.data_as(u8p), L, mat.alphabet_size,
+                ctypes.c_uint8(aligner.bias),
+                tdata.ctypes.data_as(u8p), so.ctypes.data_as(i64p),
+                sl.ctypes.data_as(i64p), len(sel),
+                scores.ctypes.data_as(i32p))
+        evalues = evaluer.evalue(scores, L) if len(sel) else scores
+        keep = (scores > min_diag_score) & (evalues <= eval_thr)
+        if same_db or include_identity:
+            keep |= tkeys[sel] == qkey
+        ks = sel[keep]
+        hit_scores = scores[keep]
+        hit_keys = tkeys[ks]
+        order = np.lexsort((hit_keys, -hit_scores))[:max_seqs]
+        out[qkey] = [(int(hit_keys[i]), int(hit_scores[i]), 0)
+                     for i in order]
+    return out

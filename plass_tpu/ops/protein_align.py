@@ -22,6 +22,12 @@ from .rescore import format_seq_id
 BYTE_LANES = 16
 WORD_LANES = 8
 
+# When no residue aligns (dbEndPos1 == -1), ssw_align returns with r.evalue
+# never written (StripedSmithWaterman.cpp:144-148,188-190); the reference
+# binary deterministically leaks the stack bit pattern of integer 48
+# (2.372e-322), which downstream tools print verbatim.
+_SSW_NO_ALN_EVALUE = float(np.array(48, dtype=np.int64).view(np.float64))
+
 
 def calc_local_aa_bias(sub, pback, qnum):
     """SubstitutionMatrix::calcLocalAaBiasCorrection: windowed average
@@ -145,7 +151,8 @@ class ProteinAligner:
         db_len = len(dbnum)
         L = self.L
         r = {"score1": 0, "dbStart": -1, "dbEnd": -1, "qStart": -1,
-             "qEnd": -1, "qCov": 0.0, "tCov": 0.0, "evalue": 0.0}
+             "qEnd": -1, "qCov": 0.0, "tCov": 0.0,
+             "evalue": _SSW_NO_ALN_EVALUE}
         b = self._run_byte(dbnum, 0, db_len, L, gap_open, gap_extend,
                            self.profile_byte, 255, self.bias, mask_len)
         word = 0
@@ -229,8 +236,10 @@ def _cov32(start, end, length):
 
 def estimate_seq_id_by_score_per_col(score, qlen, tlen):
     """Matcher::estimateSeqIdByScorePerCol (Matcher.cpp:205-209)."""
-    est = float(np.float32(np.float32(score) / np.float32(max(qlen, tlen))
-                           * np.float32(0.1656) + np.float32(0.1141)))
+    # (score / float(len)) is float32; * 0.1656 + 0.1141 promote to double
+    # (double literals), the result is stored back into a float
+    per_col = float(np.float32(score) / np.float32(max(qlen, tlen)))
+    est = float(np.float32(per_col * 0.1656 + 0.1141))
     return max(0.0, min(est, 1.0))
 
 
@@ -308,56 +317,15 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                 rejected += 1
                 continue
             is_identity = (qkey == tkey) and (include_identity or same_db)
-            backtrace = ""
-            aa_ids = 0
-            if is_identity:
-                a = aligner.score_identical(tnum, evaluer)
-                if sw_mode == 2:
-                    backtrace = "M" * L
-                    aa_ids = L
-            else:
-                a = aligner.ssw_align(tnum, gap_open, gap_extend, sw_mode,
-                                      eval_thr, evaluer, cov_mode, cov_thr,
-                                      mask_len)
-                if sw_mode == 2 and a.get("cigar") is not None:
-                    backtrace = a["cigar"]
-                    aa_ids = _count_ids(qnum, tnum, a["qStart"],
-                                        a["dbStart"], backtrace)
-            qs, qe = a["qStart"], a["qEnd"]
-            ts, te = a["dbStart"], a["dbEnd"]
-            # Matcher::getSWResult: unsigned coordinate arithmetic
-            # (negative starts wrap, filtered by criteria anyway)
-            qs_u = qs & 0xFFFFFFFF
-            ts_u = ts & 0xFFFFFFFF
-            aln_len = (max(qe - qs_u, te - ts_u) + 1) & 0xFFFFFFFF
-            qcov, tcov = a["qCov"], a["tCov"]
-            if sw_mode == 2:
-                if backtrace:
-                    aln_len = len(backtrace)
-                seq_id = compute_seq_id(seq_id_mode, aa_ids, L, tlen,
-                                        aln_len)
-            else:
-                q_aln_len = max(qe - qs_u, 1) & 0xFFFFFFFF
-                db_aln_len = max(te - ts_u, 1) & 0xFFFFFFFF
-                seq_id = estimate_seq_id_by_score_per_col(
-                    a["score1"], q_aln_len, db_aln_len)
-            if is_identity:
-                qcov = tcov = seq_id = 1.0
-            bit = int(evaluer.bit_score(a["score1"]) + 0.5)
+            r = sw_pair(aligner, evaluer, tnum, tkey, is_identity, sw_mode,
+                        seq_id_mode, gap_open, gap_extend, eval_thr,
+                        cov_mode, cov_thr, mask_len,
+                        add_backtrace=add_backtrace)
             ok = is_identity or (
-                (a["evalue"] <= eval_thr) and (seq_id >= seq_id_thr)
-                and _has_cov(cov_thr, cov_mode, qcov, tcov)
-                and aln_len >= aln_len_thr)
+                (r["eval"] <= eval_thr) and (r["seqId"] >= seq_id_thr)
+                and _has_cov(cov_thr, cov_mode, r["qcov"], r["tcov"])
+                and r["alnLength"] >= aln_len_thr)
             if ok:
-                r = {
-                    "dbKey": int(tkey), "score": bit, "qcov": qcov,
-                    "tcov": tcov, "seqId": seq_id, "eval": a["evalue"],
-                    "alnLength": int(aln_len), "qStartPos": qs,
-                    "qEndPos": qe, "qLen": L, "dbStartPos": ts,
-                    "dbEndPos": te, "dbLen": tlen,
-                }
-                if add_backtrace:
-                    r["backtrace"] = backtrace
                 results.append(r)
                 passed += 1
                 rejected = 0
@@ -367,6 +335,64 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                                     r["dbKey"]))
         out[qkey] = results
     return out
+
+
+def sw_pair(aligner, evaluer, tnum, tkey, is_identity, sw_mode, seq_id_mode,
+            gap_open, gap_extend, eval_thr, cov_mode, cov_thr, mask_len,
+            add_backtrace=False):
+    """One Matcher::getSWResult call + seqId/alnLength derivation for the
+    amino-acid branch (Matcher.cpp:61-187). The aligner must have its query
+    initialized. Returns the result dict (with qcov/tcov); the caller applies
+    Alignment::checkCriteria."""
+    qnum = aligner.qnum
+    L = aligner.L
+    backtrace = ""
+    aa_ids = 0
+    if is_identity:
+        a = aligner.score_identical(tnum, evaluer)
+        if sw_mode == 2:
+            backtrace = "M" * L
+            aa_ids = L
+    else:
+        a = aligner.ssw_align(tnum, gap_open, gap_extend, sw_mode,
+                              eval_thr, evaluer, cov_mode, cov_thr,
+                              mask_len)
+        if sw_mode == 2 and a.get("cigar") is not None:
+            backtrace = a["cigar"]
+            aa_ids = _count_ids(qnum, tnum, a["qStart"],
+                                a["dbStart"], backtrace)
+    qs, qe = a["qStart"], a["qEnd"]
+    ts, te = a["dbStart"], a["dbEnd"]
+    tlen = len(tnum)
+    # Matcher::getSWResult: unsigned coordinate arithmetic
+    # (negative starts wrap, filtered by criteria anyway)
+    q_diff = (qe - qs) & 0xFFFFFFFF
+    t_diff = (te - ts) & 0xFFFFFFFF
+    aln_len = (max(q_diff, t_diff) + 1) & 0xFFFFFFFF
+    qcov, tcov = a["qCov"], a["tCov"]
+    if sw_mode == 2:
+        if backtrace:
+            aln_len = len(backtrace)
+        seq_id = compute_seq_id(seq_id_mode, aa_ids, L, tlen, aln_len)
+    elif sw_mode == 1:  # SCORE_COV (Matcher.cpp:159-165)
+        seq_id = estimate_seq_id_by_score_per_col(
+            a["score1"], max(q_diff, 1), max(t_diff, 1))
+    else:  # SCORE_ONLY: end positions, not spans (Matcher.cpp:166-171)
+        seq_id = estimate_seq_id_by_score_per_col(
+            a["score1"], max(qe & 0xFFFFFFFF, 1), max(te & 0xFFFFFFFF, 1))
+    if is_identity:
+        qcov = tcov = seq_id = 1.0
+    bit = int(evaluer.bit_score(a["score1"]) + 0.5)
+    r = {
+        "dbKey": int(tkey), "score": bit, "qcov": qcov,
+        "tcov": tcov, "seqId": seq_id, "eval": a["evalue"],
+        "alnLength": int(aln_len), "qStartPos": qs,
+        "qEndPos": qe, "qLen": L, "dbStartPos": ts,
+        "dbEndPos": te, "dbLen": tlen,
+    }
+    if add_backtrace:
+        r["backtrace"] = backtrace
+    return r
 
 
 def _count_ids(qnum, tnum, q_start, t_start, backtrace):

@@ -434,8 +434,9 @@ def main():
         lratio=nlratio,
     )
 
-    # ---- reduced alphabets (13 for kmermatcher, 7 for filternoncoding)
-    for size in (13, 7):
+    # ---- reduced alphabets (13 for kmermatcher, 7 for filternoncoding,
+    # 3 for clusthash — CLUST_HASH_DEFAULT_ALPH_SIZE, Parameters.h:239)
+    for size in (13, 7, 3):
         ra2n, rletters, rsub = reduced_alphabet(prob, letters, size, 2.0)
         np.savez(
             os.path.join(OUT, f"reduced{size}.npz"),
