@@ -152,7 +152,7 @@ def align_flags():
         Flag("--seq-id-mode", "seq_id_mode", int, 0, "SeqId denominator mode", r"[0-2]"),
         Flag("--rescore-mode", "rescore_mode", int, 3, "Rescore mode", r"[0-4]"),
         Flag("--sort-results", "sort_results", int, 0, "Sort results", r"[0-1]"),
-        Flag("--add-backtrace", "add_backtrace", bool, False, "Add backtrace"),
+        Flag("-a", "add_backtrace", bool, False, "Add backtrace"),
         Flag("--wrapped-scoring", "wrapped_scoring", bool, False,
              "Double query for circular scoring"),
         Flag("--filter-hits", "filter_hits", bool, False, "Filter hits by precision lib"),

@@ -3,6 +3,7 @@ lib/mmseqs/src/MMseqsBase.cpp base commands used on the plass/penguin
 paths: createdb, extractorfs, translatenucs, kmermatcher, rescorediagonal,
 concatdbs, createsubdb, convert2fasta, rmdb/mvdb/cpdb)."""
 import os
+import re
 
 import numpy as np
 
@@ -200,6 +201,37 @@ def space_was_set(space, attr):
     return attr in space.was_set
 
 
+def _lcaalign(positional, space):
+    """lcaalign (alignment/Main.cpp:34-52): approximate-2bLCA alignment;
+    protein DBs only (the taxonomy workflow falls back to top-hit for
+    nucl-nucl searches, Taxonomy.cpp:78-82)."""
+    from ..ops.protein_align import (lca_align_protein,
+                                     protein_align_results_to_db)
+    if len(positional) != 4:
+        raise ValueError("usage: lcaalign <i:qDB> <i:tDB> <i:prefDB> <o:alnDB>")
+    db = seqdb.SeqDB.open(positional[0])
+    v = space.values
+    same = (os.path.realpath(positional[0])
+            == os.path.realpath(positional[1]))
+    tdb = None if same else seqdb.SeqDB.open(positional[1])
+    hits = load_prefilter(positional[2])
+    res = lca_align_protein(
+        db, hits, tdb=tdb,
+        alignment_mode=v.get("alignment_mode", 0),
+        cov_thr=v["cov_thr"], cov_mode=v["cov_mode"],
+        seq_id_thr=(v["min_seq_id"].aminoacids
+                    if space_was_set(space, "min_seq_id") else 0.0),
+        eval_thr=v["eval_thr"] if space_was_set(space, "eval_thr") else 1e-3,
+        aln_len_thr=(v["min_aln_len"].aminoacids
+                     if space_was_set(space, "min_aln_len") else 0),
+        gap_open=v["gap_open"] if space_was_set(space, "gap_open") else 11,
+        gap_extend=v["gap_extend"] if space_was_set(space, "gap_extend") else 1,
+        max_accept=v["max_accept"], max_reject=v["max_rejected"],
+        seq_id_mode=v["seq_id_mode"])
+    protein_align_results_to_db(res).save(positional[3])
+    return 0
+
+
 def _prefilter(positional, space):
     from ..ops import prefilter as pf
     if len(positional) != 3:
@@ -235,10 +267,10 @@ def _search(positional, space):
         spaced_kmer=bool(v["search_spaced_kmer"]),
         exact_kmer_matching=bool(v["exact_kmer_matching"]),
         start_sens=v["start_sens"], sens_steps=v["sens_steps"],
-        # search forces real seq.id computation unless ungapped
-        # (Search.cpp:181-182)
+        # setSearchDefaults (Search.cpp:22): SCORE_COV unless the user
+        # set a mode (-a still upgrades to SCORE_COV_SEQID in align)
         alignment_mode=(v["alignment_mode"]
-                        if v["alignment_mode"] == 4 else 3),
+                        if space_was_set(space, "alignment_mode") else 2),
         add_backtrace=v["add_backtrace"],
         eval_thr=v["eval_thr"] if space_was_set(space, "eval_thr") else 1e-3,
         seq_id_thr=(v["min_seq_id"].aminoacids
@@ -250,7 +282,8 @@ def _search(positional, space):
         gap_open=v["gap_open"] if space_was_set(space, "gap_open") else 11,
         gap_extend=v["gap_extend"] if space_was_set(space, "gap_extend") else 1,
         max_accept=v["max_accept"], max_reject=v["max_rejected"],
-        remove_tmp=v["remove_tmp_files"])
+        remove_tmp=v["remove_tmp_files"],
+        lca_search=bool(v.get("lca_search", False)))
     qdb = positional[0]
     same = os.path.realpath(positional[0]) == os.path.realpath(positional[1])
     q = seqdb.SeqDB.open(qdb)
@@ -313,10 +346,12 @@ def _convertalis(positional, space):
                     identical = int(seq_id * aln_len + 0.5)
                     mismatch = match_count - identical
                 else:
-                    aln_len = max(qe - qs, te - ts) + 1
+                    # parseAlignmentRecord adjusts -1 (score-only) starts
+                    # to 0 before computing the length (Matcher.cpp:257-261)
+                    aqs, ats = max(qs, 0), max(ts, 0)
+                    aln_len = max(abs(qe - aqs), abs(te - ats)) + 1
                     gap_opens = 0
-                    best = float(min(abs(qe - max(qs, 0)),
-                                     abs(te - max(ts, 0))))
+                    best = float(min(abs(qe - aqs), abs(te - ats)))
                     mismatch = int(best * (1.0 - seq_id) + 0.5)
                 out.write(
                     f"{qnames[qkey]}\t{tnames[tkey]}\t{seq_id:1.3f}\t"
@@ -333,6 +368,10 @@ def _easy_search(positional, space):
     if len(positional) != 4:
         raise ValueError(
             "usage: easy-search <i:queryFasta> <i:targetFasta> <o:tsv> <tmpDir>")
+    # setEasySearchDefaults (EasySearch.cpp:18,27): SCORE_COV_SEQID
+    if "alignment_mode" not in space.was_set:
+        space.values["alignment_mode"] = 3
+        space.was_set.add("alignment_mode")
     tmp = positional[3]
     os.makedirs(tmp, exist_ok=True)
     qpath = os.path.join(tmp, "query")
@@ -548,6 +587,9 @@ def _rbh(positional, space):
         space.values["comp_bias_corr"] = 0
     if "search_mask" not in space.was_set:
         space.values["search_mask"] = 0
+    if "alignment_mode" not in space.was_set:
+        space.values["alignment_mode"] = 3
+        space.was_set.add("alignment_mode")
     # the driver serializes its own -s 4.0 default into the sub-searches,
     # overriding search's 5.7 (createParameterString of searchworkflow)
     if "sensitivity" not in space.was_set:
@@ -1266,11 +1308,20 @@ def _createtaxdb(positional, space):
         raise ValueError("createtaxdb: downloads are unavailable; pass "
                          "--ncbi-tax-dump and --tax-mapping-file")
     db = positional[0]
-    for name in ("names.dmp", "nodes.dmp", "merged.dmp"):
-        shutil.copyfile(os.path.join(dump, name), f"{db}_{name[:-4]}.dmp")
-    deln = os.path.join(dump, "delnodes.dmp")
-    if os.path.exists(deln):
-        shutil.copyfile(deln, f"{db}_delnodes.dmp")
+    if v.get("tax_db_mode", 1) == 1:
+        # createtaxdb.sh:69-72 — binary dump (default, taxDbMode=1)
+        data = taxmod.serialize_taxonomy(os.path.join(dump, "names.dmp"),
+                                         os.path.join(dump, "nodes.dmp"),
+                                         os.path.join(dump, "merged.dmp"))
+        with open(f"{db}_taxonomy", "wb") as f:
+            f.write(data)
+    else:
+        for name in ("names.dmp", "nodes.dmp", "merged.dmp"):
+            shutil.copyfile(os.path.join(dump, name),
+                            f"{db}_{name[:-4]}.dmp")
+        deln = os.path.join(dump, "delnodes.dmp")
+        if os.path.exists(deln):
+            shutil.copyfile(deln, f"{db}_delnodes.dmp")
     acc2tax = {}
     for line in open(mapping_file):
         parts = line.split()
@@ -1282,6 +1333,117 @@ def _createtaxdb(positional, space):
         if len(parts) >= 2 and parts[1] in acc2tax:
             mapping[int(parts[0])] = acc2tax[parts[1]]
     taxmod.write_mapping(db + "_mapping", mapping)
+    return 0
+
+
+def _nrtotaxmapping(positional, space):
+    """nrtotaxmapping (util/nrtotaxmapping.cpp:51-283): derive a
+    <db>_mapping from NR-style headers — accession lookup in the given
+    accession2taxid files, falling back to the species name in the last
+    space-preceded [bracket]; per-record LCA over all header entries."""
+    import gzip
+
+    from ..data import taxonomy as taxmod
+    if len(positional) < 3:
+        raise ValueError("usage: nrtotaxmapping <i:acc2taxid...> "
+                         "<i:seqDB> <o:mappingFile>")
+    acc_files = positional[:-2]
+    seq_db = positional[-2]
+    out_path = positional[-1]
+    acc2tax = {}
+    for path in acc_files:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            for line in f:
+                cols = line.split()
+                if len(cols) < 4:
+                    raise ValueError(f"Invalid accession2taxid file {path}")
+                # fast_atoi: header rows ("taxid") parse to 0
+                m = re.match(r"\d+", cols[2])
+                acc2tax[cols[0].encode()] = int(m.group()) if m else 0
+    tax = taxmod.Taxonomy.open(seq_db)
+    # names that identify exactly one taxon (the reference additionally
+    # drops the lexicographically-last name when only two nodes exist,
+    # nrtotaxmapping.cpp:110-120)
+    name_count = {}
+    name_tax = {}
+    for node in tax.nodes.values():
+        name = node.name.encode()
+        name_count[name] = name_count.get(name, 0) + 1
+        name_tax[name] = node.tax_id
+    n_nodes = len(tax.nodes)
+    uniq_names = {n: t for n, t in name_tax.items()
+                  if name_count[n] == 1}
+    if n_nodes == 2 and len(uniq_names) == 2:
+        del uniq_names[max(uniq_names)]
+    elif n_nodes == 1:
+        uniq_names = {}
+    hdb = seqdb.SeqDB.open(seq_db + "_h")
+    mapping = []
+    for i in seqdb.data_order(hdb):
+        key = int(hdb.keys[i])
+        rec = hdb.get_data(i).tobytes()
+        taxa = []
+        n = len(rec)
+        idx = 0
+        start = 0
+        is_in_acc = True
+        start_name = end_name = 0
+        in_species = need_species = False
+        done = False
+        while not done:
+            c = rec[idx] if idx < n else 0
+            if c in (10, 0):
+                done = True
+                c = 1  # FALLTHROUGH to the entry-separator case
+            if c == 1:
+                if need_species and in_species:
+                    t = uniq_names.get(rec[start_name:end_name], 0)
+                    if t:
+                        taxa.append(t)
+                idx += 1
+                start = idx
+                is_in_acc = True
+                need_species = False
+                in_species = False
+            elif c == 0x5B:  # '[' — only counts with a space before it
+                if idx > 0 and rec[idx - 1] == 0x20:
+                    idx += 1
+                    start_name = idx
+                    end_name = idx
+                    in_species = True
+            elif c == 0x5D:  # ']'
+                end_name = idx
+            elif c in (0x2E, 0x20):  # '.' / ' ' end the accession
+                if is_in_acc:
+                    t = acc2tax.get(rec[start:idx], 0)
+                    if t:
+                        taxa.append(t)
+                    else:
+                        need_species = True
+                    is_in_acc = False
+            idx += 1
+        node = tax.lca(taxa) if taxa else None
+        if node is not None:
+            mapping.append((key, node.tax_id))
+    mapping.sort(key=lambda kv: kv[0])
+    with open(out_path, "w") as f:
+        for key, taxid in mapping:
+            f.write(f"{key}\t{taxid}\n")
+    return 0
+
+
+def _createbintaxonomy(positional, space):
+    """createbintaxonomy (taxonomy/createbintaxonomy.cpp:6-20): serialize
+    names/nodes/merged dmp files to the version-2 binary taxonomy dump."""
+    from ..data import taxonomy as taxmod
+    if len(positional) != 4:
+        raise ValueError("usage: createbintaxonomy <i:names.dmp> "
+                         "<i:nodes.dmp> <i:merged.dmp> <o:taxonomyFile>")
+    data = taxmod.serialize_taxonomy(positional[0], positional[1],
+                                     positional[2])
+    with open(positional[3], "wb") as f:
+        f.write(data)
     return 0
 
 
@@ -1368,17 +1530,26 @@ def _addtaxonomy(positional, space):
     db = seqdb.SeqDB.open(positional[1])
     ranks = [r for r in v.get("lca_ranks", "").split(",") if r]
     show_lineage = v.get("tax_lineage", 0)
+    # --pick-id-from: 1 = record key (query), 2 = first column (target)
+    pick_query = v.get("pick_id_from", 2) == 1
     w = seqdb.DBWriter(db.dbtype)
     for i in seqdb.data_order(db):
         data = db.get_data(i).tobytes()
         if len(data) <= 1:
             continue  # empty input records are skipped (addtaxonomy.cpp:64)
+        if pick_query:
+            taxon = mapping.get(int(db.keys[i]))
+            if taxon is None or tax.node(taxon) is None:
+                continue
         out = []
         for line in data.decode().splitlines():
             if not line:
                 continue
-            tkey = int(line.split("\t")[0].split()[0])
-            taxon = mapping.get(tkey)
+            if pick_query:
+                taxon = mapping.get(int(db.keys[i]))
+            else:
+                tkey = int(line.split("\t")[0].split()[0])
+                taxon = mapping.get(tkey)
             node = tax.node(taxon) if taxon else None
             if node is None:
                 continue
@@ -1469,10 +1640,139 @@ def _filtertaxdb(positional, space):
     return 0
 
 
+def _aggregate_tax(positional, space, use_aln):
+    """aggregatetax / aggregatetaxweights (taxonomy/aggregatetax.cpp:15-188):
+    weighted-majority-LCA over the taxa of each set's member sequences;
+    weights from the member's alignment E-value or score when use_aln."""
+    import math
+
+    import numpy as np
+
+    from ..data import taxonomy as taxmod
+    n_pos = 5 if use_aln else 4
+    if len(positional) != n_pos:
+        raise ValueError("aggregatetax needs %d positional args" % n_pos)
+    v = space.values
+    tax = taxmod.Taxonomy.open(positional[0])
+    set_db = seqdb.SeqDB.open(positional[1])
+    tax_db = seqdb.SeqDB.open(positional[2])
+    aln_db = seqdb.SeqDB.open(positional[3]) if use_aln else None
+    out_path = positional[4] if use_aln else positional[3]
+    ranks = [r for r in v.get("lca_ranks", "").split(",") if r]
+    vote_mode = v.get("vote_mode", taxmod.AGG_TAX_MINUS_LOG_EVAL)
+    majority = v.get("majority", 0.5)
+    show_lineage = v.get("tax_lineage", 0)
+    writer = seqdb.DBWriter(seqdb.TAX_RES)
+    flt_max = 3.4028234663852886e38
+    for i in seqdb.data_order(set_db):
+        set_key = int(set_db.keys[i])
+        hits = []
+        for line in set_db.get_data(i).tobytes().decode().split("\n"):
+            if not line:
+                continue
+            seq_key = int(line.split()[0])
+            tid = tax_db.key_to_id(seq_key)
+            if tid is None:
+                raise ValueError(f"Missing key {seq_key} in tax result")
+            taxon = int(tax_db.get_data(tid).tobytes().decode().split()[0])
+            if use_aln and taxon != 0:
+                aid = aln_db.key_to_id(seq_key)
+                if aid is None:
+                    raise ValueError("Missing key in alignment result")
+                cols = (aln_db.get_data(aid).tobytes().decode()
+                        .split("\n")[0].split())
+                weight = flt_max
+                if vote_mode == taxmod.AGG_TAX_MINUS_LOG_EVAL:
+                    weight = float(cols[3])
+                elif vote_mode == taxmod.AGG_TAX_SCORE:
+                    weight = float(cols[1])
+                hits.append((taxon,
+                             taxmod.weighted_tax_hit_weight(weight,
+                                                            vote_mode)))
+            else:
+                hits.append((taxon, 1.0))
+        (sel, assigned, unassigned, agree,
+         percent) = taxmod.weighted_majority_lca_full(tax, hits, majority)
+        node = tax.node(sel)
+        total = assigned + unassigned
+        # SSTR(roundf(p*100)/100): float round-half-away, then %.3f
+        fv = float(np.float32(percent * 100))
+        r = math.floor(fv) + (1 if fv - math.floor(fv) >= 0.5 else 0)
+        pct_str = "%.3f" % float(np.float32(r) / np.float32(100))
+        if sel == 0 or node is None:
+            parts = ["0", "no rank", "unclassified", str(total),
+                     str(assigned), str(agree), pct_str]
+            line = "\t".join(parts)
+            if ranks:
+                line += "\t"
+            if show_lineage > 0:
+                line += "\t"
+        else:
+            parts = [str(node.tax_id), node.rank, node.name, str(total),
+                     str(assigned), str(agree), pct_str]
+            line = "\t".join(parts)
+            if ranks:
+                line += "\t" + ";".join(tax.at_ranks(node, ranks))
+            if show_lineage == 1:
+                line += "\t" + tax.tax_lineage(node, True)
+            elif show_lineage == 2:
+                line += "\t" + tax.tax_lineage(node, False)
+        writer.write(set_key, (line + "\n").encode(), add_newline=False)
+    writer.finish().save(out_path)
+    return 0
+
+
+def _aggregatetax(positional, space):
+    return _aggregate_tax(positional, space, False)
+
+
+def _aggregatetaxweights(positional, space):
+    return _aggregate_tax(positional, space, True)
+
+
+def _filtertaxseqdb(positional, space):
+    """filtertaxseqdb (taxonomy/filtertaxseqdb.cpp:19-115): keep sequence
+    records whose _mapping taxon matches the taxonomy expression; hard
+    mode rewrites data, soft mode (--subdb-mode 1) keeps only the index
+    and links the data file; ancillary files are symlinked either way."""
+    from ..data import taxonomy as taxmod
+    from ..data.dbtools import softlink_ancillary
+    if len(positional) != 2:
+        raise ValueError("usage: filtertaxseqdb <i:taxSeqDB> <o:taxSeqDB>")
+    src, dst = positional
+    tax = taxmod.Taxonomy.open(src)
+    mapping = taxmod.read_mapping(src + "_mapping")
+    expr = taxmod.TaxonomyExpression(
+        space.values.get("taxon_list", ""), tax)
+    db = seqdb.SeqDB.open(src)
+    soft = space.values.get("subdb_mode", 0) == 1
+    keep = [i for i in seqdb.data_order(db)
+            if expr.matches(mapping.get(int(db.keys[i]), 0))]
+    if soft:
+        # SUBDB_MODE_SOFT: index entries point into the original data
+        order = sorted(keep, key=lambda i: int(db.keys[i]))
+        seqdb._write_index(dst + ".index", db.keys[order],
+                           db.offsets[order], db.lengths[order])
+        # DBFiles::SEQUENCE_NO_DATA_INDEX — link data + dbtype too
+        for s in ("", ".dbtype"):
+            if os.path.lexists(dst + s):
+                os.unlink(dst + s)
+            os.symlink(os.path.abspath(src + s), dst + s)
+    else:
+        w = seqdb.DBWriter(db.dbtype)
+        for i in keep:
+            w.write(int(db.keys[i]), db.get_data(i).tobytes(),
+                    add_newline=False)
+        w.finish().save(dst)
+    softlink_ancillary(src, dst)
+    return 0
+
+
 def _taxonomy(positional, space):
-    """taxonomy workflow (taxonomy.sh, top-hit mode): search ->
-    best-evalue filter -> lca. The reference's default approximate-2bLCA
-    needs LCA-aware alignment and falls back to top-hit here."""
+    """taxonomy workflow (Taxonomy.cpp:40-160 + taxonomy.sh): search
+    (approximate-2bLCA via lcaalign by default, --lca-mode 4 = top hit,
+    1 = all hits) -> lca; --tax-output-mode 1/2 exports the alignments."""
+    from ..data.dbtools import mvdb
     if len(positional) != 4:
         raise ValueError(
             "usage: taxonomy <i:qDB> <i:taxSeqDB> <o:taxDB> <tmpDir>")
@@ -1491,18 +1791,36 @@ def _taxonomy(positional, space):
         v["max_accept"] = 30
     if "max_rejected" not in space.was_set:
         v["max_rejected"] = 5
+    if "alignment_mode" not in space.was_set:
+        v["alignment_mode"] = 1  # ALIGNMENT_MODE_SCORE_ONLY
+        space.was_set.add("alignment_mode")
+    lca_mode = v.get("lca_mode", 3)
+    if lca_mode == 2:  # 2bLCA was replaced by approximate 2bLCA
+        lca_mode = 3
+    v["lca_search"] = lca_mode == 3
     first = os.path.join(tmp, "first")
     if not os.path.exists(first + ".dbtype"):
         _search([q, t, first, os.path.join(tmp, "tmp_hsp1")], space)
-    top1 = os.path.join(tmp, "top1")
-    sv = dict(space.values)
-    space.values.update({"filter_file": "", "sort_entries": 0,
-                         "extract_lines": 0, "beats_first": True,
-                         "comparison_operator": "le",
-                         "comparison_value": 0.0, "filter_column": 4})
-    _filterdb([first, top1], space)
-    space.values.update(sv)
-    return _lca([t, top1, out], space)
+    lca_in = first
+    if lca_mode == 4:  # TOPHIT_MODE: keep hits tied with the best e-value
+        top1 = os.path.join(tmp, "top1")
+        sv = dict(space.values)
+        space.values.update({"filter_file": "", "sort_entries": 0,
+                             "extract_lines": 0, "beats_first": True,
+                             "comparison_operator": "le",
+                             "comparison_value": 0.0, "filter_column": 4})
+        _filterdb([first, top1], space)
+        space.values.update(sv)
+        lca_in = top1
+    tax_output = v.get("tax_output_mode", 0)
+    if tax_output == 0:
+        return _lca([t, lca_in, out], space)
+    if tax_output == 2:
+        rc = _lca([t, lca_in, out], space)
+        mvdb(lca_in, out + "_aln")
+        return rc
+    mvdb(lca_in, out)
+    return 0
 
 
 def _createtsv(positional, space):
@@ -1510,11 +1828,15 @@ def _createtsv(positional, space):
     if len(positional) == 4:
         return _createtsv4(positional, space)
     if len(positional) < 2:
-        raise ValueError("usage: createtsv <i:db> [<i:hdb>] <o:tsv>")
-    db = seqdb.SeqDB.open(positional[0])
+        raise ValueError("usage: createtsv <i:queryDB> [<i:resDB>] <o:tsv>")
     hdb = None
     if len(positional) == 3:
-        hdb = seqdb.SeqDB.open(positional[1])
+        # createtsv.cpp 3-name form: db1 = query seq DB (headers via _h),
+        # db2 = result DB; each line gets the query accession prefixed
+        db = seqdb.SeqDB.open(positional[1])
+        hdb = seqdb.SeqDB.open(positional[0] + "_h")
+    else:
+        db = seqdb.SeqDB.open(positional[0])
     with open(positional[-1], "w") as f:
         f.write(create_tsv(db, hdb))
     return 0
@@ -1564,6 +1886,12 @@ BASE_COMMANDS = [
         P.Flag("--max-accept", "max_accept", int, 2**31 - 1, "Maximum accepted alignments per query"),
         P.Flag("--max-rejected", "max_rejected", int, 2**31 - 1, "Maximum rejected alignments before give-up")]),
             "<i:qDB> <i:tDB> <i:prefDB> <o:alnDB>", "Gapped banded alignment", hidden=True),
+    Command("lcaalign", _lcaalign, lambda: P.ParamSpace(P.common_flags() + P.kmermatcher_flags() + P.align_flags() + [
+        P.Flag("--alignment-mode", "alignment_mode", int, 0,
+               "0 auto, 1 score+end, 2 +start+cov, 3 +seq.id", r"[0-5]"),
+        P.Flag("--max-accept", "max_accept", int, 2**31 - 1, "Maximum accepted alignments per query"),
+        P.Flag("--max-rejected", "max_rejected", int, 2**31 - 1, "Maximum rejected alignments before give-up")]),
+            "<i:qDB> <i:tDB> <i:prefDB> <o:alnDB>", "Efficient gapped alignment for lca computation", hidden=True),
     Command("prefilter", _prefilter, lambda: P.ParamSpace(P.common_flags() + P.search_flags()),
             "<i:qDB> <i:tDB> <o:prefDB>", "Sensitive double-k-mer-match prefilter", hidden=True),
     Command("orftocontig", _orftocontig, lambda: P.ParamSpace(P.common_flags()),
@@ -1588,16 +1916,43 @@ BASE_COMMANDS = [
             "<i:qSetDB> <i:tSetDB> <o:db> <tmpDir>", "Search with per-set aggregation", hidden=True),
     Command("createtaxdb", _createtaxdb, lambda: P.ParamSpace(P.common_flags() + [
         P.Flag("--ncbi-tax-dump", "ncbi_tax_dump", str, "", "Directory with NCBI nodes/names/merged dmp files"),
-        P.Flag("--tax-mapping-file", "tax_mapping_file", str, "", "Accession to taxid TSV")]),
+        P.Flag("--tax-mapping-file", "tax_mapping_file", str, "", "Accession to taxid TSV"),
+        P.Flag("--tax-db-mode", "tax_db_mode", int, 1,
+               "0: .dmp flat files, 1: binary dump", r"[0-1]")]),
             "<i:seqDB> <tmpDir>", "Attach an NCBI taxonomy to a sequence DB", hidden=True),
+    Command("nrtotaxmapping", _nrtotaxmapping,
+            lambda: P.ParamSpace(P.common_flags()),
+            "<i:acc2taxid...> <i:seqDB> <o:mappingFile>",
+            "Create a taxonomy mapping for NR-style headers", hidden=True),
+    Command("createbintaxonomy", _createbintaxonomy,
+            lambda: P.ParamSpace(P.common_flags()),
+            "<i:names.dmp> <i:nodes.dmp> <i:merged.dmp> <o:taxonomyFile>",
+            "Serialize an NCBI taxonomy dump to a binary file", hidden=True),
     Command("lca", _lca, lambda: P.ParamSpace(P.common_flags() + P.tax_flags()),
             "<i:taxSeqDB> <i:resultDB> <o:taxDB>", "Lowest common ancestor per query", hidden=True),
     Command("majoritylca", _majoritylca, lambda: P.ParamSpace(P.common_flags() + P.tax_flags()),
             "<i:taxSeqDB> <i:resultDB> <o:taxDB>", "Weighted majority LCA per query", hidden=True),
-    Command("addtaxonomy", _addtaxonomy, lambda: P.ParamSpace(P.common_flags() + P.tax_flags()),
+    Command("addtaxonomy", _addtaxonomy, lambda: P.ParamSpace(P.common_flags() + P.tax_flags() + [
+        P.Flag("--pick-id-from", "pick_id_from", int, 2,
+               "Extract mode: 1 query, 2 target", r"[1-2]")]),
             "<i:taxSeqDB> <i:resultDB> <o:resultDB>", "Annotate result lines with taxonomy", hidden=True),
     Command("taxonomyreport", _taxonomyreport, lambda: P.ParamSpace(P.common_flags() + P.tax_flags()),
             "<i:taxSeqDB> <i:taxResultDB> <o:tsv>", "Kraken-style taxonomy report", hidden=True),
+    Command("aggregatetax", _aggregatetax, lambda: P.ParamSpace(
+        P.common_flags() + P.tax_flags()),
+            "<i:taxSeqDB> <i:setToSeqMap> <i:taxResPerSeqDB> <o:taxResPerSetDB>",
+            "Aggregate multiple taxon labels to a single label", hidden=True),
+    Command("aggregatetaxweights", _aggregatetaxweights, lambda: P.ParamSpace(
+        P.common_flags() + P.tax_flags()),
+            "<i:taxSeqDB> <i:setToSeqMap> <i:taxResPerSeqDB> <i:alnPerSeqDB> <o:taxResPerSetDB>",
+            "Aggregate multiple taxon labels to a single label", hidden=True),
+    Command("filtertaxseqdb", _filtertaxseqdb, lambda: P.ParamSpace(
+        P.common_flags() + P.tax_flags() + [
+            P.Flag("--subdb-mode", "subdb_mode", int, 0,
+                   "0: copy data, 1: soft link data and write index",
+                   r"[0-1]")]),
+            "<i:taxSeqDB> <o:taxSeqDB>",
+            "Filter taxonomy sequence database", hidden=True),
     Command("filtertaxdb", _filtertaxdb, lambda: P.ParamSpace(P.common_flags() + P.tax_flags()),
             "<i:taxSeqDB> <i:taxResultDB> <o:taxResultDB>", "Filter by taxonomy expression", hidden=True),
     Command("taxonomy", _taxonomy, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags() + P.tax_flags()),

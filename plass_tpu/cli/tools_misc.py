@@ -230,15 +230,70 @@ def _easy_rbh(positional, space):
     os.makedirs(tmp, exist_ok=True)
     qpath = os.path.join(tmp, "query")
     tpath = os.path.join(tmp, "target")
-    for fasta, path in ((positional[0], qpath), (positional[1], tpath)):
+    # EasyRbh.cpp:40,101: query DB zero-copy/soft, target DB hard mode
+    for fasta, path, soft in ((positional[0], qpath, True),
+                              (positional[1], tpath, False)):
         if not os.path.exists(path + ".dbtype"):
-            sdb, hdb = create_db([fasta])
+            sdb, hdb = create_db([fasta], raw_headers=soft)
             sdb.save(path)
             hdb.save(path + "_h")
     _rbh([qpath, tpath, os.path.join(tmp, "result"),
           os.path.join(tmp, "rbh_tmp")], space)
     return _convertalis([qpath, tpath, os.path.join(tmp, "result"),
                          positional[2]], space)
+
+
+def _easy_taxonomy(positional, space):
+    """easy-taxonomy (EasyTaxonomy.cpp:19-80 + easytaxonomy.sh): createdb
+    -> taxonomy (output mode BOTH) -> <out>_lca.tsv, <out>_report,
+    <out>_tophit_report (swap/summarize/addtaxonomy) and
+    <out>_tophit_aln."""
+    from ..data.createdb import create_db
+    from .tools import (_addtaxonomy, _convertalis, _createtsv,
+                        _swapresults, _taxonomy)
+    from .tools_profile import _summarizealis
+    if len(positional) != 4:
+        raise ValueError("usage: easy-taxonomy <i:queryFasta> "
+                         "<i:taxSeqDB> <o:out> <tmpDir>")
+    fasta, target, results, tmp = positional
+    os.makedirs(tmp, exist_ok=True)
+    query = os.path.join(tmp, "query")
+    if not os.path.exists(query + ".dbtype"):
+        # createdbMode = SEQUENCE_SPLIT_MODE_SOFT (EasyTaxonomy.cpp:10)
+        sdb, hdb = create_db([fasta], raw_headers=True)
+        sdb.save(query)
+        hdb.save(query + "_h")
+    result = os.path.join(tmp, "result")
+    v = space.values
+    sv_out = v.get("tax_output_mode", 0)
+    v["tax_output_mode"] = 2  # TAXONOMY_OUTPUT_BOTH (EasyTaxonomy.cpp:62)
+    if not os.path.exists(result + ".dbtype"):
+        _taxonomy([query, target, result,
+                   os.path.join(tmp, "taxonomy_tmp")], space)
+    v["tax_output_mode"] = sv_out
+    _createtsv([query, result, results + "_lca.tsv"], space)
+    from .tools import _taxonomyreport
+    _taxonomyreport([target, result, results + "_report"], space)
+    aln = result + "_aln"
+    swapped = os.path.join(tmp, "result_aln_swapped")
+    sv = "eval_thr" in space.was_set
+    if not sv:
+        # par.evalThr = FLT_MAX for swapresults (EasyTaxonomy.cpp:70)
+        v["eval_thr"] = 3.4028234663852886e38
+        space.was_set.add("eval_thr")
+    _swapresults([query, target, aln, swapped], space)
+    if not sv:
+        space.was_set.discard("eval_thr")
+    summ = swapped + "_sum"
+    _summarizealis([swapped, summ], space)
+    summ_tax = summ + "_tax"
+    sv_pick = v.get("pick_id_from", 2)
+    v["pick_id_from"] = 1  # EXTRACT_QUERY (EasyTaxonomy.cpp:72)
+    _addtaxonomy([target, summ, summ_tax], space)
+    v["pick_id_from"] = sv_pick
+    _createtsv([target, summ_tax, results + "_tophit_report"], space)
+    _convertalis([query, target, aln, results + "_tophit_aln"], space)
+    return 0
 
 
 COMMANDS = [
@@ -261,4 +316,18 @@ COMMANDS = [
             "<i:qFasta> <i:tFasta> <o:tsv> <tmpDir>",
             "Reciprocal best hit search (FASTA in, BLAST-tab out)",
             hidden=True),
+    Command("easy-taxonomy", _easy_taxonomy, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + P.align_flags()
+        + P.tax_flags() + [
+            P.Flag("--alignment-mode", "alignment_mode", int, 0,
+                   "0 auto, 1 score+end, 2 +start+cov, 3 +seq.id",
+                   r"[0-5]"),
+            P.Flag("--max-accept", "max_accept", int, 2**31 - 1,
+                   "Maximum accepted alignments per query"),
+            P.Flag("--max-rejected", "max_rejected", int, 2**31 - 1,
+                   "Maximum rejected alignments before give-up"),
+            P.Flag("--pick-id-from", "pick_id_from", int, 2,
+                   "Extract mode: 1 query, 2 target", r"[1-2]")]),
+            "<i:queryFasta> <i:taxSeqDB> <o:out> <tmpDir>",
+            "Taxonomy assignment from FASTA input", hidden=True),
 ]

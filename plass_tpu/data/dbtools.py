@@ -36,6 +36,22 @@ def lndb(src, dst):
         os.symlink(os.path.abspath(p), dst + s)
 
 
+ANCILLARY_SUFFIXES = ["_h", "_h.index", "_h.dbtype", ".lookup", ".source",
+                      "_mapping", "_names.dmp", "_nodes.dmp", "_merged.dmp",
+                      "_taxonomy"]
+
+
+def softlink_ancillary(src, dst):
+    """DBReader::softlinkDb(..., DBFiles::SEQUENCE_ANCILLARY)
+    (DBReader.cpp:1123-1155): absolute symlinks for the header/lookup/
+    taxonomy side files that exist next to src."""
+    for s in ANCILLARY_SUFFIXES:
+        if os.path.exists(src + s):
+            if os.path.lexists(dst + s):
+                os.unlink(dst + s)
+            os.symlink(os.path.abspath(src + s), dst + s)
+
+
 def data_order(db):
     """Record ids in data-file offset order (DBReader LINEAR_ACCCESS) —
     the write order the reference tools preserve."""
@@ -156,11 +172,12 @@ def create_tsv(db, header_db=None):
     """createtsv.cpp (basic mode): one line per record line, prefixed by the
     query key (or its header accession)."""
     out = []
-    for i in range(db.size):
+    for i in data_order(db):
         key = int(db.keys[i])
         if header_db is not None:
+            from .headers import parse_fasta_header
             j = header_db.key_to_id(key)
-            name = header_db.get_seq_bytes(j).decode().split()[0]
+            name = parse_fasta_header(header_db.get_seq_bytes(j).decode())
         else:
             name = str(key)
         body = db.get_data(i).tobytes().decode()

@@ -45,6 +45,12 @@ class Taxonomy:
 
     @classmethod
     def open(cls, prefix):
+        """NcbiTaxonomy::openTaxonomy (NcbiTaxonomy.cpp:485-517): prefer
+        the binary <prefix>_taxonomy dump, fall back to the dmp files."""
+        bin_file = prefix + "_taxonomy"
+        if os.path.exists(bin_file):
+            with open(bin_file, "rb") as f:
+                return unserialize_taxonomy(f.read())
         for suffix in ("_nodes.dmp", "_names.dmp", "_merged.dmp"):
             if not os.path.exists(prefix + suffix):
                 raise FileNotFoundError(
@@ -162,6 +168,225 @@ class Taxonomy:
         return ";".join(parts)
 
 
+SERIALIZATION_VERSION = 2  # NcbiTaxonomy.cpp:17
+
+
+def _flog2_int(x):
+    """(int)MathUtil::flog2(x) (MathUtil.h:107-119): 5th-order polynomial
+    log2 approximation, exact at powers of two."""
+    from ..native import lib as native_lib
+    return int(native_lib().pssm_flog2(float(x)))
+
+
+def serialize_taxonomy(names_file, nodes_file, merged_file):
+    """NcbiTaxonomy(names,nodes,merged) + NcbiTaxonomy::serialize
+    (NcbiTaxonomy.cpp:35-77,704-745): build the Euler-tour/RMQ LCA
+    structures and the deduplicated StringBlock, then emit the version-2
+    binary dump. Struct padding (TaxonNode bytes 12:16) is written as
+    zeros; the reference leaves heap garbage there, so comparisons must
+    mask those bytes."""
+    import struct
+
+    import numpy as np
+
+    # --- loadNodes (NcbiTaxonomy.cpp:110-154): file order defines ids
+    tax_ids, parents, rank_strs = [], [], []
+    with open(nodes_file, "rb") as f:
+        for line in f:
+            parts = line.rstrip(b"\n").split(b"\t|\t", 3)
+            tax_ids.append(int(parts[0]))
+            parents.append(int(parts[1]))
+            rank_strs.append(parts[2])
+    n = len(tax_ids)
+    max_tax_id = max(tax_ids) if n else 0
+    node_id = {}
+    for i, t in enumerate(tax_ids):
+        node_id[t] = i
+    D = np.full(max_tax_id + 1, -1, dtype=np.int32)
+    for t, i in node_id.items():
+        D[t] = i
+
+    # --- StringBlock appends: ranks per node, then scientific names
+    appends = list(rank_strs)
+    name_idx = [(1 << 64) - 1] * n  # (size_t)-1 for unnamed nodes
+    # --- loadMerged (NcbiTaxonomy.cpp:?): D[old] = D[new]
+    with open(merged_file, "rb") as f:
+        for line in f:
+            parts = line.rstrip(b"\n").split(b"\t|\t", 2)
+            if len(parts) != 2:
+                raise ValueError("Invalid merged.dmp entry")
+            old_id = int(parts[0])
+            new_id = int(parts[1].split(b"\t")[0])
+            if not 0 <= old_id <= max_tax_id:
+                continue  # reference reads out of bounds here (UB)
+            old_known = D[old_id] >= 0
+            if not old_known and 0 <= new_id <= max_tax_id and D[new_id] >= 0:
+                D[old_id] = D[new_id]
+    # --- loadNames (NcbiTaxonomy.cpp:165-188)
+    with open(names_file, "rb") as f:
+        for line in f:
+            if b"scientific name" not in line:
+                continue
+            parts = line.split(b"\t|\t", 2)
+            t = int(parts[0])
+            name_idx[node_id[t]] = len(appends)
+            appends.append(parts[1])
+
+    # --- Euler tour elh(children, 1, 0) (NcbiTaxonomy.cpp:191-204)
+    children = [[] for _ in range(n)]
+    for i in range(n):
+        if parents[i] != tax_ids[i]:
+            children[node_id[parents[i]]].append(tax_ids[i])
+    E, L = [], []
+    H = [0] * n
+    # iterative replica of the recursion: (id, level, child_pos)
+    root = node_id[1]
+    stack = [[root, 0, 0]]
+    if H[root] == 0:
+        H[root] = len(E)
+    E.append(root)
+    L.append(0)
+    while stack:
+        nid, level, pos = stack[-1]
+        kids = children[nid]
+        if pos < len(kids):
+            stack[-1][2] += 1
+            cid = node_id[kids[pos]]
+            if H[cid] == 0:
+                H[cid] = len(E)
+            E.append(cid)
+            L.append(level + 1)
+            stack.append([cid, level + 1, 0])
+        else:
+            E.append(node_id[parents[nid]])
+            L.append(level - 1)
+            stack.pop()
+    E += [0] * (2 * n - len(E))
+    L += [0] * (2 * n - len(L))
+    E = np.asarray(E, dtype=np.int32)
+    L = np.asarray(L, dtype=np.int32)
+
+    # --- RMQ sparse table (NcbiTaxonomy.cpp:206-225)
+    dim = 2 * n
+    k = _flog2_int(dim) + 1
+    M = np.zeros((dim, k), dtype=np.int32)
+    M[:, 0] = np.arange(dim, dtype=np.int32)
+    j = 1
+    while (1 << j) <= dim:
+        span = 1 << (j - 1)
+        imax = dim - (1 << j) + 1
+        A = M[:imax, j - 1]
+        B = M[span:span + imax, j - 1]
+        M[:imax, j] = np.where(L[A] < L[B], A, B)
+        j += 1
+
+    # --- StringBlock::compact + serialize (StringBlock.h:59-118):
+    # unique strings laid out in ascending strcmp order
+    uniq = sorted(set(appends))
+    offset_of = {}
+    off = 0
+    data_parts = []
+    for s in uniq:
+        offset_of[s] = off
+        data_parts.append(s + b"\0")
+        off += len(s) + 1
+    block_data = b"".join(data_parts)
+    entry_count = len(appends)
+    offsets = np.array([offset_of[s] for s in appends], dtype=np.uint32)
+
+    out = bytearray()
+    out += struct.pack("<i", SERIALIZATION_VERSION)
+    out += struct.pack("<Q", n)
+    out += struct.pack("<i", max_tax_id)
+    nodes_arr = np.zeros(n, dtype=[("id", "<i4"), ("taxId", "<i4"),
+                                   ("parentTaxId", "<i4"), ("pad", "<i4"),
+                                   ("rankIdx", "<u8"), ("nameIdx", "<u8")])
+    nodes_arr["id"] = np.arange(n, dtype=np.int32)
+    nodes_arr["taxId"] = tax_ids
+    nodes_arr["parentTaxId"] = parents
+    # rankIdx/nameIdx are StringBlock entry indices (append order), not
+    # byte offsets; ranks are appended once per node before any name
+    nodes_arr["rankIdx"] = np.arange(n, dtype=np.uint64)
+    nodes_arr["nameIdx"] = np.array(name_idx, dtype=np.uint64)
+    out += nodes_arr.tobytes()
+    out += D.tobytes()
+    out += E.tobytes()
+    out += L.tobytes()
+    out += np.asarray(H, dtype=np.int32).tobytes()
+    out += np.ascontiguousarray(M).tobytes()
+    out += struct.pack("<Q", len(block_data))     # byteCapacity
+    out += struct.pack("<I", entry_count)         # entryCapacity
+    out += struct.pack("<I", entry_count)         # entryCount
+    out += block_data
+    out += offsets.tobytes()
+    return bytes(out)
+
+
+def unserialize_taxonomy(mem):
+    """NcbiTaxonomy::unserialize (NcbiTaxonomy.cpp:747-779) into the
+    dict-based Taxonomy (merged aliases recovered from D entries whose
+    node's own taxId differs)."""
+    import struct
+
+    import numpy as np
+
+    p = 0
+    version = struct.unpack_from("<i", mem, p)[0]
+    p += 4
+    if version != SERIALIZATION_VERSION:
+        raise ValueError("incompatible binary taxonomy version")
+    n = struct.unpack_from("<Q", mem, p)[0]
+    p += 8
+    max_tax_id = struct.unpack_from("<i", mem, p)[0]
+    p += 4
+    nodes_arr = np.frombuffer(mem, dtype=[
+        ("id", "<i4"), ("taxId", "<i4"), ("parentTaxId", "<i4"),
+        ("pad", "<i4"), ("rankIdx", "<u8"), ("nameIdx", "<u8")],
+        count=n, offset=p)
+    p += n * 32
+    D = np.frombuffer(mem, dtype="<i4", count=max_tax_id + 1, offset=p)
+    p += 4 * (max_tax_id + 1)
+    p += 4 * (2 * n)  # E
+    p += 4 * (2 * n)  # L
+    p += 4 * n        # H
+    dim = 2 * n
+    k = _flog2_int(dim) + 1
+    p += 4 * dim * k  # M
+    byte_capacity = struct.unpack_from("<Q", mem, p)[0]
+    p += 8
+    entry_capacity = struct.unpack_from("<I", mem, p)[0]
+    p += 4
+    entry_count = struct.unpack_from("<I", mem, p)[0]
+    p += 4
+    block_data = bytes(mem[p:p + byte_capacity])
+    p += byte_capacity
+    offsets = np.frombuffer(mem, dtype="<u4", count=entry_capacity,
+                            offset=p)
+
+    def get_string(idx):
+        if idx >= entry_count:
+            return ""
+        off = int(offsets[idx])
+        end = block_data.index(b"\0", off)
+        return block_data[off:end].decode()
+
+    nodes = {}
+    for i in range(n):
+        t = int(nodes_arr["taxId"][i])
+        rank = get_string(int(nodes_arr["rankIdx"][i]))
+        nidx = int(nodes_arr["nameIdx"][i])
+        name = get_string(nidx) if nidx < entry_count else ""
+        nodes[t] = TaxonNode(t, int(nodes_arr["parentTaxId"][i]), rank,
+                             name)
+    merged = {}
+    tax_by_node = nodes_arr["taxId"]
+    for t in range(max_tax_id + 1):
+        i = int(D[t])
+        if i >= 0 and int(tax_by_node[i]) != t:
+            merged[t] = int(tax_by_node[i])
+    return Taxonomy(nodes, merged)
+
+
 def read_mapping(path):
     """<db>_mapping: 'key\\ttaxid' per line (Util::readMapping)."""
     out = {}
@@ -224,53 +449,121 @@ class TaxonomyExpression:
         return ok
 
 
-def weighted_majority_lca(tax, hits, majority_cutoff):
-    """NcbiTaxonomy::weightedMajorityLCA (NcbiTaxonomy.cpp:577-680):
-    accumulate weights up the lineages, pick the directly-hit candidate
-    meeting the cutoff whose nearest ranked ancestor (incl. itself) is
-    deepest; ties by higher weight fraction.
+MAX_TAX_WEIGHT = 1000.0  # NcbiTaxonomy.h:32
 
-    hits: [(taxon, weight)]. Returns selected taxid (0 = none).
+# Parameters.h AGG_TAX_* vote modes
+AGG_TAX_UNIFORM = 0
+AGG_TAX_MINUS_LOG_EVAL = 1
+AGG_TAX_SCORE = 2
+
+
+def weighted_tax_hit_weight(value, vote_mode):
+    """WeightedTaxHit ctor (NcbiTaxonomy.cpp:553-575)."""
+    import math
+    if vote_mode == AGG_TAX_UNIFORM:
+        return 1.0
+    if vote_mode == AGG_TAX_MINUS_LOG_EVAL:
+        flt_max = 3.4028234663852886e38
+        if value != flt_max:
+            return -math.log(value) if value > 0 else MAX_TAX_WEIGHT
+        return value
+    return value  # AGG_TAX_SCORE
+
+
+def weighted_majority_lca_full(tax, hits, majority_cutoff):
+    """NcbiTaxonomy::weightedMajorityLCA (NcbiTaxonomy.cpp:577-680):
+    accumulate weights up the lineages; a node is a *candidate* when it
+    was hit directly or is reached through two different children
+    (TaxNode::update, NcbiTaxonomy.cpp:536-542). Among candidates meeting
+    the cutoff, pick the one whose nearest ranked lineage node is deepest;
+    ties by higher weight fraction.
+
+    hits: [(taxon, weight)]. Returns
+    (taxon, assigned, unassigned, agree, percent) like WeightedTaxResult.
     """
-    weights = {}
-    candidates = set()
+    counts = {}  # taxid -> [weight, is_candidate, child_taxon]
+    assigned = 0
+    unassigned = 0
     total = 0.0
     for (taxon, weight) in hits:
         if taxon == 0:
+            unassigned += 1
             continue
         node = tax.node(taxon)
         if node is None:
-            continue
+            raise ValueError(f"taxonid: {taxon} does not match a legal "
+                             "taxonomy node")
         total += weight
-        candidates.add(node.tax_id)
-        for t in tax._lineage_ids(taxon):
-            weights[t] = weights.get(t, 0.0) + weight
+        assigned += 1
+        cur = node.tax_id
+        ent = counts.get(cur)
+        if ent is not None:
+            if ent[2] != 0:
+                ent[1] = True
+                ent[2] = 0
+            ent[0] += weight
+        else:
+            counts[cur] = [weight, True, 0]
+        parent = node.parent_tax_id
+        while parent != cur:
+            ent = counts.get(parent)
+            if ent is not None:
+                if ent[2] != cur:
+                    ent[1] = True
+                    ent[2] = cur
+                ent[0] += weight
+            else:
+                counts[parent] = [weight, False, cur]
+            cur = parent
+            parent = tax.node(parent).parent_tax_id
     if total == 0:
-        return 0
+        return (0, assigned, unassigned, 0, 0.0)
     selected = 0
-    min_rank = 1 << 30
+    min_rank = (1 << 31) - 1  # ROOT_RANK = INT_MAX
     selected_percent = 0.0
-    for taxon in sorted(weights):
-        if taxon not in candidates:
+    for taxon in sorted(counts):
+        weight, is_cand, _child = counts[taxon]
+        if not is_cand:
             continue
-        percent = weights[taxon] / total
+        percent = weight / total
         if percent < majority_cutoff:
             continue
         node = tax.node(taxon)
-        curr_min_rank = 1 << 30
-        n = node
-        while True:
-            idx = NCBI_RANKS.get(n.rank, -1)
+        curr_min_rank = (1 << 31) - 1
+        cur, parent = node.tax_id, node.parent_tax_id
+        while parent != cur:
+            idx = NCBI_RANKS.get(node.rank, -1)
             if idx > 0:
                 curr_min_rank = idx
                 break
-            if n.parent_tax_id == n.tax_id:
-                break
-            n = tax.node(n.parent_tax_id)
+            cur = parent
+            node = tax.node(parent)
+            parent = node.parent_tax_id
         if (curr_min_rank < min_rank
                 or (curr_min_rank == min_rank
                     and percent > selected_percent)):
             selected = taxon
             min_rank = curr_min_rank
             selected_percent = percent
-    return selected
+    if selected == 1:  # ROOT_TAXID: all assigned agree
+        return (selected, assigned, unassigned, assigned, selected_percent)
+    if selected == 0:
+        return (selected, assigned, unassigned, 0, selected_percent)
+    agree = 0
+    for (taxon, _weight) in hits:
+        if taxon == 0:
+            continue
+        node = tax.node(taxon)
+        cur, parent = node.tax_id, node.parent_tax_id
+        while parent != cur:
+            if cur == selected:
+                agree += 1
+                break
+            cur = parent
+            parent = tax.node(parent).parent_tax_id
+    return (selected, assigned, unassigned, agree, selected_percent)
+
+
+def weighted_majority_lca(tax, hits, majority_cutoff):
+    """Selected-taxid-only wrapper around weighted_majority_lca_full."""
+    return weighted_majority_lca_full(tax, hits, majority_cutoff)[0]

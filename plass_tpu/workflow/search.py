@@ -24,7 +24,8 @@ class SearchParams:
                  seq_id_thr=0.0, cov_thr=0.0, cov_mode=0, aln_len_thr=0,
                  seq_id_mode=0, gap_open=11, gap_extend=1,
                  max_accept=2**31 - 1, max_reject=2**31 - 1,
-                 include_identity=False, remove_tmp=False):
+                 include_identity=False, remove_tmp=False,
+                 lca_search=False):
         self.sensitivity = sensitivity
         self.kmer_size = kmer_size
         self.max_seqs = max_seqs
@@ -49,6 +50,8 @@ class SearchParams:
         self.max_reject = max_reject
         self.include_identity = include_identity
         self.remove_tmp = remove_tmp
+        # ALIGN_MODULE=lcaalign (Search.cpp:307-308, approximate 2bLCA)
+        self.lca_search = lca_search
 
 
 def _sens_schedule(p):
@@ -105,6 +108,20 @@ def run_search(qdb, tdb, out_path, tmp_base, params=None):
         def _aln(si=si):
             from ..cli.tools import load_prefilter
             hits = load_prefilter(wf.path(f"pref_{si}"))
+            if p.lca_search:
+                from ..ops.protein_align import lca_align_protein
+                res = lca_align_protein(
+                    qdb, hits, tdb=None if same_db else tdb,
+                    alignment_mode=p.alignment_mode, cov_thr=p.cov_thr,
+                    cov_mode=p.cov_mode, seq_id_thr=p.seq_id_thr,
+                    eval_thr=p.eval_thr, aln_len_thr=p.aln_len_thr,
+                    gap_open=p.gap_open, gap_extend=p.gap_extend,
+                    comp_bias_corr=p.comp_bias_corr,
+                    max_accept=p.max_accept, max_reject=p.max_reject,
+                    seq_id_mode=p.seq_id_mode,
+                    include_identity=p.include_identity)
+                return {f"aln_{si}": protein_align_results_to_db(
+                    res, key_order=qorder)}
             res = align_protein(
                 qdb, hits, seq_id_thr=p.seq_id_thr, cov_thr=p.cov_thr,
                 cov_mode=p.cov_mode, eval_thr=p.eval_thr,
