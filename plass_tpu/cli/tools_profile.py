@@ -2,8 +2,11 @@
 result2msa.cpp, msa2profile.cpp, profile2pssm.cpp, profile2seq.cpp,
 convertprofiledb.cpp).
 """
+import os
+
 import numpy as np
 
+from .. import constants
 from ..data import seqdb
 from ..utils.log import logger
 from . import params as P
@@ -394,11 +397,148 @@ def _profile2repseq(positional, space):
 
 
 def _convertprofiledb(positional, space):
-    """convertprofiledb (convertprofiledb.cpp): HH-suite HMM flat file ->
-    MMseqs profile DB is out of scope here; this implements the supported
-    direction used in workflows: profile DB consistency re-write."""
-    raise ValueError("convertprofiledb: HH-suite input conversion is not "
-                     "supported in this build")
+    """convertprofiledb (util/convertprofiledb.cpp:15-189): HH-suite HHM
+    flat-file DB (ffindex .ffdata/.ffindex or mmseqs layout) -> HMM-profile
+    DB + header DB. Record keys are the ffindex line numbers; the HHM score
+    columns are stored in file (HH-suite) amino-acid order, exactly as the
+    reference does (convertprofiledb.cpp:61-98)."""
+    import ctypes
+    if len(positional) != 2:
+        raise ValueError("usage: convertprofiledb <i:hhmDB> <o:profileDB>")
+    from ..data import ca3m
+    from ..native import lib as native_lib
+    nat = native_lib()
+    mat = constants.blosum62()
+    src = positional[0]
+    if (os.path.exists(src + ".ffdata") and os.path.exists(src + ".ffindex")):
+        reader = ca3m.open_ffindex(src + ".ffdata", src + ".ffindex")
+    else:
+        reader = ca3m.open_linewise(src)
+    pw = seqdb.DBWriter(seqdb.HMM_PROFILE)
+    hw = seqdb.DBWriter(seqdb.GENERIC_DB)
+    for i in range(reader.size):
+        raw = reader.get_data(i).tobytes()
+        lines = raw.decode("latin-1").split("\n")
+        li = 0
+        while not lines[li].startswith("NAME"):
+            li += 1
+        header = lines[li][6:] + "\n"
+        while not lines[li].startswith(">Consensus"):
+            li += 1
+        li += 1
+        while not lines[li].startswith(">"):
+            li += 1
+        li += 1
+        seq = []
+        while not (lines[li][:1] == ">" or lines[li][:1] == "#"):
+            seq.append(lines[li])
+            li += 1
+        sequence = "".join(seq)
+        while lines[li][:1] != "#":
+            li += 1
+        li += 5
+        buf = bytearray()
+        seq_pos = 0
+        while not lines[li].startswith("//"):
+            words = lines[li].split()
+            probs = np.zeros(20, dtype=np.float32)
+            for aa in range(20):
+                w = words[aa + 2]
+                if w[0] == "*":
+                    probs[aa] = 0.0
+                elif w[0] == "0":
+                    probs[aa] = 1.0
+                else:
+                    entry = int(w)
+                    probs[aa] = np.float32(nat.ps_fpow2(
+                        ctypes.c_float(-(np.float32(entry) / np.float32(1000.0)))))
+                b = nat.pssm_score_mask(ctypes.c_float(probs[aa]))
+                if b == 0:
+                    raise ValueError(
+                        f"PSSM score of 0 is too large at id: {i}.hhm")
+                buf.append(b)
+            maxw = np.float32(0.0)
+            maxa = 21
+            for aa in range(20):
+                d = probs[aa] - np.float32(mat.pback[aa])
+                if d > maxw:
+                    maxw = d
+                    maxa = aa
+            buf.append(int(mat.aa2num[ord(sequence[seq_pos])]))
+            buf.append(maxa)
+            # NEFF read from words[7] of the same emission line
+            # (convertprofiledb.cpp:115-118 — reference reads the match line
+            # again, not the transition line; fast_atoi('*') == 0)
+            neff_tok = words[7] if len(words) > 7 else "0"
+            entry = int(neff_tok) if neff_tok.lstrip("-").isdigit() else 0
+            buf.append(nat.pssm_neff_to_char(
+                ctypes.c_float(np.float32(entry) / np.float32(1000.0))))
+            seq_pos += 1
+            li += 3
+        pw.write(i, bytes(buf), add_newline=False)
+        hw.write(i, header.encode("latin-1"), add_newline=False)
+    pw.finish().save(positional[1])
+    hw.finish().save(positional[1] + "_h")
+    return 0
+
+
+def _profile2cs(positional, space):
+    """profile2cs (util/profile2cs.cpp:16-105): profile DB -> column-state
+    sequence DBs — <o> in the 219-state cs219 alphabet and <o>.255 in the
+    255-state alphabet; states stored +1 to avoid null bytes, record
+    terminated by an extra null."""
+    if len(positional) != 2:
+        raise ValueError("usage: profile2cs <i:profileDB> <o:csDB>")
+    from ..ops.profiledb import read_profile
+    from ..ops.profilestates import ProfileStates
+    v = space.values
+    pca = v.get("pca", 1.0)
+    pcb = v.get("pcb", 1.5)
+    db = seqdb.SeqDB.open(positional[0])
+    order = [int(i) for i in seqdb.data_order(db)]
+    probs = [read_profile(db.get_data(i).tobytes(), add_pc=pca > 0.0,
+                          pca=pca, pcb=pcb)["prob"] for i in order]
+    for alph in (219, 255):
+        ps = ProfileStates(alph)
+        out = positional[1] if alph == 219 else positional[1] + f".{alph}"
+        writer = seqdb.DBWriter(seqdb.PROFILE_STATE_SEQ)
+        for i, prob in zip(order, probs):
+            states = (ps.discretize_cs219(prob) if alph == 219
+                      else ps.discretize(prob))
+            writer.write(int(db.keys[i]),
+                         (states + 1).astype(np.uint8).tobytes() + b"\x00",
+                         add_newline=False)
+        writer.finish().save(out)
+    return 0
+
+
+def _convertca3m(positional, space):
+    """convertca3m (util/convertca3m.cpp:13-63): expand a compressed-A3M DB
+    (<db>_ca3m.ffdata + <db>_sequence.ffdata) into an alignment result DB
+    with backtraces."""
+    if len(positional) != 2:
+        raise ValueError("usage: convertca3m <i:ca3mDB> <o:alnDB>")
+    from ..data import ca3m
+    from ..ops.rescore import format_seq_id
+    from ..ops.protein_align import compress_cigar
+    reader = ca3m.open_ffindex(positional[0] + "_ca3m.ffdata",
+                               positional[0] + "_ca3m.ffindex")
+    seqs = ca3m.open_ffindex(positional[0] + "_sequence.ffdata",
+                             positional[0] + "_sequence.ffindex")
+    writer = seqdb.DBWriter(seqdb.CA3M_DB)
+    for i in range(reader.size):
+        key, results = ca3m.extract_matcher_results(
+            reader.get_data(i).tobytes(), seqs, skip_first=True)
+        out = []
+        for r in results:
+            out.append(
+                f"{r['dbKey']}\t{r['score']}\t{format_seq_id(r['seqId'])}\t"
+                f"{r['eval']:.3E}\t{r['qStartPos']}\t{r['qEndPos']}\t"
+                f"{r['qLen']}\t{r['dbStartPos']}\t{r['dbEndPos']}\t"
+                f"{r['dbLen']}\t{compress_cigar(r['backtrace'])}\n")
+        writer.write(key, "".join(out).encode(), add_newline=False)
+    writer.finish().save(positional[1])
+    return 0
 
 
 _TRANSITIONS = {
@@ -996,4 +1136,19 @@ COMMANDS = [
     Command("result2pp", _result2pp, lambda: P.ParamSpace(_profile_flags()),
             "<i:qProfDB> <i:tProfDB> <i:resDB> <o:profDB>",
             "Merge target profiles into query profiles along alignments", hidden=True),
+    # profile2cs keeps the global pca=1.0 default (result2profile/msa2profile
+    # override it to 0.0, profile2cs does not — result2profile.cpp:23)
+    Command("profile2cs", _profile2cs,
+            lambda: P.ParamSpace([f if f.name != "--pca" else
+                                  P.Flag("--pca", "pca", float, 1.0,
+                                         "Pseudo count admixture strength")
+                                  for f in _profile_flags()]),
+            "<i:profileDB> <o:csDB>",
+            "Convert profiles to column-state sequences", hidden=True),
+    Command("convertprofiledb", _convertprofiledb, lambda: P.ParamSpace(_profile_flags()),
+            "<i:hhsuiteHHMDB> <o:profileDB>",
+            "Convert an HH-suite HHM DB to a profile DB", hidden=True),
+    Command("convertca3m", _convertca3m, lambda: P.ParamSpace(_profile_flags()),
+            "<i:ca3mDB> <o:alnDB>",
+            "Convert a compressed A3M DB to an alignment result DB", hidden=True),
 ]

@@ -246,6 +246,27 @@ def save_lexicographic(db, path):
     seqdb.write_dbtype(path, db.dbtype)
 
 
+def open_ffindex(data_path, index_path):
+    """Open an ffindex pair (.ffdata/.ffindex) in index-file line order
+    (DBReader<std::string> NOSORT / SORT_BY_LINE addressing)."""
+    data = np.fromfile(data_path, dtype=np.uint8)
+    keys, offsets, lengths = [], [], []
+    with open(index_path, "rb") as f:
+        for line in f:
+            parts = line.split(b"\t")
+            if len(parts) < 3:
+                continue
+            try:
+                keys.append(int(parts[0]))
+            except ValueError:
+                keys.append(len(keys))
+            offsets.append(int(parts[1]))
+            lengths.append(int(parts[2]))
+    return seqdb.SeqDB(data, np.asarray(keys, dtype=np.uint32),
+                       np.asarray(offsets, dtype=np.int64),
+                       np.asarray(lengths, dtype=np.int64), seqdb.GENERIC_DB)
+
+
 def open_linewise(path):
     """DBReader SORT_BY_LINE: ids = physical line order of the index
     file (ffindex line number addressing, DBReader.h:252)."""

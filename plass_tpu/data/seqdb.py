@@ -23,6 +23,7 @@ import numpy as np
 AMINO_ACIDS = 0
 NUCLEOTIDES = 1
 HMM_PROFILE = 2
+PROFILE_STATE_SEQ = 3
 ALIGNMENT_RES = 5
 CLUSTER_RES = 6
 PREFILTER_RES = 7

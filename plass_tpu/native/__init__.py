@@ -12,7 +12,7 @@ _LIB = None
 
 
 _SOURCES = ["ssw.cpp", "extend.cpp", "banded.cpp", "tantan.cpp", "pssm.cpp",
-            "ungapped.cpp"]
+            "ungapped.cpp", "profilestates.cpp"]
 
 
 def _build(so_path):
@@ -94,4 +94,15 @@ def lib():
         _LIB.ungapped_all.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8, u8p,
             i64p, i64p, ctypes.c_int64, i32p]
+        _LIB.ps_fpow2.argtypes = [ctypes.c_float]
+        _LIB.ps_fpow2.restype = ctypes.c_double
+        _LIB.ps_score.argtypes = [f32p, f32p, f32p]
+        _LIB.ps_score.restype = ctypes.c_float
+        _LIB.ps_disc_scores.argtypes = [f32p, f32p, ctypes.c_int64,
+                                        ctypes.c_int64, f32p]
+        _LIB.ps_discretize.argtypes = [f32p, ctypes.c_int64, f32p, f32p,
+                                       f32p, f32p, ctypes.c_int64,
+                                       ctypes.c_int64, u8p]
+        _LIB.ps_discretize_cs219.argtypes = [f32p, ctypes.c_int64, f32p,
+                                             f32p, f32p, ctypes.c_int64, u8p]
         return _LIB

@@ -66,7 +66,10 @@ def _add_pseudocounts(profile, pca, pcb):
                 flat[pos * 20:].ctypes.data_as(f32p))
     neff = profile["neff"]
     for pos in range(L):
-        tau = np.float32(min(1.0, float(pca) / (1.0 + float(neff[pos]) / float(pcb))))
+        # tau = fmin(1.0, pca / (1.0 + Neff/pcb)) — Neff/pcb is a FLOAT
+        # division before the double promotion (PSSMCalculator.cpp:256)
+        neff_ratio = np.float32(neff[pos]) / np.float32(pcb)
+        tau = np.float32(min(1.0, float(pca) / (1.0 + float(neff_ratio))))
         for aa in range(20):
             sig = np.float32((1.0 - float(tau)) * float(flat[pos * 20 + aa]))
             prob[pos, aa] = sig + np.float32(float(tau) * float(pc[pos * 20 + aa]))

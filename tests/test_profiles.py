@@ -210,3 +210,78 @@ def test_result2dnamsa_parity(tmp_path, nucl_search_result):
     run_ref("result2dnamsa", db, db, aln, tmp_path / "ref", "--threads", "1")
     run_ours("result2dnamsa", db, db, aln, tmp_path / "ours")
     assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@needs_ref
+def test_profile2cs_parity(tmp_path, profile_db):
+    run_ref("profile2cs", profile_db, tmp_path / "ref", "--threads", "1")
+    run_ours("profile2cs", profile_db, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+    assert db_bytes(str(tmp_path / "ref.255")) == \
+        db_bytes(str(tmp_path / "ours.255"))
+
+
+@needs_ref
+def test_convertca3m_parity(tmp_path, search_result):
+    db, aln = search_result
+    ca = str(tmp_path / "ca3m")
+    run_ref("result2msa", db, db, aln, ca, "--msa-format-mode", "1",
+            "--threads", "1")
+    # the ca3m triplet has no base .dbtype; the CLI validator wants one
+    import shutil
+    shutil.copy(ca + "_ca3m.ffdata.dbtype", ca + ".dbtype")
+    run_ref("convertca3m", ca, tmp_path / "ref", "--threads", "1")
+    run_ours("convertca3m", ca, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
+@pytest.fixture(scope="module")
+def hhm_db(tmp_path_factory):
+    """Synthetic HH-suite .hhm flat-file ffindex DB."""
+    import random
+    d = tmp_path_factory.mktemp("hhm")
+    rng = random.Random(7)
+
+    def rec(name, seq):
+        lines = ["HHsearch 1.5", f"NAME  {name} test protein family",
+                 "FAM   ", ">Consensus", seq.lower(),
+                 f">{name} query header", seq, "#",
+                 "NULL   3706 5728 4211 4064 4839 3729 4763 4308 4069 3323 "
+                 "5509 4640 4464 4937 4285 4423 3815 3783 6325 4665",
+                 "HMM    A\tC\tD\tE\tF\tG\tH\tI\tK\tL\tM\tN\tP\tQ\tR\tS\tT\tV\tW\tY",
+                 "       M->M\tM->I\tM->D\tI->M\tI->I\tD->M\tD->D\tNeff\tNeff_I\tNeff_D",
+                 "       0\t*\t*\t0\t*\t0\t*\t*\t*\t*"]
+        for pos, aa in enumerate(seq, 1):
+            vals = []
+            for _ in range(20):
+                r = rng.random()
+                vals.append("*" if r < 0.1 else
+                            "0" if r < 0.15 else str(rng.randint(1, 12000)))
+            lines.append(aa + " " + str(pos) + "\t" + "\t".join(vals) +
+                         "\t" + str(pos))
+            lines.append("       0\t*\t*\t*\t*\t*\t*\t" +
+                         str(rng.randint(1000, 9000)) + "\t0\t0")
+            lines.append("")
+        lines.append("//")
+        return "\n".join(lines) + "\n"
+
+    data = b""
+    index = []
+    for name, seq in [("prot1", "ACDEFGHIKLMNPQRSTVWY"),
+                      ("prot2", "MKVLAWYTTGH"), ("prot3", "GGSSLLKKRRE")]:
+        blob = rec(name, seq).encode() + b"\x00"
+        index.append((f"{name}.hhm", len(data), len(blob)))
+        data += blob
+    (d / "hhmdb.ffdata").write_bytes(data)
+    (d / "hhmdb.ffindex").write_text(
+        "".join(f"{k}\t{o}\t{l}\n" for k, o, l in index))
+    return str(d / "hhmdb")
+
+
+@needs_ref
+def test_convertprofiledb_parity(tmp_path, hhm_db):
+    run_ref("convertprofiledb", hhm_db, tmp_path / "ref", "--threads", "1")
+    run_ours("convertprofiledb", hhm_db, tmp_path / "ours")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+    assert db_bytes(str(tmp_path / "ref_h")) == \
+        db_bytes(str(tmp_path / "ours_h"))
