@@ -269,74 +269,200 @@ def _result2msa(positional, space):
 
 
 def _msa2profile(positional, space):
-    """msa2profile (msa2profile.cpp): MSA records (FASTA blocks) ->
-    profile DB. match-mode 0: first sequence columns define match states;
-    match-mode 1: columns with >= match-ratio residues."""
-    from .. import constants
+    """msa2profile (util/msa2profile.cpp:26-380): MSA DB -> profile DB +
+    header DB. match-mode 0: columns where the first member has a residue
+    are match states (msa2profile.cpp:231-239); match-mode 1: weighted-gap
+    fraction <= match-ratio (sequence weights, ENDGAP exclusion,
+    msa2profile.cpp:289-333). The MsaFilter shuffle reorders rows in place
+    before the PSSM (MsaFilter.cpp:557-568); header comes from the .lookup
+    if present, else from the first member header."""
+    import ctypes
     from ..ops import msa as MSA
+    from ..native import lib as native_lib
     if len(positional) != 2:
         raise ValueError("usage: msa2profile <i:msaDB> <o:profileDB>")
     v = space.values
     mat = constants.blosum62()
+    nat = native_lib()
+    msa_type = v.get("msa_type", 2)
     match_mode = v.get("match_mode", 0)
-    match_ratio = v.get("match_ratio", 0.5)
+    match_ratio = np.float32(v.get("match_ratio", 0.5))
     filter_msa = v.get("filter_msa", 1)
-    db = seqdb.SeqDB.open(positional[0])
+    skip_query = v.get("skip_query", False)
+    wg = bool(v.get("wg", False))
+    pca = v.get("pca", 0.0)
+    pcb = v.get("pcb", 1.5)
+    mask_by_first = match_mode == 0
+
+    seq_reader = hdr_reader = None
+    if msa_type == 0:
+        from ..data import ca3m
+        db = ca3m.open_ffindex(positional[0] + "_ca3m.ffdata",
+                               positional[0] + "_ca3m.ffindex")
+        seq_reader = ca3m.open_ffindex(positional[0] + "_sequence.ffdata",
+                                       positional[0] + "_sequence.ffindex")
+        hdr_reader = ca3m.open_ffindex(positional[0] + "_header.ffdata",
+                                       positional[0] + "_header.ffindex")
+        order = list(range(db.size))
+    else:
+        db = seqdb.SeqDB.open(positional[0])
+        order = [int(i) for i in seqdb.data_order(db)]
+    lookup = None
+    if os.path.exists(positional[0] + ".lookup"):
+        lookup = {}
+        with open(positional[0] + ".lookup") as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2 and int(parts[0]) not in lookup:
+                    lookup[int(parts[0])] = parts[1]
+
     writer = seqdb.DBWriter(seqdb.HMM_PROFILE)
     hwriter = seqdb.DBWriter(seqdb.GENERIC_DB)
-    for i in seqdb.data_order(db):
-        i = int(i)
-        text = db.get_data(i).tobytes().decode()
-        names = []
-        seqs = []
-        for block in text.split(">"):
-            if not block.strip():
+    kseq_buf = bytearray()
+    for rank, i in enumerate(order):
+        qkey = int(db.keys[i])
+        raw = db.get_data(i).tobytes()
+        if msa_type == 0:
+            from ..data import ca3m
+            raw = ca3m.extract_a3m(raw[:max(0, len(raw) - 1)],
+                                   seq_reader, hdr_reader)
+            if isinstance(raw, str):
+                raw = raw.encode()
+        if raw[:1] == b"#":
+            nl = raw.find(b"\n")
+            raw = raw[nl + 1:] if nl >= 0 else b""
+        records = _kseq_records(raw)
+        if skip_query:
+            next(records, None)
+
+        rows = []
+        first_header = None
+        fasta_error = False
+        center_len_gaps = 0
+        masked = None
+        masked_count = 0
+        for name, comment, s in records:
+            if len(name) == 0 or len(s) == 0:
+                fasta_error = True
+                break
+            if msa_type in (0, 1) and name.startswith(b"ss_"):
                 continue
-            lines = block.split("\n")
-            names.append(lines[0])
-            seqs.append("".join(lines[1:]))
-        if not seqs:
+            if len(kseq_buf) < len(s) + 1:
+                kseq_buf.extend(b"\x00" * (len(s) + 1 - len(kseq_buf)))
+            kseq_buf[:len(s)] = s
+            kseq_buf[len(s)] = 0
+            if not rows:
+                center_len_gaps = len(s)
+                if mask_by_first:
+                    arr0 = np.frombuffer(bytes(s), dtype=np.uint8)
+                    masked = (arr0 == ord("-")).astype(np.uint8)
+                    masked_count = int(masked.sum())
+                else:
+                    masked = np.zeros(center_len_gaps, dtype=np.uint8)
+                first_header = name + (b" " + comment if comment else b"") \
+                    + b"\n"
+            arr = np.frombuffer(bytes(kseq_buf[:center_len_gaps]),
+                                dtype=np.uint8)
+            keep_cols = np.ones(center_len_gaps, dtype=bool)
+            if mask_by_first:
+                keep_cols &= masked == 0
+            if msa_type == 1:
+                keep_cols &= ~((arr >= ord("a")) & (arr <= ord("z")))
+            arr = arr[keep_cols]
+            num = mat.aa2num[arr].astype(np.uint8)
+            num[arr == ord("-")] = MSA.GAP
+            rows.append(num)
+        if fasta_error:
+            logger.warning(f"Invalid msa {rank}! Skipping entry.")
             continue
-        width = max(len(s) for s in seqs)
-        setsize = len(seqs)
-        raw = np.full((setsize, width), MSA.GAP, dtype=np.uint8)
-        lowercase = np.zeros((setsize, width), dtype=bool)
-        for k, s in enumerate(seqs):
-            arr = np.frombuffer(s.encode(), dtype=np.uint8)
-            lowercase[k, :len(arr)] = (arr >= ord("a")) & (arr <= ord("z"))
-            num = mat.aa2num[arr]
-            num[(arr == ord("-")) | (arr == ord("."))] = MSA.GAP
-            raw[k, :len(arr)] = num
-        # determine match columns
-        if match_mode == 0:
-            match_cols = (raw[0] != MSA.GAP) & ~lowercase[0]
-        else:
-            frac = ((raw != MSA.GAP) & ~lowercase).sum(axis=0) / setsize
-            match_cols = frac >= match_ratio
-        cols = np.nonzero(match_cols)[0]
-        center_len = len(cols)
-        padded = (center_len + MSA.BLOCK) // MSA.BLOCK * MSA.BLOCK
-        msa = np.full((setsize, padded), MSA.GAP, dtype=np.uint8)
-        msa[:, :center_len] = raw[:, cols]
-        if filter_msa != 0:
-            keep, filtered = MSA.msa_filter(
-                msa, center_len, coverage=int(v.get("cov_msa_thr", 0.0) * 100),
+        set_size = len(rows)
+        if set_size == 0:
+            logger.warning(f"Empty msa {rank}! Skipping entry.")
+            continue
+
+        width = max(len(r) for r in rows)
+        msa_arr = np.full((set_size, width), MSA.GAP, dtype=np.uint8)
+        for k, r in enumerate(rows):
+            msa_arr[k, :len(r)] = r
+
+        if not mask_by_first:
+            stride = ((center_len_gaps // 32) + 1) * 32
+            wbuf = np.full((set_size, stride), MSA.GAP, dtype=np.uint8)
+            wbuf[:, :width] = msa_arr
+            weights = np.zeros(set_size, dtype=np.float32)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            nat.pssm_seq_weights(
+                wbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                set_size, stride, center_len_gaps,
+                weights.ctypes.data_as(f32p))
+            work = msa_arr[:, :center_len_gaps].copy()
+            for k in range(set_size):
+                l = 0
+                while l < center_len_gaps and work[k, l] == MSA.GAP:
+                    work[k, l] = MSA.ENDGAP
+                    l += 1
+                l = center_len_gaps - 1
+                while l >= 0 and work[k, l] == MSA.GAP:
+                    work[k, l] = MSA.ENDGAP
+                    l -= 1
+            masked = np.zeros(center_len_gaps, dtype=np.uint8)
+            for l in range(center_len_gaps):
+                res_w = np.float32(0)
+                gap_w = np.float32(0)
+                for k in range(set_size):
+                    c = work[k, l]
+                    if c < MSA.GAP:
+                        res_w += weights[k]
+                    elif c != MSA.ENDGAP:
+                        gap_w += weights[k]
+                    else:
+                        work[k, l] = MSA.GAP
+                masked[l] = 1 if (gap_w / (res_w + gap_w)) > match_ratio \
+                    else 0
+            masked_count = int(masked.sum())
+            keep_cols = np.nonzero(masked == 0)[0]
+            # masked columns are dropped (GAP fill), msa2profile.cpp:321-333
+            msa_arr = np.full((set_size, width), MSA.GAP, dtype=np.uint8)
+            msa_arr[:, :len(keep_cols)] = work[:, keep_cols]
+
+        center_len = center_len_gaps - masked_count
+        stride = ((center_len_gaps // 32) + 1) * 32
+        buf = np.full((set_size, stride), MSA.GAP, dtype=np.uint8)
+        buf[:, :width] = msa_arr
+
+        filtered_size = set_size
+        if filter_msa == 1:
+            keep, filtered_size = MSA.msa_filter(
+                buf, center_len, coverage=int(v.get("cov_msa_thr", 0.0) * 100),
                 qid_vec=_qid_vec(space), qsc=v.get("qsc", -20.0),
                 max_seqid=int(v.get("filter_max_seq_id", 0.9) * 100),
                 ndiff=v.get("filter_ndiff", 1000),
                 filter_min_enable=v.get("filter_min_enable", 0))
-            msa = msa[[k for k in range(setsize) if keep[k] != 0]]
-        center = msa[0, :center_len].copy()
-        center[center == MSA.GAP] = MSA.ANY
-        res = MSA.compute_pssm(msa, center_len,
-                               wg=bool(v.get("wg", False)),
-                               pca=v.get("pca", 1.0), pcb=v.get("pcb", 1.5))
-        writer.write(int(db.keys[i]), MSA.profile_record(center, res),
+            row_order = list(range(set_size))
+            ii = 0
+            for j in range(set_size):
+                if keep[j] != 0:
+                    if ii < j:
+                        row_order[ii], row_order[j] = \
+                            row_order[j], row_order[ii]
+                    ii += 1
+            buf = buf[row_order]
+
+        res = MSA.compute_pssm(buf[:filtered_size], center_len, wg=wg,
+                               pca=pca, pcb=pcb)
+        writer.write(qkey, MSA.profile_record(buf[0][:center_len], res),
                      add_newline=False)
-        hwriter.write(int(db.keys[i]), (names[0].split("\n")[0] + "\n").encode(),
-                      add_newline=False)
+        if lookup is not None:
+            hwriter.write(qkey, (lookup.get(qkey, "") + "\n").encode(),
+                          add_newline=False)
+        else:
+            hwriter.write(qkey, first_header, add_newline=False)
     writer.finish().save(positional[1])
     hwriter.finish().save(positional[1] + "_h")
+    import shutil
+    for ext in (".lookup", ".source"):
+        if os.path.exists(positional[0] + ext):
+            shutil.copy(positional[0] + ext, positional[1] + ext)
     return 0
 
 
@@ -1152,3 +1278,364 @@ COMMANDS = [
             "<i:ca3mDB> <o:alnDB>",
             "Convert a compressed A3M DB to an alignment result DB", hidden=True),
 ]
+
+
+def _kseq_records(buf):
+    """kseq_read over an in-memory buffer (ksw2/kseq.h:184-235): yields
+    (name, comment, seq bytes); name = chars up to the first isspace,
+    comment = rest of the header line, sequence lines concatenated until
+    the next '>'/'+'/'@' record marker (empty lines skipped)."""
+    spaces = b" \t\n\v\f\r"
+    n = len(buf)
+    pos = 0
+    while True:
+        while pos < n and buf[pos] not in (0x3E, 0x40):
+            pos += 1
+        if pos >= n:
+            return
+        pos += 1
+        start = pos
+        while pos < n and buf[pos] not in spaces:
+            pos += 1
+        name = buf[start:pos]
+        comment = b""
+        if pos < n and buf[pos] != 0x0A:
+            pos += 1
+            eol = buf.find(b"\n", pos)
+            if eol < 0:
+                eol = n
+            comment = buf[pos:eol]
+            if comment.endswith(b"\r"):
+                comment = comment[:-1]
+            pos = eol
+        if pos < n:
+            pos += 1
+        chunks = []
+        while pos < n and buf[pos] not in (0x3E, 0x40, 0x2B):
+            if buf[pos] == 0x0A:
+                pos += 1
+                continue
+            eol = buf.find(b"\n", pos)
+            if eol < 0:
+                eol = n
+            line = buf[pos:eol]
+            chunks.append(line)
+            pos = eol + 1 if eol < n else n
+        yield name, comment, b"".join(chunks)
+
+
+def _biased_ascii_mat(bit_factor, bias):
+    """SubstitutionMatrix(name, bitFactor, bias) int matrix as a 256x256
+    ASCII LUT (BaseMatrix::generateSubMatrix short version +
+    SubstitutionMatrix::createAsciiSubMat)."""
+    d = constants._load("blosum62")
+    prob = d["prob"]
+    n = prob.shape[0]
+    pback = prob.sum(axis=1)
+    pback[n - 1] = 1e-5  # ANY_BACK (BaseMatrix.cpp:10)
+    sub = np.log2(prob / (pback[:, None] * pback[None, :]))
+    scaled = bit_factor * sub + bias
+    sub_int = np.where(scaled < 0.0, scaled - 0.5,
+                       scaled + 0.5).astype(np.int64).astype(np.int16)
+    aa2num = d["aa2num"]
+    return sub_int[aa2num[:, None], aa2num[None, :]]
+
+
+def _msa2result(positional, space):
+    """msa2result (util/msa2result.cpp:26-488): MSA DB -> renumbered member
+    sequence DB + header DB + per-MSA alignment result DB (each member
+    aligned/rescored against the filtered-profile consensus).
+
+    Reference quirks replicated: the counting state machine includes the
+    record's trailing NUL so each MSA reserves one extra key
+    (msa2result.cpp:80-127); match-mode 0 never writes maskedColumns (the
+    mask-by-first block is commented out, msa2result.cpp:277-287) so no
+    column is masked; the MsaFilter in-place shuffle permutes the member
+    rows that the result records are emitted in (MsaFilter.cpp:557-568);
+    member rows shorter than the first row re-read the kseq buffer's stale
+    tail bytes (kseq buffer reuse)."""
+    import ctypes
+    from ..ops import msa as MSA
+    from ..ops.evalue import EvalueComputer
+    from ..ops.protein_align import (compress_cigar,
+                                     update_result_by_rescoring_backtrace)
+    from ..ops.rescore import format_seq_id
+    from ..native import lib as native_lib
+    if len(positional) != 3:
+        raise ValueError("usage: msa2result <i:msaDB> <o:seqDB> <o:resultDB>")
+    v = space.values
+    mat = constants.blosum62()
+    nat = native_lib()
+    msa_type = v.get("msa_type", 2)
+    match_mode = v.get("match_mode", 0)
+    match_ratio = np.float32(v.get("match_ratio", 0.5))
+    filter_msa = v.get("filter_msa", 1)
+    skip_query = v.get("skip_query", False)
+    gap_open, gap_extend = 11, 1
+    wg = bool(v.get("wg", False))
+    pca = v.get("pca", 0.0)
+    pcb = v.get("pcb", 1.5)
+
+    seq_reader = hdr_reader = None
+    if msa_type == 0:
+        from ..data import ca3m
+        db = ca3m.open_ffindex(positional[0] + "_ca3m.ffdata",
+                               positional[0] + "_ca3m.ffindex")
+        seq_reader = ca3m.open_ffindex(positional[0] + "_sequence.ffdata",
+                                       positional[0] + "_sequence.ffindex")
+        hdr_reader = ca3m.open_ffindex(positional[0] + "_header.ffdata",
+                                       positional[0] + "_header.ffindex")
+        order = list(range(db.size))
+    else:
+        db = seqdb.SeqDB.open(positional[0])
+        order = [int(i) for i in seqdb.data_order(db)]
+
+    # counting pass (msa2result.cpp:71-127): state machine over the raw
+    # record INCLUDING the trailing NUL byte
+    set_sizes = np.zeros(db.size + 1, dtype=np.uint32)
+    max_seq_length = 0
+    for rank, i in enumerate(order):
+        raw = db.get_data(i).tobytes() + b"\x00"
+        in_header = False
+        set_size = 0
+        seq_len = 0
+        for b in raw:
+            if b == 0x3E:
+                max_seq_length = max(max_seq_length, seq_len)
+                seq_len = 0
+                in_header = True
+                set_size += 1
+            elif b == 0x0A:
+                in_header = False
+            elif not in_header:
+                seq_len += 1
+        if not in_header and seq_len > 0:
+            max_seq_length = max(max_seq_length, seq_len)
+            set_size += 1
+        set_sizes[rank] = set_size
+    offsets = np.concatenate(([0], np.cumsum(set_sizes[:db.size])))
+    max_seq_length = (max_seq_length // 32 + 2) * 32
+
+    seq_writer = seqdb.DBWriter(seqdb.AMINO_ACIDS)
+    hdr_writer = seqdb.DBWriter(seqdb.GENERIC_DB)
+    res_writer = seqdb.DBWriter(seqdb.ALIGNMENT_RES)
+
+    ascii_mat = _biased_ascii_mat(2.0, -0.2)
+    evaluer = EvalueComputer.for_matrix("blosum62_11_1", db.size)
+
+    kseq_buf = bytearray()
+
+    for rank, i in enumerate(order):
+        qkey = int(db.keys[i])
+        raw = db.get_data(i).tobytes()
+        if msa_type == 0:
+            from ..data import ca3m
+            raw = ca3m.extract_a3m(raw[:max(0, len(raw) - 1)],
+                                   seq_reader, hdr_reader)
+            if isinstance(raw, str):
+                raw = raw.encode()
+        # strip a leading comment line
+        if raw[:1] == b"#":
+            nl = raw.find(b"\n")
+            raw = raw[nl + 1:] if nl >= 0 else b""
+
+        records = _kseq_records(raw)
+        if skip_query:
+            next(records, None)
+
+        rows = []       # uint8 numeric rows (centerLengthWithGaps wide)
+        headers = []    # (name, comment)
+        seqs_nogap = []
+        fasta_error = False
+        center_len_gaps = 0
+        for name, comment, s in records:
+            if len(name) == 0 or len(s) == 0:
+                fasta_error = True
+                break
+            if len(s) > max_seq_length:
+                fasta_error = True
+                break
+            if msa_type in (0, 1) and name.startswith(b"ss_"):
+                continue
+            if len(kseq_buf) < len(s) + 1:
+                kseq_buf.extend(b"\x00" * (len(s) + 1 - len(kseq_buf)))
+            kseq_buf[:len(s)] = s
+            kseq_buf[len(s)] = 0
+            headers.append((name, comment))
+            seqs_nogap.append(bytes(s).replace(b"-", b""))
+            if not rows:
+                center_len_gaps = len(s)
+            arr = np.frombuffer(bytes(kseq_buf[:center_len_gaps]),
+                                dtype=np.uint8)
+            if msa_type == 1:
+                keep_cols = ~((arr >= ord("a")) & (arr <= ord("z")))
+                arr = arr[keep_cols]
+            num = mat.aa2num[arr].astype(np.uint8)
+            num[arr == ord("-")] = MSA.GAP
+            rows.append(num)
+        if fasta_error:
+            logger.warning(f"Invalid msa {rank}! Skipping entry.")
+            continue
+        set_size = len(rows)
+        if set_size == 0:
+            logger.warning(f"Empty msa {rank}! Skipping entry.")
+            continue
+
+        start_key = int(offsets[rank])
+        for k, (name, comment) in enumerate(headers):
+            hdr = name + (b" " + comment if comment else b"") + b"\n"
+            hdr_writer.write(start_key + k, hdr, add_newline=False)
+            seq_writer.write(start_key + k, seqs_nogap[k] + b"\n",
+                             add_newline=False)
+
+        width = max(len(r) for r in rows)
+        msa_arr = np.full((set_size, width), MSA.GAP, dtype=np.uint8)
+        for k, r in enumerate(rows):
+            msa_arr[k, :len(r)] = r
+
+        masked = np.zeros(center_len_gaps, dtype=np.uint8)
+        if match_mode != 0:
+            # weighted gap-fraction masking (msa2result.cpp:326-371)
+            stride = ((center_len_gaps // 32) + 1) * 32
+            wbuf = np.full((set_size, stride), MSA.GAP, dtype=np.uint8)
+            wbuf[:, :width] = msa_arr
+            weights = np.zeros(set_size, dtype=np.float32)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            nat.pssm_seq_weights(
+                wbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                set_size, stride, center_len_gaps,
+                weights.ctypes.data_as(f32p))
+            work = msa_arr[:, :center_len_gaps].copy()
+            for k in range(set_size):
+                l = 0
+                while l < center_len_gaps and work[k, l] == MSA.GAP:
+                    work[k, l] = MSA.ENDGAP
+                    l += 1
+                l = center_len_gaps - 1
+                while l >= 0 and work[k, l] == MSA.GAP:
+                    work[k, l] = MSA.ENDGAP
+                    l -= 1
+            for l in range(center_len_gaps):
+                res_w = np.float32(0)
+                gap_w = np.float32(0)
+                for k in range(set_size):
+                    c = work[k, l]
+                    if c < MSA.GAP:
+                        res_w += weights[k]
+                    elif c != MSA.ENDGAP:
+                        gap_w += weights[k]
+                    else:
+                        work[k, l] = MSA.GAP
+                masked[l] = 1 if (gap_w / (res_w + gap_w)) > match_ratio \
+                    else 0
+            keep_cols = np.nonzero(masked == 0)[0]
+            mask_cols = np.nonzero(masked == 1)[0]
+            reordered = np.concatenate([work[:, keep_cols],
+                                        work[:, mask_cols]], axis=1)
+            msa_arr = np.full((set_size, width), MSA.GAP, dtype=np.uint8)
+            msa_arr[:, :center_len_gaps] = reordered
+
+        masked_count = int(masked.sum())
+        center_len = center_len_gaps - masked_count
+
+        # pad rows to the reference's 32B row stride for filter/PSSM
+        stride = ((center_len_gaps // 32) + 1) * 32
+        buf = np.full((set_size, stride), MSA.GAP, dtype=np.uint8)
+        buf[:, :width] = msa_arr
+
+        row_order = list(range(set_size))
+        filtered_size = set_size
+        if filter_msa == 1:
+            keep, filtered_size = MSA.msa_filter(
+                buf, center_len, coverage=int(v.get("cov_msa_thr", 0.0) * 100),
+                qid_vec=_qid_vec(space), qsc=v.get("qsc", -20.0),
+                max_seqid=int(v.get("filter_max_seq_id", 0.9) * 100),
+                ndiff=v.get("filter_ndiff", 1000),
+                filter_min_enable=v.get("filter_min_enable", 0))
+            # MsaFilter::shuffleSequences in-place compaction
+            ii = 0
+            for j in range(set_size):
+                if keep[j] != 0:
+                    if ii < j:
+                        row_order[ii], row_order[j] = \
+                            row_order[j], row_order[ii]
+                    ii += 1
+            buf = buf[row_order]
+
+        pssm = MSA.compute_pssm(buf[:filtered_size], center_len, wg=wg,
+                                pca=pca, pcb=pcb)
+        consensus_ascii = mat.num2aa[pssm["consensus"]]
+
+        out_lines = []
+        for k in range(set_size):
+            row = buf[k]
+            bt = []
+            curr_nogap = []
+            cons_nogap = []
+            n_ident = 0
+            col = 0
+            cmask = 0
+            for j in range(center_len_gaps):
+                if masked[j] == 1:
+                    cmask += 1
+                    con_res = ord("-")
+                    seq_v = row[center_len + cmask - 1]
+                else:
+                    col += 1
+                    con_res = int(consensus_ascii[col - 1])
+                    seq_v = row[col - 1]
+                seq_res = ord("-") if seq_v == MSA.GAP \
+                    else int(mat.num2aa[seq_v])
+                if con_res == ord("-") and seq_res == ord("-"):
+                    continue
+                elif seq_res == ord("-"):
+                    bt.append("I")
+                    cons_nogap.append(con_res)
+                elif con_res == ord("-"):
+                    bt.append("D")
+                    curr_nogap.append(seq_res)
+                else:
+                    bt.append("M")
+                    curr_nogap.append(seq_res)
+                    cons_nogap.append(con_res)
+                if con_res == seq_res:
+                    n_ident += 1
+            bt = "".join(bt)
+            seq_id = np.float32(n_ident) / np.float32(len(bt))
+            res = {
+                "dbKey": start_key + k, "score": 0, "seqId": seq_id,
+                "eval": 0.0, "alnLength": len(bt),
+                "qStartPos": 0, "qEndPos": len(cons_nogap) - 1,
+                "qLen": len(cons_nogap),
+                "dbStartPos": 0, "dbEndPos": len(curr_nogap) - 1,
+                "dbLen": len(curr_nogap), "backtrace": bt,
+            }
+            update_result_by_rescoring_backtrace(
+                bytes(cons_nogap), bytes(curr_nogap), ascii_mat, evaluer,
+                gap_open, gap_extend, res)
+            out_lines.append(
+                f"{res['dbKey']}\t{res['score']}\t"
+                f"{format_seq_id(res['seqId'])}\t{res['eval']:.3E}\t"
+                f"{res['qStartPos']}\t{res['qEndPos']}\t{res['qLen']}\t"
+                f"{res['dbStartPos']}\t{res['dbEndPos']}\t{res['dbLen']}\t"
+                f"{compress_cigar(res['backtrace'])}\n")
+        res_writer.write(qkey, "".join(out_lines).encode(),
+                         add_newline=False)
+
+    seq_writer.finish().save(positional[1])
+    hdr_writer.finish().save(positional[1] + "_h")
+    res_writer.finish().save(positional[2])
+    for ext in (".lookup", ".source"):
+        if os.path.exists(positional[0] + ext) and \
+                not os.path.exists(positional[1] + ext):
+            os.symlink(os.path.abspath(positional[0] + ext),
+                       positional[1] + ext)
+    return 0
+
+
+# msa2result keeps msaType=2/pca=0.0 defaults (msa2result.cpp:21-24)
+COMMANDS.append(
+    Command("msa2result", _msa2result, lambda: P.ParamSpace(_profile_flags() + [
+        P.Flag("--msa-type", "msa_type", int, 2, "0: ca3m, 1: a3m, 2: FASTA", r"[0-2]")]),
+            "<i:msaDB> <o:seqDB> <o:resultDB>",
+            "Convert an MSA DB to a profile-vs-member result DB", hidden=True))

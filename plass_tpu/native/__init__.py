@@ -94,6 +94,9 @@ def lib():
         _LIB.ungapped_all.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8, u8p,
             i64p, i64p, ctypes.c_int64, i32p]
+        _LIB.pssm_seq_weights.argtypes = [u8p, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          f32p]
         _LIB.ps_fpow2.argtypes = [ctypes.c_float]
         _LIB.ps_fpow2.restype = ctypes.c_double
         _LIB.ps_score.argtypes = [f32p, f32p, f32p]

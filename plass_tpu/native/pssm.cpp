@@ -397,6 +397,17 @@ unsigned char pssm_score_mask(float v) {
 }
 
 // Sequence::scoreUnmask (Sequence.h:475-478)
+// standalone computeSequenceWeights over a row-strided MSA (used by
+// msa2result's weighted match-ratio masking, msa2result.cpp:327)
+void pssm_seq_weights(const unsigned char* msa, int64_t setSize,
+                      int64_t rowStride, int64_t queryLength, float* out) {
+    const char** X = new const char*[setSize];
+    for (int64_t k = 0; k < setSize; ++k)
+        X[k] = (const char*)(msa + k * rowStride);
+    compute_sequence_weights(out, queryLength, setSize, X);
+    delete[] X;
+}
+
 float pssm_score_unmask(unsigned char score) {
     const int MANTISSA_BITS = 5, EXPONENT_BITS = 3;
     const int EXPONENT_MAX = (1 << EXPONENT_BITS) - 1;

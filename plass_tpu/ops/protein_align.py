@@ -569,3 +569,63 @@ def compress_cigar(backtrace):
             counter += 1
     out.append(f"{counter}{state}")
     return "".join(out)
+
+
+def update_result_by_rescoring_backtrace(query_seq, target_seq, ascii_mat,
+                                         evaluer, gap_open, gap_extend, res):
+    """Matcher::updateResultByRescoringBacktrace (Matcher.cpp:372-440):
+    Smith-Waterman-style max-subsegment rescoring of an existing backtrace;
+    query_seq/target_seq are ASCII bytes, ascii_mat a char-indexed LUT."""
+    bt = res["backtrace"]
+    max_score = 0
+    max_bt_end = max_bt_start = 0
+    max_q_end = max_q_start = 0
+    max_t_start = max_t_end = 0
+    min_pos = -1
+    min_q = res["qStartPos"] - 1
+    min_t = res["dbStartPos"] - 1
+    score = 0
+    identical = 0
+    max_id = 0
+    qpos = res["qStartPos"]
+    tpos = res["dbStartPos"]
+    gap_is_open = False
+    for pos, letter in enumerate(bt):
+        if letter == "M":
+            curr = int(ascii_mat[query_seq[qpos], target_seq[tpos]])
+            identical += query_seq[qpos] == target_seq[tpos]
+            gap_is_open = False
+        else:
+            curr = -gap_extend if gap_is_open else -gap_open
+            gap_is_open = True
+        score += curr
+        if score <= 0:
+            score = 0
+            identical = 0
+            min_pos = pos
+            min_q = qpos - 1 if letter == "D" else qpos
+            min_t = tpos - 1 if letter == "I" else tpos
+        if score > max_score:
+            max_bt_end = pos
+            max_q_end = qpos
+            max_t_end = tpos
+            max_bt_start = min_pos + 1
+            max_q_start = min_q + 1
+            max_t_start = min_t + 1
+            max_score = score
+            max_id = identical
+        if letter in ("M", "I"):
+            qpos += 1
+        if letter in ("M", "D"):
+            tpos += 1
+    res["qStartPos"] = max_q_start
+    res["qEndPos"] = max_q_end
+    res["dbStartPos"] = max_t_start
+    res["dbEndPos"] = max_t_end
+    res["score"] = int(evaluer.bit_score(max_score))
+    res["eval"] = float(evaluer.evalue(max_score, res["qLen"]))
+    aln_len = (max_bt_end - max_bt_start) + 1
+    res["alnLength"] = aln_len
+    res["seqId"] = np.float32(max_id) / np.float32(aln_len)
+    res["backtrace"] = bt[max_bt_start:max_bt_start + aln_len]
+    return res

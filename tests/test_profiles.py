@@ -285,3 +285,38 @@ def test_convertprofiledb_parity(tmp_path, hhm_db):
     assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
     assert db_bytes(str(tmp_path / "ref_h")) == \
         db_bytes(str(tmp_path / "ours_h"))
+
+
+@needs_ref
+def test_msa2result_parity(tmp_path, search_result):
+    db, aln = search_result
+    msadb = str(tmp_path / "msadb")
+    run_ref("result2msa", db, db, aln, msadb, "--threads", "1")
+    for extra in ([], ["--match-mode", "1"], ["--skip-query"]):
+        tag = "_".join(extra) or "default"
+        run_ref("msa2result", msadb, tmp_path / f"rs{tag}",
+                tmp_path / f"rr{tag}", "--threads", "1", *extra)
+        run_ours("msa2result", msadb, tmp_path / f"os{tag}",
+                 tmp_path / f"or{tag}", *extra)
+        assert db_bytes(str(tmp_path / f"rs{tag}")) == \
+            db_bytes(str(tmp_path / f"os{tag}")), extra
+        assert db_bytes(str(tmp_path / f"rs{tag}_h")) == \
+            db_bytes(str(tmp_path / f"os{tag}_h")), extra
+        assert db_bytes(str(tmp_path / f"rr{tag}")) == \
+            db_bytes(str(tmp_path / f"or{tag}")), extra
+
+
+@needs_ref
+def test_msa2profile_match_modes(tmp_path, search_result):
+    db, aln = search_result
+    msadb = str(tmp_path / "msadb")
+    run_ref("result2msa", db, db, aln, msadb, "--threads", "1")
+    for mm in ("0", "1"):
+        run_ref("msa2profile", msadb, tmp_path / f"ref{mm}",
+                "--match-mode", mm, "--threads", "1")
+        run_ours("msa2profile", msadb, tmp_path / f"ours{mm}",
+                 "--match-mode", mm)
+        assert db_bytes(str(tmp_path / f"ref{mm}")) == \
+            db_bytes(str(tmp_path / f"ours{mm}")), mm
+        assert db_bytes(str(tmp_path / f"ref{mm}_h")) == \
+            db_bytes(str(tmp_path / f"ours{mm}_h")), mm
