@@ -289,6 +289,11 @@ def test_convertprofiledb_parity(tmp_path, hhm_db):
 
 @needs_ref
 def test_msa2result_parity(tmp_path, search_result):
+    # NOTE: with the default --match-mode 0 the reference reads an
+    # UNINITIALIZED maskedColumns buffer (the fill loop is commented out,
+    # msa2result.cpp:277-287) — usually zero pages, but a dirty heap chunk
+    # makes its own output nondeterministic. If the reference disagrees
+    # with itself across two runs, skip that sub-case.
     db, aln = search_result
     msadb = str(tmp_path / "msadb")
     run_ref("result2msa", db, db, aln, msadb, "--threads", "1")
@@ -298,12 +303,19 @@ def test_msa2result_parity(tmp_path, search_result):
                 tmp_path / f"rr{tag}", "--threads", "1", *extra)
         run_ours("msa2result", msadb, tmp_path / f"os{tag}",
                  tmp_path / f"or{tag}", *extra)
-        assert db_bytes(str(tmp_path / f"rs{tag}")) == \
-            db_bytes(str(tmp_path / f"os{tag}")), extra
-        assert db_bytes(str(tmp_path / f"rs{tag}_h")) == \
-            db_bytes(str(tmp_path / f"os{tag}_h")), extra
-        assert db_bytes(str(tmp_path / f"rr{tag}")) == \
-            db_bytes(str(tmp_path / f"or{tag}")), extra
+        same = (db_bytes(str(tmp_path / f"rs{tag}")) ==
+                db_bytes(str(tmp_path / f"os{tag}")) and
+                db_bytes(str(tmp_path / f"rs{tag}_h")) ==
+                db_bytes(str(tmp_path / f"os{tag}_h")) and
+                db_bytes(str(tmp_path / f"rr{tag}")) ==
+                db_bytes(str(tmp_path / f"or{tag}")))
+        if not same:
+            run_ref("msa2result", msadb, tmp_path / f"rs2{tag}",
+                    tmp_path / f"rr2{tag}", "--threads", "1", *extra)
+            if db_bytes(str(tmp_path / f"rr{tag}")) != \
+                    db_bytes(str(tmp_path / f"rr2{tag}")):
+                continue  # reference UB: nondeterministic with itself
+        assert same, extra
 
 
 @needs_ref
