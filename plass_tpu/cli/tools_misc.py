@@ -331,3 +331,234 @@ COMMANDS = [
             "<i:queryFasta> <i:taxSeqDB> <o:out> <tmpDir>",
             "Taxonomy assignment from FASTA input", hidden=True),
 ]
+
+
+def _parse_aln_full(line):
+    """Matcher::parseAlignmentRecord (Matcher.cpp:248-300): parse one
+    alignment line incl. qcov/dbcov/alnLength derivation and backtrace
+    expansion."""
+    from ..ops.msa import expand_cigar
+    f = line.split("\t")
+    q_start, q_end, q_len = int(f[4]), int(f[5]), int(f[6])
+    db_start, db_end, db_len = int(f[7]), int(f[8]), int(f[9])
+    aqs = 0 if q_start == -1 else q_start
+    ads = 0 if db_start == -1 else db_start
+    qcov = np.float32((min(q_len, max(aqs, q_end)) - min(aqs, q_end) + 1)
+                      / np.float32(q_len))
+    dbcov = np.float32((min(db_len, max(ads, db_end)) - min(ads, db_end) + 1)
+                       / np.float32(db_len))
+    return {
+        "dbKey": int(f[0]), "score": int(f[1]), "seqId": float(f[2]),
+        "eval": float(f[3]), "qStartPos": q_start, "qEndPos": q_end,
+        "qLen": q_len, "dbStartPos": db_start, "dbEndPos": db_end,
+        "dbLen": db_len, "qcov": qcov, "dbcov": dbcov,
+        "alnLength": max(abs(q_end - aqs), abs(db_end - ads)) + 1,
+        "backtrace": expand_cigar(f[10]) if len(f) > 10 else "",
+    }
+
+
+def _check_criteria(res, is_identity, eval_thr, seq_id_thr, aln_len_thr,
+                    cov_mode, cov_thr):
+    """Alignment::checkCriteria (Alignment.cpp:555-574)."""
+    from ..ops.nucl_align import _has_cov
+    return is_identity or (
+        res["eval"] <= eval_thr and res["seqId"] >= seq_id_thr
+        and _has_cov(cov_thr, cov_mode, res.get("qcov", 0.0),
+                     res.get("dbcov", 0.0))
+        and res["alnLength"] >= aln_len_thr)
+
+
+def _serialize_aln(res):
+    from ..ops.rescore import format_seq_id
+    from ..ops.protein_align import compress_cigar
+    return (f"{res['dbKey']}\t{res['score']}\t"
+            f"{format_seq_id(res['seqId'])}\t{res['eval']:.3E}\t"
+            f"{res['qStartPos']}\t{res['qEndPos']}\t{res['qLen']}\t"
+            f"{res['dbStartPos']}\t{res['dbEndPos']}\t{res['dbLen']}\t"
+            f"{compress_cigar(res['backtrace'])}\n")
+
+
+def _transitivealign(positional, space):
+    """transitivealign (util/transitivealign.cpp:20-334): from a center-star
+    alignment DB (center B -> members A_i, with backtraces) infer member-
+    vs-member alignments A_i -> A_j: swap B->A_i, compose with B->A_j via
+    BacktraceTranslator, rescore the composed backtrace, filter by
+    checkCriteria, sort by compareHits, then regroup the emitted
+    "<A_i> <line>" rows by A_i into the output DB (records in center scan
+    order).
+
+    Identity deviation: the reference's identity-pair branch leaves
+    qcov/dbcov uninitialized stack floats (transitivealign.cpp:115-134);
+    here they are 1.0 (only observable with --cov-thr > 0)."""
+    from .. import constants
+    from ..ops.evalue import EvalueComputer
+    from ..ops.protein_align import update_result_by_rescoring_backtrace
+    from .tools_profile import translate_backtrace
+    if len(positional) != 3:
+        raise ValueError("usage: transitivealign <i:seqDB> <i:alnDB> <o:alnDB>")
+    v = space.values
+    sdb = seqdb.SeqDB.open(positional[0])
+    adb = seqdb.SeqDB.open(positional[1])
+    is_nucl = sdb.dbtype == seqdb.NUCLEOTIDES
+    mat = constants.nucleotide() if is_nucl else constants.blosum62()
+    ascii_mat = mat.ascii_mat
+    evaluer = EvalueComputer.for_matrix(
+        "nucleotide_gapped_5_2" if is_nucl else "blosum62_11_1",
+        sdb.total_residues())
+    # base-tool defaults (Parameters.cpp): -e 0.001, --min-seq-id 0.0,
+    # --gap-open 11 / --gap-extend 1 (always the aa component,
+    # transitivealign.cpp:50,64,137)
+    was = space.was_set
+
+    def _aa(x):
+        return x.aminoacids if isinstance(x, P.MultiParam) else x
+
+    eval_thr = v["eval_thr"] if "eval_thr" in was else 0.001
+    seq_id_thr = _aa(v["min_seq_id"]) if "min_seq_id" in was else 0.0
+    aln_len_thr = _aa(v["min_aln_len"]) if "min_aln_len" in was else 0
+    cov_mode = v.get("cov_mode", 0)
+    cov_thr = v.get("cov_thr", 0.0)
+    include_identity = bool(v.get("include_identity", False))
+    gap_open = v["gap_open"] if "gap_open" in was else 11
+    gap_extend = v["gap_extend"] if "gap_extend" in was else 1
+
+    key2id = {int(sdb.keys[i]): i for i in range(sdb.size)}
+    seqs = {}
+
+    def get_seq(key):
+        if key not in seqs:
+            seqs[key] = sdb.get_data(key2id[key]).tobytes().rstrip(b"\n")
+        return seqs[key]
+
+    out = {}
+    out_order = []
+    for i in seqdb.data_order(adb):
+        i = int(i)
+        aln_key = int(adb.keys[i])
+        lines = [ln for ln in adb.get_data(i).tobytes().decode().split("\n")
+                 if ln]
+        results = [_parse_aln_full(ln) for ln in lines]
+        for ri in results:
+            query_key = ri["dbKey"]
+            query_seq = get_seq(query_key)
+            swapped = dict(ri)
+            raw = evaluer.raw_score_from_bit(float(int(swapped["score"])))
+            swapped["eval"] = float(evaluer.evalue(raw, swapped["dbLen"]))
+            for a, b in (("qStartPos", "dbStartPos"), ("qEndPos", "dbEndPos"),
+                         ("qLen", "dbLen")):
+                swapped[a], swapped[b] = swapped[b], swapped[a]
+            swapped["backtrace"] = swapped["backtrace"].translate(
+                str.maketrans("ID", "DI"))
+            if query_key not in out:
+                out[query_key] = []
+                out_order.append(query_key)
+            if query_key == aln_key:
+                out[query_key].extend(_serialize_aln(r) for r in results)
+                continue
+            passing = []
+            for rj in results:
+                target_seq = get_seq(rj["dbKey"])
+                from ..ops.nucl_align import _can_be_covered
+                if not _can_be_covered(cov_thr, cov_mode, swapped["qLen"],
+                                       rj["dbLen"]):
+                    continue
+                is_identity = (query_key == rj["dbKey"] and include_identity)
+                if ri["dbKey"] == rj["dbKey"]:
+                    L = ri["dbLen"]
+                    score = 0
+                    best = 0
+                    for pos in range(L):
+                        score += int(ascii_mat[query_seq[pos],
+                                               target_seq[pos]])
+                        score = 0 if score < 0 else score
+                        best = score if score > best else best
+                    res = {
+                        "dbKey": rj["dbKey"], "dbLen": rj["dbLen"],
+                        "score": int(evaluer.bit_score(best)),
+                        "qLen": rj["dbLen"],
+                        "dbEndPos": rj["dbLen"] - 1,
+                        "qEndPos": rj["dbLen"] - 1,
+                        "dbStartPos": 0, "qStartPos": 0,
+                        "eval": float(evaluer.evalue(best, rj["dbLen"])),
+                        "seqId": 1.0, "alnLength": rj["dbLen"],
+                        "backtrace": "M" * rj["dbLen"],
+                        "qcov": 1.0, "dbcov": 1.0,
+                    }
+                else:
+                    res = translate_backtrace(swapped, rj)
+                    res["qcov"] = rj["qcov"]
+                    res["dbcov"] = rj["dbcov"]
+                    res["alnLength"] = rj["alnLength"]
+                    update_result_by_rescoring_backtrace(
+                        query_seq, target_seq, ascii_mat, evaluer,
+                        gap_open, gap_extend, res)
+                if _check_criteria(res, is_identity, eval_thr, seq_id_thr,
+                                   aln_len_thr, cov_mode, cov_thr):
+                    passing.append(res)
+            passing.sort(key=lambda r: (r["eval"], -r["score"], r["dbLen"],
+                                        r["dbKey"]))
+            out[query_key].extend(_serialize_aln(r) for r in passing)
+
+    writer = seqdb.DBWriter(seqdb.ALIGNMENT_RES)
+    for key in sorted(out):
+        body = "".join(out[key])
+        if body:
+            writer.write(key, body.encode(), add_newline=False)
+    writer.finish().save(positional[2])
+    return 0
+
+
+COMMANDS.append(
+    Command("transitivealign", _transitivealign, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + P.align_flags()),
+            "<i:seqDB> <i:alnDB> <o:alnDB>",
+            "Transfer alignments via a shared center sequence", hidden=True))
+
+
+def _alignbykmer(positional, space):
+    """alignbykmer (util/alignbykmer.cpp:21-510)."""
+    from ..ops.alignbykmer import run_alignbykmer
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: alignbykmer <i:qDB> <i:tDB> <i:resDB> <o:alnDB>")
+    v = space.values
+    was = space.was_set
+    qdb = seqdb.SeqDB.open(positional[0])
+    same = positional[0] == positional[1]
+    tdb = qdb if same else seqdb.SeqDB.open(positional[1])
+    rdb = seqdb.SeqDB.open(positional[2])
+
+    def _aa(x):
+        return x.aminoacids if isinstance(x, P.MultiParam) else x
+
+    def _nucl(x):
+        return x.nucleotides if isinstance(x, P.MultiParam) else x
+
+    params = {
+        "same_db": same,
+        "k": _aa(v["k"]) if "k" in was else None,
+        "spaced_kmer": v["spaced_kmer_mode"] if "spaced_kmer_mode" in was
+        else None,
+        "eval_thr": v["eval_thr"] if "eval_thr" in was else 0.001,
+        "min_seq_id": _aa(v["min_seq_id"]) if "min_seq_id" in was else 0.0,
+        "cov_thr": v.get("cov_thr", 0.0),
+        "cov_mode": v.get("cov_mode", 0),
+        "include_identity": bool(v.get("include_identity", False)),
+        "gap_open": v["gap_open"] if "gap_open" in was else 11,
+        "gap_extend": v["gap_extend"] if "gap_extend" in was else 1,
+        "gap_open_nucl": _nucl(v["gap_open"]) if "gap_open" in was else 5,
+        "gap_extend_nucl": _nucl(v["gap_extend"]) if "gap_extend" in was
+        else 2,
+    }
+    run_alignbykmer(qdb, tdb, rdb, params).save(positional[3])
+    return 0
+
+
+COMMANDS.append(
+    Command("alignbykmer", _alignbykmer, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + P.align_flags() + [
+            P.Flag("--spaced-kmer-mode", "spaced_kmer_mode", int, 1,
+                   "0: consecutive, 1: spaced", r"[0-1]")]),
+            "<i:qDB> <i:tDB> <i:resDB> <o:alnDB>",
+            "Heuristic gapped alignment from shared k-mer chains",
+            hidden=True))
