@@ -81,9 +81,17 @@ class ParamSpace:
             a = argv[i]
             if a in self.flags:
                 f = self.flags[a]
-                if f.type is bool and (i + 1 >= len(argv) or argv[i + 1] not in ("0", "1")):
-                    # bare boolean flag toggles on
-                    self.values[f.attr] = True
+                if f.type is bool and (i + 1 >= len(argv)
+                                       or argv[i + 1].startswith("-")):
+                    # bare boolean flag TOGGLES the current value
+                    # (Parameters.cpp:1670-1677)
+                    self.values[f.attr] = not self.values[f.attr]
+                    self.was_set.add(f.attr)
+                    i += 1
+                    continue
+                if f.type is bool and argv[i + 1] not in (
+                        "0", "1", "true", "false", "TRUE", "FALSE"):
+                    self.values[f.attr] = not self.values[f.attr]
                     self.was_set.add(f.attr)
                     i += 1
                     continue

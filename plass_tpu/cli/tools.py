@@ -288,7 +288,8 @@ def _search(positional, space):
     same = os.path.realpath(positional[0]) == os.path.realpath(positional[1])
     q = seqdb.SeqDB.open(qdb)
     t = q if same else seqdb.SeqDB.open(positional[1])
-    run_search(q, t, positional[2], positional[3], p)
+    run_search(q, t, positional[2], positional[3], p,
+               tdb_path=positional[1])
     return 0
 
 
@@ -435,8 +436,37 @@ def _filterdb(positional, space):
     path = v.get("filter_file", "")
     db = seqdb.SeqDB.open(positional[0])
     if path:
-        keys = [int(line.split()[0]) for line in open(path) if line.strip()]
-        filter_lines_by_keys(db, keys).save(positional[1])
+        # FILE_FILTERING (filterdb.cpp:120-176,389-406): the filter set is
+        # the first column of every line in the file (or a DB's data file,
+        # NUL bytes skipped); string membership on the filter column;
+        # --positive-filter 0 drops matching lines instead
+        positive = v.get("positive_filter", True)
+        fcol = v.get("filter_column", 1) - 1
+        filt = set()
+        with open(path, "rb") as fh:
+            for raw_line in fh.read().split(b"\n"):
+                raw_line = raw_line.replace(b"\x00", b"")
+                if not raw_line:
+                    continue
+                tok = raw_line.split(b"\t")[0].split(b" ")[0]
+                if tok:
+                    filt.add(tok.decode())
+        w = seqdb.DBWriter(db.dbtype)
+        for i in seqdb.data_order(db):
+            body = db.get_data(i).tobytes().decode()
+            kept = []
+            for ln in body.split("\n"):
+                if not ln:
+                    continue
+                cols = ln.split("\t")
+                val = cols[fcol] if fcol < len(cols) else ""
+                found = val in filt
+                if found == bool(positive):
+                    kept.append(ln)
+            w.write(int(db.keys[i]),
+                    ("\n".join(kept) + "\n").encode() if kept else b"",
+                    add_newline=False)
+        w.finish().save(positional[1])
         return 0
     col = v.get("filter_column", 1) - 1
     op = v.get("comparison_operator", "")
@@ -673,9 +703,32 @@ def load_alignments_with_backtrace(path):
 def _concatdbs(positional, space):
     if len(positional) != 3:
         raise ValueError("usage: concatdbs <i:db1> <i:db2> <o:db>")
+    v = space.values
     a = seqdb.SeqDB.open(positional[0])
     b = seqdb.SeqDB.open(positional[1])
-    seqdb.concat(a, b).save(positional[2])
+    take_larger = v.get("take_larger_entry", False)
+    if v.get("preserve_keys", False):
+        if take_larger:
+            # DBConcat take-larger (DBConcat.cpp:81-132): A's record wins
+            # ties; record sizes compared incl. terminators
+            bkey2id = {int(b.keys[j]): j for j in range(b.size)}
+            akey2id = {int(a.keys[j]): j for j in range(a.size)}
+            w = seqdb.DBWriter(a.dbtype)
+            for i in range(a.size):
+                key = int(a.keys[i])
+                lb = int(b.lengths[bkey2id[key]]) if key in bkey2id else 0
+                if int(a.lengths[i]) >= lb:
+                    w.write(key, a.get_data(i).tobytes(), add_newline=False)
+            for j in range(b.size):
+                key = int(b.keys[j])
+                la = int(a.lengths[akey2id[key]]) if key in akey2id else 0
+                if int(b.lengths[j]) > la:
+                    w.write(key, b.get_data(j).tobytes(), add_newline=False)
+            w.finish().save(positional[2])
+        else:
+            seqdb.concat_preserve_keys(a, b).save(positional[2])
+    else:
+        seqdb.concat(a, b).save(positional[2])
     return 0
 
 
@@ -1872,7 +1925,12 @@ BASE_COMMANDS = [
             "<i:seqDB> <o:prefDB>", "Find overlapping k-mers", hidden=True),
     Command("rescorediagonal", _rescorediagonal, lambda: P.ParamSpace(P.common_flags() + P.kmermatcher_flags() + P.align_flags()),
             "<i:qDB> <i:tDB> <i:prefDB> <o:alnDB>", "Ungapped diagonal rescoring", hidden=True),
-    Command("concatdbs", _concatdbs, lambda: P.ParamSpace(P.common_flags()),
+    Command("concatdbs", _concatdbs, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--preserve-keys", "preserve_keys", bool, False,
+               "Keep the keys of both DBs (must be disjoint or "
+               "--take-larger-entry)"),
+        P.Flag("--take-larger-entry", "take_larger_entry", bool, False,
+               "For duplicate keys keep the larger record")]),
             "<i:db1> <i:db2> <o:db>", "Concatenate DBs", hidden=True),
     Command("createsubdb", _createsubdb, lambda: P.ParamSpace(P.common_flags()),
             "<i:subsetFile> <i:db> <o:db>", "Create subset DB", hidden=True),
@@ -2010,6 +2068,8 @@ BASE_COMMANDS = [
             "<i:seqDB> <i:resultDB> <o:seqDB>", "Extract representative sequences", hidden=True),
     Command("filterdb", _filterdb, lambda: P.ParamSpace(P.common_flags() + [
         P.Flag("--filter-file", "filter_file", str, "", "Keep lines whose first column is in file"),
+        P.Flag("--positive-filter", "positive_filter", bool, True,
+               "1: keep matching lines, 0: drop matching lines", r"[0-1]"),
         P.Flag("--filter-column", "filter_column", int, 1, "Column to filter on (1-based)"),
         P.Flag("--comparison-operator", "comparison_operator", str, "", "le, ge or e"),
         P.Flag("--comparison-value", "comparison_value", float, 0.0, "Comparison value"),
@@ -2063,3 +2123,5 @@ from .tools_misc import COMMANDS as _MISC_COMMANDS  # noqa: E402
 BASE_COMMANDS.extend(_MISC_COMMANDS)
 from .tools_domain import COMMANDS as _DOMAIN_COMMANDS  # noqa: E402
 BASE_COMMANDS.extend(_DOMAIN_COMMANDS)
+from .tools_linsearch import COMMANDS as _LINSEARCH_COMMANDS  # noqa: E402
+BASE_COMMANDS.extend(_LINSEARCH_COMMANDS)

@@ -358,11 +358,17 @@ def _offsetalignment(positional, space):
                          "<i:tDB> <i:tOrfDB> <i:alnDB> <o:alnDB>")
     v = space.values
     aln = seqdb.SeqDB.open(positional[4])
+
+    def _src(path):
+        # a .linidx target resolves to the embedded SOURCE sequence DB
+        # (IndexReader::SRC_SEQUENCES, offsetalignment.cpp:220-231)
+        return path + "_src" if path.endswith(".linidx") else path
+
     q_hdr = seqdb.SeqDB.open(positional[1] + "_h")
     t_hdr = q_hdr if positional[3] == positional[1] \
         else seqdb.SeqDB.open(positional[3] + "_h")
-    out = offset_alignment(positional[0], q_hdr, positional[2], t_hdr, aln,
-                           search_type=v.get("search_type", 0))
+    out = offset_alignment(_src(positional[0]), q_hdr, _src(positional[2]),
+                           t_hdr, aln, search_type=v.get("search_type", 0))
     out.save(positional[5])
     return 0
 

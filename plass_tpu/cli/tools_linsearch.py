@@ -1,0 +1,385 @@
+"""Linear-time search: kmerindexdb, kmersearch, createlinindex, linsearch,
+easy-linsearch (reference: lib/mmseqs/src/linclust/{kmerindexdb,kmersearch}
+.cpp, workflow/{CreateIndex,Linsearch,EasySearch}.cpp,
+data/workflow/{createindex,linsearch,easysearch}.sh)."""
+import os
+
+from ..data import seqdb
+from ..utils.log import logger
+from . import params as P
+from .app import Command
+
+
+def _invoke(name, args):
+    """Dispatch another registered command in-process (the reference shells
+    back into the same binary via $MMSEQS, CommandCaller.cpp:69-89)."""
+    from .plass import commands
+    byname = {c.name: c for c in commands()}
+    cmd = byname[name]
+    space = cmd.params_fn()
+    positional = space.parse_args([str(a) for a in args])
+    rc = cmd.fn(positional, space)
+    if rc not in (0, None):
+        raise ValueError(f"{name} step failed")
+
+
+def _kmerindexdb(positional, space):
+    """kmerindexdb (linclust/kmerindexdb.cpp:18-330)."""
+    from ..ops import linsearch as LS
+    if len(positional) != 2:
+        raise ValueError("usage: kmerindexdb <i:seqDB> <o:indexBase>")
+    v = space.values
+    was = space.was_set
+    db = seqdb.SeqDB.open(positional[0])
+    is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+
+    def _alph(x):
+        if isinstance(x, P.MultiParam):
+            return x.nucleotides if is_nucl else x.aminoacids
+        return x
+
+    LS.build_linindex(
+        db, positional[1],
+        kmer_size=_alph(v["kmer_size"]) if "kmer_size" in was else 0,
+        kmers_per_sequence=v["kmers_per_sequence"] if "kmers_per_sequence" in was else 0,
+        scale=(_alph(v["kmers_per_sequence_scale"])
+               if "kmers_per_sequence_scale" in was else None),
+        hash_shift=v.get("hash_shift", 67),
+        spaced_kmer=0, mask_mode=0,
+        seed_sub_mat=v.get("seed_sub_mat", "VTML80.out"))
+    # materialize the embedded DBR1/HDR1/DBR2/HDR2 families
+    # (kmerindexdb.cpp:229-310) as plain record DBs beside the payload
+    import shutil
+    out = LS.index_name(positional[1])
+
+    def _copy(src, dst):
+        if not os.path.exists(src + ".dbtype"):
+            return
+        if os.path.realpath(src) == os.path.realpath(dst):
+            return
+        for ext in ("", ".index", ".dbtype"):
+            shutil.copy(src + ext, dst + ext)
+
+    _copy(positional[0], out + "_seq")
+    _copy(positional[0] + "_h", out + "_seq_h")
+    if os.path.realpath(positional[0]) != os.path.realpath(positional[1]):
+        _copy(positional[1], out + "_src")
+        _copy(positional[1] + "_h", out + "_src_h")
+    else:
+        _copy(positional[0], out + "_src")
+        _copy(positional[0] + "_h", out + "_src_h")
+    return 0
+
+
+def _kmersearch(positional, space):
+    """kmersearch (linclust/kmersearch.cpp:134-295)."""
+    from ..ops import linsearch as LS
+    if len(positional) != 3:
+        raise ValueError("usage: kmersearch <i:queryDB> <i:indexDB> <o:prefDB>")
+    v = space.values
+    was = space.was_set
+    base = positional[1]
+    if base.endswith(LS.INDEX_SUFFIX):
+        base = base[: -len(LS.INDEX_SUFFIX)]
+    if not os.path.exists(LS.index_name(base) + ".npz"):
+        raise ValueError(
+            "Create index before calling kmersearch with createlinindex.")
+    index = LS.load_linindex(base)
+    qdb = seqdb.SeqDB.open(positional[0])
+    if (qdb.dbtype == seqdb.NUCLEOTIDES) != \
+            (index["seq_type"] == seqdb.NUCLEOTIDES):
+        raise ValueError("Dbtype of query and target database do not match!")
+    writer = LS.kmersearch(
+        qdb, index,
+        kmers_per_sequence=v["kmers_per_sequence"] if "kmers_per_sequence" in was else 0,
+        hash_shift=v.get("hash_shift", 67),
+        result_direction_target=v.get("result_direction", 1) == 1,
+        seed_sub_mat=v.get("seed_sub_mat", "VTML80.out"))
+    writer.save(positional[2])
+    return 0
+
+
+def _createlinindex(positional, space):
+    """createlinindex (workflow/CreateIndex.cpp:64-104 +
+    data/workflow/createindex.sh)."""
+    if len(positional) != 2:
+        raise ValueError("usage: createlinindex <i:seqDB> <tmpDir>")
+    db_path = positional[0]
+    tmp = positional[1]
+    os.makedirs(tmp, exist_ok=True)
+    dbtype = seqdb.read_dbtype(db_path)
+    search_type = space.values.get("search_type", 0)
+    # createlinindex serializes the kmerindexdb list with the GLOBAL
+    # defaults (--kmer-per-seq 21), not setLinearFilterDefault's 0
+    # (CreateIndex.cpp:48-52, Parameters.cpp:2332)
+    extra = ["--seed-sub-mat", "blosum62.out", "--kmer-per-seq",
+             space.values.get("kmers_per_sequence", 21)
+             if "kmers_per_sequence" in space.was_set else 21]
+    if False and "kmers_per_sequence" in space.was_set:
+        extra += ["--kmer-per-seq", space.values["kmers_per_sequence"]]
+    if "kmer_size" in space.was_set:
+        extra += ["-k", space.values["kmer_size"].aminoacids
+                  if isinstance(space.values["kmer_size"], P.MultiParam)
+                  else space.values["kmer_size"]]
+    if dbtype == seqdb.NUCLEOTIDES:
+        if search_type == 0:
+            logger.warning(
+                "Database %s is a nucleotide database. Please provide the "
+                "parameter --search-type 2 (translated) or 3 (nucleotide)",
+                db_path)
+            return 1
+        if search_type in (2, 4):  # translated
+            orfs = os.path.join(tmp, "orfs_aa")
+            if not os.path.exists(orfs + ".dbtype"):
+                _invoke("extractorfs", [db_path, orfs, "--orf-start-mode", 1,
+                                        "--min-length", 30,
+                                        "--max-length", 32734])
+                _invoke("translatenucs", [orfs, orfs + "_trans"])
+                orfs = orfs + "_trans"
+            _invoke("kmerindexdb", [orfs, db_path, *extra])
+        else:  # nucleotide (search-type 3)
+            split = os.path.join(tmp, "nucl_split_seq")
+            if not os.path.exists(split + ".dbtype"):
+                _invoke("splitsequence", [db_path, split,
+                                          "--max-seq-len", 10000,
+                                          "--sequence-overlap", 0])
+            _invoke("kmerindexdb", [split, db_path, *extra])
+    else:
+        _invoke("kmerindexdb", [db_path, db_path, *extra])
+    return 0
+
+
+def _linsearch(positional, space):
+    """linsearch (workflow/Linsearch.cpp:34-156 +
+    data/workflow/linsearch.sh): kmersearch -> strict ungapped-coverage
+    filter -> gapped alignment (target-centric) -> swap to query-centric;
+    nucleotide pairs merge the ungapped alignments back in and offset
+    coordinates."""
+    from ..ops import linsearch as LS
+    if len(positional) != 4:
+        raise ValueError(
+            "usage: linsearch <i:queryDB> <i:targetDB> <o:alnDB> <tmpDir>")
+    query, target, out, tmp = positional
+    v = space.values
+    was = space.was_set
+    os.makedirs(tmp, exist_ok=True)
+    if os.path.exists(out + ".dbtype"):
+        raise ValueError(f"{out}.dbtype exists already!")
+    if not LS.search_for_index(target):
+        raise ValueError(f"{target} needs to be index. createlinindex "
+                         f"{target}.")
+    qtype = seqdb.read_dbtype(query)
+    index = LS.load_linindex(target)
+    is_nucl = (qtype == seqdb.NUCLEOTIDES
+               and index["seq_type"] == seqdb.NUCLEOTIDES)
+    if qtype == seqdb.NUCLEOTIDES and not is_nucl:
+        raise ValueError("translated linsearch is not supported yet")
+
+    eval_thr = v["eval_thr"] if "eval_thr" in was else 0.001
+    cov_mode = v["cov_mode"] if "cov_mode" in was else 2  # COV_MODE_TARGET
+    cov_thr = max(v.get("cov_thr", 0.0), 0.9)
+    pref = os.path.join(tmp, "pref")
+    if not os.path.exists(pref + ".dbtype"):
+        _invoke("kmersearch", [query, LS.index_name(target), pref,
+                               "--seed-sub-mat", "blosum62.out",
+                               "--kmer-per-seq", 21])
+
+    # strict ungapped filter (Linsearch.cpp:115-126)
+    def _aa(x):
+        return x.aminoacids if isinstance(x, P.MultiParam) else x
+
+    seq_id_thr = _aa(v["min_seq_id"]) if "min_seq_id" in was else 0.0
+    tgt = LS.index_name(target)
+    rev_ungap = os.path.join(tmp, "reverse_ungapaln")
+    if not os.path.exists(rev_ungap + ".dbtype"):
+        # RESCORE_FILTER_PAR serializes the full rescorediagonal list with
+        # linsearch values (Linsearch.cpp:115-126): RESCORE_MODE_ALIGNMENT,
+        # cov-mode target, cov >= 0.9, base defaults otherwise
+        _invoke("rescorediagonal",
+                [tgt, query, pref, rev_ungap, "--rescore-mode", 2,
+                 "--cov-mode", cov_mode, "-c", cov_thr, "-e", eval_thr,
+                 "--min-seq-id", seq_id_thr, "--min-aln-len", 0])
+    pref_filter = os.path.join(tmp, "pref_filter")
+    if not os.path.exists(pref_filter + ".dbtype"):
+        _invoke("filterdb", [pref, pref_filter, "--filter-file", rev_ungap,
+                             "--positive-filter", 0])
+    # gapped alignment, target-centric, eval gate pushed to 100000
+    # (Linsearch.cpp:130-133)
+    rev_aln = os.path.join(tmp, "reverse_aln")
+    if not os.path.exists(rev_aln + ".dbtype"):
+        aln_args = [tgt, query, pref_filter, rev_aln, "-e", 100000, "-a",
+                    "--min-seq-id", seq_id_thr, "--min-aln-len", 0]
+        if "cov_thr" in was:
+            aln_args += ["-c", v["cov_thr"]]
+        if "cov_mode" in was:
+            aln_args += ["--cov-mode", v["cov_mode"]]
+        if "alignment_mode" in was:
+            aln_args += ["--alignment-mode", v["alignment_mode"]]
+        _invoke("align", aln_args)
+    if is_nucl:
+        aln = os.path.join(tmp, "aln")
+        if not os.path.exists(aln + ".dbtype"):
+            _invoke("swapresults", [tgt, query, rev_aln, aln,
+                                    "-e", eval_thr])
+        ungap_aln = os.path.join(tmp, "ungap_aln")
+        if not os.path.exists(ungap_aln + ".dbtype"):
+            _invoke("swapresults", [tgt, query, rev_ungap, ungap_aln])
+        merged = os.path.join(tmp, "aln_merged")
+        if not os.path.exists(merged + ".dbtype"):
+            _invoke("concatdbs", [ungap_aln, aln, merged, "--preserve-keys",
+                                  "--take-larger-entry"])
+        _invoke("offsetalignment", [query, query, tgt, tgt, merged,
+                                    out])
+    else:
+        _invoke("swapresults", [tgt, query, rev_aln, out,
+                                "-e", eval_thr])
+    return 0
+
+
+def _easy_linsearch(positional, space):
+    """easy-linsearch (workflow/EasySearch.cpp linsearch variant +
+    data/workflow/easysearch.sh)."""
+    from ..data.createdb import create_db
+    if len(positional) != 4:
+        raise ValueError("usage: easy-linsearch <i:queryFasta> "
+                         "<i:targetFasta> <o:tsv> <tmpDir>")
+    if "alignment_mode" not in space.was_set:
+        space.values["alignment_mode"] = 3
+        space.was_set.add("alignment_mode")
+    tmp = positional[3]
+    os.makedirs(tmp, exist_ok=True)
+    qpath = os.path.join(tmp, "query")
+    tpath = os.path.join(tmp, "target")
+    for fasta, path in ((positional[0], qpath), (positional[1], tpath)):
+        if not os.path.exists(path + ".dbtype"):
+            sdb, hdb = create_db([fasta])
+            sdb.save(path)
+            hdb.save(path + "_h")
+    from ..ops import linsearch as LS
+    if not LS.search_for_index(tpath):
+        _invoke("createlinindex", [tpath, os.path.join(tmp, "index_tmp")])
+    res = os.path.join(tmp, "result")
+    if not os.path.exists(res + ".dbtype"):
+        _linsearch([qpath, tpath, res, os.path.join(tmp, "linsearch_tmp")],
+                   space)
+    from .tools import _convertalis
+    return _convertalis([qpath, tpath, res, positional[2]], space)
+
+
+COMMANDS = [
+    Command("kmerindexdb", _kmerindexdb, lambda: P.ParamSpace(
+        P.common_flags() + P.kmermatcher_flags() + [
+            P.Flag("--seed-sub-mat", "seed_sub_mat", str, "VTML80.out",
+                   "Substitution matrix for k-mer generation")]),
+            "<i:seqDB> <o:indexBase>",
+            "Create a sorted k-mer index for linsearch", hidden=True),
+    Command("kmersearch", _kmersearch, lambda: P.ParamSpace(
+        P.common_flags() + P.kmermatcher_flags() + [
+            P.Flag("--seed-sub-mat", "seed_sub_mat", str, "VTML80.out",
+                   "Substitution matrix for k-mer generation"),
+            P.Flag("--result-direction", "result_direction", int, 1,
+                   "result is 0: query, 1: target centric", r"[0-1]")]),
+            "<i:queryDB> <i:indexDB> <o:prefDB>",
+            "Match k-mers against a linsearch index", hidden=True),
+    Command("createlinindex", _createlinindex, lambda: P.ParamSpace(
+        P.common_flags() + P.kmermatcher_flags() + [
+            P.Flag("--search-type", "search_type", int, 0,
+                   "0 auto, 2 translated, 3 nucleotide, 4 translated "
+                   "nucl align", r"[0-4]")]),
+            "<i:seqDB> <tmpDir>",
+            "Create a linsearch index", hidden=True),
+    Command("linsearch", _linsearch, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + P.align_flags() + [
+            P.Flag("--search-type", "search_type", int, 0,
+                   "0 auto, 2 translated, 3 nucleotide", r"[0-4]")]),
+            "<i:queryDB> <i:targetDB> <o:alnDB> <tmpDir>",
+            "Linear-time sequence search", hidden=True),
+    Command("easy-linsearch", _easy_linsearch, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + P.align_flags() + [
+            P.Flag("--search-type", "search_type", int, 0,
+                   "0 auto, 2 translated, 3 nucleotide", r"[0-4]")]),
+            "<i:queryFasta> <i:targetFasta> <o:tsv> <tmpDir>",
+            "Linear-time search from FASTA input", hidden=True),
+]
+
+
+def _indexdb(positional, space):
+    """indexdb (util/indexdb.cpp:42-155): precompute the sensitive
+    prefilter's inverted k-mer index + masked target sequences into
+    <target>.idx (TPU-native payload; `search` auto-detects it)."""
+    from ..ops import prefilter as pf
+    from .. import constants
+    if len(positional) != 2:
+        raise ValueError("usage: indexdb <i:seqDB> <o:indexBase>")
+    v = space.values
+    was = space.was_set
+    db = seqdb.SeqDB.open(positional[0])
+    if db.dbtype != seqdb.AMINO_ACIDS:
+        raise ValueError("indexdb: only amino-acid databases are supported")
+    sens = v["sensitivity"] if "sensitivity" in was else 5.7
+    k = (v["kmer_size"].aminoacids
+         if isinstance(v.get("kmer_size"), P.MultiParam)
+         else v.get("kmer_size", 0)) if "kmer_size" in was else 0
+    k = k or pf.auto_kmer_size(db.total_residues())
+    mask = v.get("search_mask", v.get("mask_mode", 1))
+    spaced = bool(v.get("search_spaced_kmer", v.get("spaced_kmer", 1)))
+    thr = pf.kmer_threshold(sens, k)
+    seed = constants.vtml80_8()
+    index = pf.KmerIndex(db, k, thr, seed, spaced, mask)
+    pf.save_prefilter_index(index, positional[1], thr, mask, spaced,
+                            db.dbtype)
+    return 0
+
+
+def _createindex(positional, space):
+    """createindex (workflow/CreateIndex.cpp:105-180 + createindex.sh),
+    indexer = indexdb."""
+    if len(positional) != 2:
+        raise ValueError("usage: createindex <i:seqDB> <tmpDir>")
+    db_path, tmp = positional
+    os.makedirs(tmp, exist_ok=True)
+    dbtype = seqdb.read_dbtype(db_path)
+    search_type = space.values.get("search_type", 0)
+    extra = []
+    for flag, attr in (("-s", "sensitivity"), ("-k", "kmer_size"),
+                       ("--mask", "search_mask")):
+        if attr in space.was_set:
+            val = space.values[attr]
+            if isinstance(val, P.MultiParam):
+                val = val.aminoacids
+            extra += [flag, val]
+    if dbtype == seqdb.NUCLEOTIDES:
+        if search_type == 0:
+            logger.warning(
+                "Database %s is a nucleotide database. Please provide the "
+                "parameter --search-type 2 (translated) or 3 (nucleotide)",
+                db_path)
+            return 1
+        if search_type in (2, 4):
+            orfs = os.path.join(tmp, "orfs_aa")
+            if not os.path.exists(orfs + "_trans.dbtype"):
+                _invoke("extractorfs", [db_path, orfs, "--orf-start-mode", 1,
+                                        "--min-length", 30,
+                                        "--max-length", 32734])
+                _invoke("translatenucs", [orfs, orfs + "_trans"])
+            _invoke("indexdb", [orfs + "_trans", db_path, *extra])
+        else:
+            raise ValueError("createindex: nucleotide search indexes are "
+                             "not supported yet (use --search-type 2)")
+    else:
+        _invoke("indexdb", [db_path, db_path, *extra])
+    return 0
+
+
+COMMANDS.extend([
+    Command("indexdb", _indexdb, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags()),
+            "<i:seqDB> <o:indexBase>",
+            "Precompute the prefilter index table", hidden=True),
+    Command("createindex", _createindex, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + [
+            P.Flag("--search-type", "search_type", int, 0,
+                   "0 auto, 2 translated, 3 nucleotide", r"[0-4]")]),
+            "<i:seqDB> <tmpDir>",
+            "Precompute an index for faster searches", hidden=True),
+])

@@ -562,3 +562,147 @@ COMMANDS.append(
             "<i:qDB> <i:tDB> <i:resDB> <o:alnDB>",
             "Heuristic gapped alignment from shared k-mer chains",
             hidden=True))
+
+
+# UniprotKB flat-file column definitions (commons/UniprotKB.cpp:11-104):
+# (prefix, dbColumn, lines-mode, transform)
+_KB_COLUMN_NAMES = ["ID", "AC", "DT", "DE", "GN", "OS", "OG", "OC", "OX",
+                    "OH", "REF", "CC", "DR", "PE", "KW", "FT", "SEQ"]
+_KB_PREFIXES = [
+    ("ID", 0, "single", "first_space"),
+    ("AC", 1, "concat", "no_ws"),
+    ("DT", 2, "multi", None),
+    ("DE", 3, "multi", None),
+    ("GN", 4, "fold", None),
+    ("OS", 5, "multi", None),
+    ("OG", 6, "multi", None),
+    ("OC", 7, "fold", None),
+    ("OX", 8, "single", None),
+    ("OH", 9, "multi", None),
+    ("RN", 10, "multi", None),
+    ("RP", 10, "multi", None),
+    ("RC", 10, "multi", None),
+    ("RX", 10, "multi", None),
+    ("RG", 10, "multi", None),
+    ("RA", 10, "multi", None),
+    ("RT", 10, "multi", None),
+    ("RL", 10, "multi", None),
+    ("CC", 11, "multi", None),
+    ("DR", 12, "multi", None),
+    ("PE", 13, "single", "first_colon"),
+    ("KW", 14, "fold", None),
+    ("FT", 15, "multi", None),
+    ("SQ", -1, "single", None),
+    ("  ", 16, "concat", "no_ws"),
+]
+# only these columns are written (includeInDB, UniprotKB.cpp:77-104);
+# RP/RC/RX/RG/RA/RT/RL share column 10 but only RN's flag counts per line
+_KB_INCLUDE = {("ID", 0), ("DT", 2), ("DE", 3), ("GN", 4), ("OS", 5),
+               ("OG", 6), ("OC", 7), ("OX", 8), ("OH", 9), ("RN", 10),
+               ("CC", 11), ("DR", 12), ("PE", 13), ("KW", 14), ("FT", 15),
+               ("  ", 16)}
+
+
+def _convertkb(positional, space):
+    """convertkb (util/convertkb.cpp:65-176): UniProtKB flat files ->
+    per-column generic DBs (<out>_<COLUMN>) + an accession .lookup.
+    NOTE: every matching prefix accumulates into its column regardless of
+    includeInDB (UniprotKB::readLine matches all prefixes,
+    UniprotKB.cpp:116-142) — so RP/RC/... feed the REF column too."""
+    import gzip
+    if len(positional) < 2:
+        raise ValueError("usage: convertkb <i:kbFile[.gz]> ... <o:kbDB>")
+    v = space.values
+    out_base = positional[-1]
+    inputs = positional[:-1]
+    cols_arg = v.get("kb_columns", "") or ",".join(
+        str(i) for i in range(len(_KB_COLUMN_NAMES)))
+    enabled = set()
+    for tok in cols_arg.split(","):
+        tok = tok.strip()
+        if tok.isdigit():
+            enabled.add(int(tok))
+        else:
+            for i, n in enumerate(_KB_COLUMN_NAMES):
+                if n == tok:
+                    enabled.add(i)
+                    break
+    enabled = sorted(enabled)
+
+    mapping = None
+    mf = v.get("mapping_file", "")
+    if mf and os.path.exists(mf):
+        mapping = {}
+        with open(mf + ".lookup" if os.path.exists(mf + ".lookup") else mf) as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2 and parts[1] not in mapping:
+                    mapping[parts[1]] = int(parts[0])
+
+    writers = {c: seqdb.DBWriter(seqdb.GENERIC_DB) for c in enabled}
+    lookup_lines = []
+    idx = 0
+    for path in inputs:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as fh:
+            cols = [""] * len(_KB_COLUMN_NAMES)
+            in_entry = False
+            for line in fh:
+                line = line.rstrip("\n")
+                if len(line) < 2:
+                    logger.warning("Invalid entry")
+                    continue
+                if line[:2] == "ID":
+                    cols = [""] * len(_KB_COLUMN_NAMES)
+                    in_entry = True
+                if in_entry:
+                    for prefix, col, mode, transform in _KB_PREFIXES:
+                        if line[:2] == prefix and col >= 0:
+                            start = line[5:]
+                            if transform == "first_space":
+                                start = start.split(" ", 1)[0]
+                            elif transform == "no_ws":
+                                start = "".join(start.split())
+                            elif transform == "first_colon":
+                                start = start.split(":", 1)[0]
+                            cols[col] += start
+                            if mode == "multi":
+                                cols[col] += "\n"
+                            elif mode == "fold":
+                                cols[col] += " "
+                if line[:2] == "//":
+                    in_entry = False
+                    accession = cols[1].split(";", 1)[0]
+                    key = idx
+                    skip = False
+                    if mapping is not None:
+                        if accession not in mapping:
+                            logger.warning(
+                                f"Could not find accession {accession} "
+                                f"in lookup")
+                            skip = True
+                        else:
+                            key = mapping[accession]
+                    if not skip:
+                        for c in enabled:
+                            writers[c].write(key, cols[c].encode(),
+                                             add_newline=False)
+                    if mapping is None:
+                        lookup_lines.append(f"{idx}\t{accession}\n")
+                    idx += 1
+    for c in enabled:
+        writers[c].finish().save(f"{out_base}_{_KB_COLUMN_NAMES[c]}")
+    if mapping is None:
+        with open(out_base + ".lookup", "w") as fh:
+            fh.writelines(lookup_lines)
+    return 0
+
+
+COMMANDS.append(
+    Command("convertkb", _convertkb, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--kb-columns", "kb_columns", str, "",
+               "UniProtKB columns to extract (names or indices)"),
+        P.Flag("--mapping-file", "mapping_file", str, "",
+               "Map accessions to the keys of this DB's .lookup")]),
+            "<i:kbFile[.gz]> ... <o:kbDB>",
+            "Convert UniProtKB flat files to column DBs", hidden=True))

@@ -92,6 +92,13 @@ class SeqDB:
 
     @classmethod
     def open(cls, path):
+        # linsearch index resolution (IndexReader::SEQUENCES/HEADERS on a
+        # .linidx, IndexReader.h:27-60): the indexed sequence DB and its
+        # headers are materialized beside the index payload
+        if path.endswith(".linidx"):
+            path = path + "_seq"
+        elif path.endswith(".linidx_h"):
+            path = path[: -len("_h")] + "_seq_h"
         dbtype = read_dbtype(path)
         data = np.fromfile(path, dtype=np.uint8)
         idx = _read_index(path + ".index")

@@ -31,15 +31,20 @@ BIT63 = np.uint64(1) << np.uint64(63)
 U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def map_sequences(db):
+def map_sequences(db, seed_mat=None):
     """Map a SeqDB to numeric padded batch.
 
     Returns (padded uint8[N, Lmax], lengths int64[N], alphabet_size, is_nucl).
     AA sequences use the reduced-13 alphabet (kmermatcherInner,
-    kmermatcher.cpp:598-607); nucleotides the ACTG(X) alphabet.
+    kmermatcher.cpp:598-607) — blosum62-based by default; kmerindexdb/
+    kmersearch pass the VTML80-based one for the standalone default
+    --seed-sub-mat (kmerindexdb.cpp:62-69). Nucleotides use ACTG(X).
     """
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
-    mat = constants.nucleotide() if is_nucl else constants.reduced(13)
+    if seed_mat is None:
+        mat = constants.nucleotide() if is_nucl else constants.reduced(13)
+    else:
+        mat = constants.nucleotide() if is_nucl else seed_mat
     lengths = db.seq_lens()
     n = db.size
     lmax = int(lengths.max()) if n else 0
@@ -143,14 +148,15 @@ def _select_kmers_one(hashes16, kmer_vals, positions, kmer_considered,
 
 def build_kmer_table(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=0.0,
                      hash_shift=67, ignore_multi_kmer=False,
-                     hash_range=None):
+                     hash_range=None, hash_whole_sequence=True,
+                     seed_mat=None):
     """Steps 1-3: per-sequence selection + whole-sequence hash entries.
 
     Returns structured arrays (kmer u64, id u32, pos i32, seq_len i32).
     hash_range=(lo, hi) restricts to a 16-bit hash range (multi-split /
     multi-host mode); whole-sequence entries use their own hash's low 16 bits.
     """
-    padded, lengths, alpha, is_nucl = map_sequences(db)
+    padded, lengths, alpha, is_nucl = map_sequences(db, seed_mat=seed_mat)
     n, lmax = padded.shape
     x_code = alpha - 1
     out_kmer, out_id, out_pos, out_len = [], [], [], []
@@ -212,10 +218,18 @@ def build_kmer_table(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=0.0,
             np.float32(np.float32(kmers_per_sequence_scale) * np.float32(L))
         kc = min(int(kc_f), seq_kmer_count)
 
-        # whole-sequence hash entry (added regardless of threshold)
+        # whole-sequence hash entry (added regardless of threshold).
+        # With hashWholeSequence false (kmersearch/kmerindexdb,
+        # kmersearch.cpp:30-38) seqHash stays SIZE_T_MAX and the entry is
+        # STILL emitted — as a sentinel-valued k-mer whose 16-bit hash is
+        # 0xFFFF (kmermatcher.cpp:133-141,240-264)
         from .hashes import seq_hash_np
-        sh = seq_hash_np(padded[i, :L])
-        sh = xxh64_u64_np(np.array([sh], dtype=np.uint64), hash_shift)[0]
+        if hash_whole_sequence:
+            sh = seq_hash_np(padded[i, :L])
+            sh = xxh64_u64_np(np.array([sh], dtype=np.uint64),
+                              hash_shift)[0]
+        else:
+            sh = U64MAX
         if lo <= int(sh & np.uint64(0xFFFF)) <= hi:
             out_kmer.append(np.array([sh], dtype=np.uint64))
             out_id.append(np.array([db.keys[i]], dtype=np.uint32))

@@ -22,6 +22,8 @@ are stored capped at (255 - query profile bias) for threshold selection
 (the SIMD uint8 saturation bound, UngappedAlignment.cpp:27-35) and
 rescored exactly when at the cap (QueryMatcher.cpp:155-166,377-385).
 """
+import os
+
 import numpy as np
 
 from .. import constants
@@ -583,7 +585,9 @@ def prefilter(qdb, tdb, params=None, same_db=None):
     logger.info("prefilter: k=%d kmerThr=%d maxSeqs=%d", k, kmer_thr,
                 max_seqs)
 
-    index = KmerIndex(tdb, k, kmer_thr, seed, p.spaced_kmer, p.mask)
+    index = getattr(p, "prebuilt_index", None)
+    if index is None:
+        index = KmerIndex(tdb, k, kmer_thr, seed, p.spaced_kmer, p.mask)
     positions = index.positions
     x_idx = seed.alphabet_size - 1
     sub20 = seed.sub[:20, :20].astype(np.int32)
@@ -877,3 +881,55 @@ def ungapped_prefilter(qdb, tdb=None, eval_thr=1e-3, cov_thr=0.0, cov_mode=0,
         out[qkey] = [(int(hit_keys[i]), int(hit_scores[i]), 0)
                      for i in order]
     return out
+
+
+def index_file_name(base):
+    """PrefilteringIndexReader::indexName: <targetDB>.idx."""
+    return base + ".idx"
+
+
+def save_prefilter_index(index, base_out, kmer_thr, mask, spaced,
+                         seq_type, max_seq_len=65535, comp_bias=1):
+    """indexdb (util/indexdb.cpp:42-155) with a TPU-native payload: the
+    inverted k-mer table plus the (masked) numeric target sequences."""
+    out = index_file_name(base_out)
+    num_off = np.zeros(len(index.nums) + 1, dtype=np.int64)
+    for i, nn in enumerate(index.nums):
+        num_off[i + 1] = num_off[i] + len(nn)
+    flat = np.concatenate(index.nums) if index.nums else \
+        np.zeros(0, dtype=np.uint8)
+    np.savez(out + ".npz",
+             kmers=index.kmers, sid=index.sid, pos=index.pos,
+             nums=flat.astype(np.uint8), num_off=num_off,
+             meta=np.array([index.kmer_size, kmer_thr, int(mask),
+                            int(spaced), seq_type, max_seq_len,
+                            int(comp_bias)], dtype=np.int64))
+    w = seqdb.DBWriter(seqdb.INDEX_DB)
+    w.write(0, b"plass_tpu-idx-v1\n", add_newline=False)
+    w.finish().save(out)
+    return out
+
+
+def load_prefilter_index(base, kmer_size, kmer_thr, mask, spaced):
+    """Load a precomputed index if present and parameter-compatible
+    (indexdb.cpp findIncompatibleParameter:16-40); None otherwise."""
+    path = index_file_name(base) + ".npz"
+    if not os.path.exists(path):
+        return None
+    d = np.load(path)
+    meta = d["meta"]
+    if (int(meta[0]) != kmer_size or int(meta[1]) != kmer_thr
+            or int(meta[2]) != int(mask) or int(meta[3]) != int(spaced)):
+        return None
+    idx = KmerIndex.__new__(KmerIndex)
+    idx.kmers = d["kmers"]
+    idx.sid = d["sid"]
+    idx.pos = d["pos"]
+    off = d["num_off"]
+    flat = d["nums"]
+    idx.nums = [flat[off[i]:off[i + 1]] for i in range(len(off) - 1)]
+    idx.uniq, idx.starts = np.unique(idx.kmers, return_index=True)
+    idx.counts = np.diff(np.append(idx.starts, len(idx.kmers)))
+    idx.kmer_size = kmer_size
+    idx.positions = spaced_positions(kmer_size, spaced)
+    return idx

@@ -65,10 +65,12 @@ def _sens_schedule(p):
     return [round(p.start_sens + i * step, 1) for i in range(p.sens_steps)]
 
 
-def run_search(qdb, tdb, out_path, tmp_base, params=None):
+def run_search(qdb, tdb, out_path, tmp_base, params=None, tdb_path=None):
     """Search qdb against tdb, writing an alignment DB to out_path.
 
-    qdb/tdb: SeqDB objects or paths.
+    qdb/tdb: SeqDB objects or paths. When tdb_path is known, a compatible
+    precomputed index (<tdb>.idx from `createindex`/`indexdb`) is used for
+    the prefilter stage (PrefilteringIndexReader::searchForIndex).
     """
     from ..ops import prefilter as pf
     from ..ops.protein_align import align_protein
@@ -78,6 +80,7 @@ def run_search(qdb, tdb, out_path, tmp_base, params=None):
     if isinstance(qdb, str):
         qdb = seqdb.SeqDB.open(qdb)
     if isinstance(tdb, str):
+        tdb_path = tdb_path or tdb
         tdb = seqdb.SeqDB.open(tdb)
     if qdb.dbtype != seqdb.AMINO_ACIDS or tdb.dbtype != seqdb.AMINO_ACIDS:
         raise ValueError("search: only protein-protein search is "
@@ -101,6 +104,16 @@ def run_search(qdb, tdb, out_path, tmp_base, params=None):
                 comp_bias_corr=p.comp_bias_corr, mask=p.mask,
                 spaced_kmer=p.spaced_kmer,
                 exact_kmer_matching=p.exact_kmer_matching)
+            if tdb_path:
+                k_eff = pr.kmer_size or pf.auto_kmer_size(
+                    tdb.total_residues())
+                thr_eff = pf.kmer_threshold(pr.sensitivity, k_eff,
+                                            pr.kmer_score)
+                pr.prebuilt_index = pf.load_prefilter_index(
+                    tdb_path, k_eff, thr_eff, pr.mask, pr.spaced_kmer)
+                if pr.prebuilt_index is not None:
+                    logger.info("using precomputed index %s",
+                                pf.index_file_name(tdb_path))
             hits = pf.prefilter(qdb, tdb, pr, same_db=same_db)
             return {f"pref_{si}": pf.prefilter_to_db(hits, qorder)}
         pref_db = wf.step(f"pref_{si}", _pref, outputs=(f"pref_{si}",))

@@ -446,6 +446,18 @@ def main():
         )
         print(f"reduced alphabet {size}: {rletters}")
 
+    # ---- VTML80-based reduced-13 (standalone kmerindexdb/kmersearch use
+    # the default --seed-sub-mat VTML80.out; createlinindex/linsearch
+    # override it to blosum62)
+    vra2n, vrletters, vrsub = reduced_alphabet(vprob, vletters, 13, 2.0)
+    np.savez(
+        os.path.join(OUT, "vtml80_reduced13.npz"),
+        aa2num=vra2n,
+        letters=np.frombuffer(vrletters.encode(), dtype=np.uint8),
+        sub=vrsub,
+    )
+    print(f"vtml80 reduced 13: {vrletters}")
+
     # ---- genetic codes
     codes = extract_genetic_codes()
     code_ids = sorted(codes)

@@ -1,0 +1,168 @@
+"""Byte-parity tests for the linsearch family (kmerindexdb/kmersearch/
+createlinindex/linsearch/easy-linsearch) against the reference binary."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REF = "/tmp/refbuild/src/plass"
+OURS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "bin", "plass")
+
+needs_ref = pytest.mark.skipif(not os.path.exists(REF),
+                               reason="reference binary not built")
+
+
+def run_ref(*args):
+    return subprocess.run([REF, *[str(a) for a in args], "-v", "0"],
+                          capture_output=True, check=True)
+
+
+def run_ours(*args):
+    return subprocess.run([OURS, *[str(a) for a in args]],
+                          capture_output=True, check=True)
+
+
+def db_bytes(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    with open(path + ".index", "rb") as f:
+        index = f.read()
+    return data, index
+
+
+def db_data(path):
+    """Data bytes, concatenating reference per-thread shards."""
+    if os.path.exists(path + ".0"):
+        out = b""
+        i = 0
+        while os.path.exists(f"{path}.{i}"):
+            out += open(f"{path}.{i}", "rb").read()
+            i += 1
+        return out
+    return open(path, "rb").read()
+
+
+@pytest.fixture(scope="module")
+def protein_db(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lins")
+    rng = np.random.RandomState(11)
+    alphabet = list("ACDEFGHIKLMNPQRSTVWY")
+    base = "".join(rng.choice(alphabet, 120))
+    rows = []
+    for i in range(8):
+        mut = list(base)
+        for j in rng.choice(len(base), 18, replace=False):
+            mut[j] = rng.choice(alphabet)
+        if i % 3 == 1:
+            del mut[40:43]
+        if i % 3 == 2:
+            mut[60:60] = list(rng.choice(alphabet, 4))
+        rows.append((f">p{i}", "".join(mut)))
+    fasta = d / "in.fasta"
+    fasta.write_text("".join(f"{h}\n{s}\n" for h, s in rows))
+    run_ref("createdb", fasta, d / "seq")
+    return d
+
+
+@pytest.fixture(scope="module")
+def nucl_db(tmp_path_factory):
+    d = tmp_path_factory.mktemp("linsn")
+    rng = np.random.RandomState(5)
+    base = "".join(rng.choice(list("ACGT"), 300))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rows = []
+    for i in range(10):
+        mut = list(base)
+        for j in rng.choice(len(base), 20, replace=False):
+            mut[j] = rng.choice(list("ACGT"))
+        if i % 3 == 1:
+            del mut[100:107]
+        if i % 3 == 2:
+            mut[200:200] = list(rng.choice(list("ACGT"), 5))
+        s = "".join(mut)
+        if i % 4 == 3:
+            s = "".join(comp[c] for c in reversed(s))
+        rows.append((f">n{i}", s))
+    fasta = d / "in.fasta"
+    fasta.write_text("".join(f"{h}\n{s}\n" for h, s in rows))
+    run_ref("createdb", fasta, d / "seq")
+    return d
+
+
+@needs_ref
+def test_linsearch_protein_parity(protein_db):
+    d = protein_db
+    seq = str(d / "seq")
+    run_ref("createlinindex", seq, d / "idx_tmp", "--threads", "1")
+    run_ref("linsearch", seq, seq, d / "ref_out", d / "ref_tmp",
+            "--threads", "1")
+    ref_pref = None
+    for sub in os.listdir(d / "ref_tmp"):
+        p = d / "ref_tmp" / sub / "pref"
+        if p.exists():
+            ref_pref = str(p)
+    # rebuild the index with ours, rerun the whole pipeline
+    for f in os.listdir(d):
+        if f.startswith("seq.linidx"):
+            os.unlink(d / f)
+    run_ours("createlinindex", seq, d / "my_idx_tmp")
+    run_ours("kmersearch", seq, seq + ".linidx", d / "my_pref",
+             "--seed-sub-mat", "blosum62.out", "--kmer-per-seq", "21")
+    assert db_data(ref_pref) == db_data(str(d / "my_pref"))
+    run_ours("linsearch", seq, seq, d / "my_out", d / "my_tmp")
+    assert db_bytes(str(d / "ref_out")) == db_bytes(str(d / "my_out"))
+
+
+@needs_ref
+def test_linsearch_nucl_parity(nucl_db):
+    d = nucl_db
+    seq = str(d / "seq")
+    run_ref("createlinindex", seq, d / "idx_tmp", "--search-type", "3",
+            "--threads", "1")
+    run_ref("linsearch", seq, seq, d / "ref_out", d / "ref_tmp",
+            "--search-type", "3", "--threads", "1")
+    ref_tmp = None
+    for sub in os.listdir(d / "ref_tmp"):
+        if (d / "ref_tmp" / sub / "pref").exists():
+            ref_tmp = d / "ref_tmp" / sub
+    for f in os.listdir(d):
+        if f.startswith("seq.linidx"):
+            os.unlink(d / f)
+    run_ours("createlinindex", seq, d / "my_idx_tmp", "--search-type", "3")
+    run_ours("linsearch", seq, seq, d / "my_out", d / "my_tmp",
+             "--search-type", "3")
+    # every intermediate is byte-identical
+    for step in ("pref", "reverse_ungapaln", "reverse_aln", "aln",
+                 "aln_merged"):
+        assert db_data(str(ref_tmp / step)) == \
+            db_data(str(d / "my_tmp" / step)), step
+    # final offsetalignment output: the reference's dbOrfEndPos column is
+    # uninitialized memory in the nucl-nucl linsearch path
+    # (Orf::parseOrfHeader reads entry[2] for 2-column headers,
+    # Orf.cpp:358-360; the reference binary even segfaults on reruns here),
+    # so compare all but that column
+    def strip_last(data):
+        out = []
+        for rec in data.split(b"\x00"):
+            for line in rec.split(b"\n"):
+                if line:
+                    out.append(line.rsplit(b"\t", 1)[0])
+            out.append(b"\x00")
+        return out
+
+    assert strip_last(db_data(str(d / "ref_out"))) == \
+        strip_last(db_data(str(d / "my_out")))
+
+
+@needs_ref
+def test_easy_linsearch_parity(protein_db, tmp_path):
+    d = protein_db
+    fasta = str(d / "in.fasta")
+    run_ref("easy-linsearch", fasta, fasta, tmp_path / "ref.tsv",
+            tmp_path / "ref_tmp", "--threads", "1")
+    run_ours("easy-linsearch", fasta, fasta, tmp_path / "my.tsv",
+             tmp_path / "my_tmp")
+    assert (tmp_path / "ref.tsv").read_bytes() == \
+        (tmp_path / "my.tsv").read_bytes()
