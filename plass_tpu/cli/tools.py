@@ -531,6 +531,10 @@ def _filterdb(positional, space):
                     out.append(l)
         else:
             out = lines
+        if trim and not regex and not mapping_file:
+            # --trim-to-one-column applies to every mode's kept lines
+            # (filterdb.cpp:282-294,467-470)
+            out = [l.split("\t")[col].split(" ")[0] for l in out]
         w.write(int(db.keys[i]),
                 "".join(l + "\n" for l in out).encode(),
                 add_newline=False)
@@ -1932,7 +1936,11 @@ BASE_COMMANDS = [
         P.Flag("--take-larger-entry", "take_larger_entry", bool, False,
                "For duplicate keys keep the larger record")]),
             "<i:db1> <i:db2> <o:db>", "Concatenate DBs", hidden=True),
-    Command("createsubdb", _createsubdb, lambda: P.ParamSpace(P.common_flags()),
+    Command("createsubdb", _createsubdb, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--subdb-mode", "subdb_mode", int, 0,
+               "0: copy data, 1: soft link data and write index", r"[0-1]"),
+        P.Flag("--id-mode", "id_mode", int, 0,
+               "0: database keys, 1: line numbers", r"[0-1]")]),
             "<i:subsetFile> <i:db> <o:db>", "Create subset DB", hidden=True),
     Command("convert2fasta", _convert2fasta, lambda: P.ParamSpace(P.common_flags()),
             "<i:seqDB> <o:fasta>", "Convert DB to FASTA", hidden=True),
@@ -2125,3 +2133,5 @@ from .tools_domain import COMMANDS as _DOMAIN_COMMANDS  # noqa: E402
 BASE_COMMANDS.extend(_DOMAIN_COMMANDS)
 from .tools_linsearch import COMMANDS as _LINSEARCH_COMMANDS  # noqa: E402
 BASE_COMMANDS.extend(_LINSEARCH_COMMANDS)
+from .tools_databases import COMMANDS as _DATABASES_COMMANDS  # noqa: E402
+BASE_COMMANDS.extend(_DATABASES_COMMANDS)

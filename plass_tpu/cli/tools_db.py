@@ -599,7 +599,9 @@ COMMANDS = [
             "<i:db>", "Print the DB type", hidden=True),
     Command("view", _view, lambda: P.ParamSpace(_db_flags()),
             "<i:db>", "Print DB entries to stdout", hidden=True),
-    Command("renamedbkeys", _renamedbkeys, lambda: P.ParamSpace(P.common_flags()),
+    Command("renamedbkeys", _renamedbkeys, lambda: P.ParamSpace(P.common_flags() + [
+        P.Flag("--subdb-mode", "subdb_mode", int, 0,
+               "0: copy data, 1: soft link data and write index", r"[0-1]")]),
             "<i:mapFile> <i:db> <o:db>", "Rename DB keys by a two-column mapping", hidden=True),
     Command("suffixid", _suffixid, lambda: P.ParamSpace(_db_flags()),
             "<i:db> <o:db>", "Suffix each line with the record key", hidden=True),

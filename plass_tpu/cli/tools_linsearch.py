@@ -383,3 +383,164 @@ COMMANDS.extend([
             "<i:seqDB> <tmpDir>",
             "Precompute an index for faster searches", hidden=True),
 ])
+
+
+def _clusterupdate(positional, space):
+    """clusterupdate (workflow/ClusterUpdate.cpp:19-90 +
+    data/workflow/update_clustering.sh): update an old clustering with a
+    new sequence DB — map common sequences to old keys, drop (or recover)
+    removed ones, assign new sequences to old representatives with
+    --max-accept 1, cluster the leftovers separately, merge."""
+    import numpy as np
+    if len(positional) != 6:
+        raise ValueError(
+            "usage: clusterupdate <i:oldSeqDB> <i:newSeqDB> <i:oldClustDB> "
+            "<o:newMappedSeqDB> <o:newClustDB> <tmpDir>")
+    old_db, new_db, old_clust, new_map_db, new_clust, tmp = positional
+    v = space.values
+    was = space.was_set
+    os.makedirs(tmp, exist_ok=True)
+    if os.path.exists(new_clust + ".dbtype"):
+        raise ValueError(f"{new_clust}.dbtype exists already!")
+    recover = bool(v.get("recover_deleted", False))
+
+    def t(name):
+        return os.path.join(tmp, name)
+
+    if not os.path.exists(t("newSeqs")):
+        _invoke("diffseqdbs", [old_db, new_db, t("removedSeqs"),
+                               t("mappingSeqs"), t("newSeqs")])
+    if os.path.getsize(t("mappingSeqs")) == 0:
+        logger.warning("There are no common sequences between %s and %s.",
+                       old_db, new_db)
+        return 1
+
+    def _max_key(*index_files):
+        m = 0
+        for f in index_files:
+            for line in open(f):
+                k = int(line.split("\t", 1)[0])
+                m = max(m, k)
+        return m
+
+    if os.path.getsize(t("removedSeqs")) > 0:
+        if recover:
+            highest = _max_key(new_db + ".index")
+            with open(t("OLDDB.removedMapping"), "w") as out, \
+                    open(t("removedSeqs")) as fh:
+                start = highest + 1
+                mapping_extra = []
+                for line in fh:
+                    key = line.split()[0]
+                    out.write(f"{key}\t{start}\n")
+                    mapping_extra.append(f"{key}\t{start}\n")
+                    start += 1
+            with open(t("mappingSeqs"), "a") as fh:
+                fh.writelines(mapping_extra)
+            _invoke("renamedbkeys", [t("OLDDB.removedMapping"), old_db,
+                                     t("OLDDB.removedDb"),
+                                     "--subdb-mode", 1])
+            _invoke("concatdbs", [new_db, t("OLDDB.removedDb"),
+                                  t("NEWDB.withOld"), "--preserve-keys"])
+            _invoke("concatdbs", [new_db + "_h", t("OLDDB.removedDb") + "_h",
+                                  t("NEWDB.withOld") + "_h",
+                                  "--preserve-keys"])
+            new_db = t("NEWDB.withOld")
+        else:
+            _invoke("createsubdb", [t("mappingSeqs"), old_clust,
+                                    t("OLCLUST.withoutDeletedKeys"),
+                                    "--subdb-mode", 1])
+            _invoke("filterdb", [t("OLCLUST.withoutDeletedKeys"),
+                                 t("OLCLUST.withoutDeleted"),
+                                 "--filter-file", t("removedSeqs"),
+                                 "--positive-filter", 0])
+            old_clust = t("OLCLUST.withoutDeleted")
+
+    # remap new DB: common sequences get old keys, new ones fresh keys
+    max_id = _max_key(old_db + ".index", new_db + ".index")
+    new_seq_keys = [line.split()[0] for line in open(t("newSeqs"))
+                    if line.strip()]
+    with open(t("newMappingSeqs"), "w") as out:
+        for line in open(t("mappingSeqs")):
+            parts = line.split()
+            if len(parts) >= 2:
+                out.write(f"{parts[1]}\t{parts[0]}\n")
+        start = max_id + 1
+        mapped_new = []
+        for key in new_seq_keys:
+            out.write(f"{key}\t{start}\n")
+            mapped_new.append(start)
+            start += 1
+    with open(t("newSeqs"), "w") as out:
+        out.writelines(f"{k}\n" for k in mapped_new)
+
+    if not os.path.exists(new_map_db + ".dbtype"):
+        _invoke("renamedbkeys", [t("newMappingSeqs"), new_db, new_map_db])
+    new_db = new_map_db
+
+    _invoke("createsubdb", [t("newSeqs"), new_db, t("NEWDB.newSeqs"),
+                            "--subdb-mode", 1])
+    _invoke("result2repseq", [old_db, old_clust, t("OLDDB.repSeq")])
+
+    search_args = [t("NEWDB.newSeqs"), t("OLDDB.repSeq"), t("newSeqsHits"),
+                   t("search"), "--max-accept", 1, "--alignment-mode", 3]
+    for flag, attr in (("--min-seq-id", "min_seq_id"), ("-c", "cov_thr"),
+                       ("--cov-mode", "cov_mode"), ("-e", "eval_thr"),
+                       ("-s", "sensitivity")):
+        if attr in was:
+            val = v[attr]
+            if isinstance(val, P.MultiParam):
+                val = val.aminoacids
+            search_args += [flag, val]
+    _invoke("search", search_args)
+    _invoke("swapdb", [t("newSeqsHits"), t("newSeqsHits.swapped.all")])
+
+    has_hits = any(int(line.split("\t")[2]) > 1
+                   for line in open(t("newSeqsHits.swapped.all") + ".index"))
+    updated_clust = old_clust
+    if has_hits:
+        _invoke("filterdb", [t("newSeqsHits.swapped.all"),
+                             t("newSeqsHits.swapped"),
+                             "--trim-to-one-column"])
+        _invoke("mergedbs", [old_clust, t("updatedClust"), old_clust,
+                             t("newSeqsHits.swapped")])
+        updated_clust = t("updatedClust")
+
+    with open(t("noHitSeqList"), "w") as out:
+        for line in open(t("newSeqsHits") + ".index"):
+            parts = line.split("\t")
+            if int(parts[2]) == 1:
+                out.write(parts[0] + "\n")
+    _invoke("createsubdb", [t("noHitSeqList"), new_db,
+                            t("toBeClusteredSeparately"), "--subdb-mode", 1])
+
+    clustered_new = False
+    if os.path.getsize(t("toBeClusteredSeparately") + ".index") > 0:
+        clust_args = [t("toBeClusteredSeparately"), t("newClusters"),
+                      t("cluster")]
+        for flag, attr in (("--min-seq-id", "min_seq_id"), ("-c", "cov_thr"),
+                           ("--cov-mode", "cov_mode"), ("-e", "eval_thr"),
+                           ("-s", "sensitivity")):
+            if attr in was:
+                val = v[attr]
+                if isinstance(val, P.MultiParam):
+                    val = val.aminoacids
+                clust_args += [flag, val]
+        _invoke("cluster", clust_args)
+        clustered_new = os.path.exists(t("newClusters") + ".dbtype")
+    if clustered_new:
+        _invoke("concatdbs", [updated_clust, t("newClusters"), new_clust,
+                              "--preserve-keys"])
+    else:
+        _invoke("mvdb", [updated_clust, new_clust])
+    return 0
+
+
+COMMANDS.append(
+    Command("clusterupdate", _clusterupdate, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + P.align_flags() + [
+            P.Flag("--recover-deleted", "recover_deleted", bool, False,
+                   "Include deleted sequences with fresh keys")]),
+            "<i:oldSeqDB> <i:newSeqDB> <i:oldClustDB> <o:newMappedSeqDB> "
+            "<o:newClustDB> <tmpDir>",
+            "Update clustering of an evolving sequence DB", hidden=True))

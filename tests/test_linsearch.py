@@ -166,3 +166,42 @@ def test_easy_linsearch_parity(protein_db, tmp_path):
              tmp_path / "my_tmp")
     assert (tmp_path / "ref.tsv").read_bytes() == \
         (tmp_path / "my.tsv").read_bytes()
+
+
+@needs_ref
+def test_clusterupdate_parity(tmp_path):
+    rng = np.random.RandomState(3)
+    alphabet = list("ACDEFGHIKLMNPQRSTVWY")
+    fams = ["".join(rng.choice(alphabet, 100)) for _ in range(4)]
+
+    def mut(base, n):
+        m = list(base)
+        for j in rng.choice(len(base), n, replace=False):
+            m[j] = rng.choice(alphabet)
+        return "".join(m)
+
+    old = [(f"o{f}_{i}", mut(fams[f], 6)) for f in range(3) for i in range(3)]
+    new = [(n, s) for n, s in old if not n.startswith("o2")]
+    new += [(f"n3_{i}", mut(fams[3], 6)) for i in range(3)]
+    new.append(("n0_x", mut(fams[0], 8)))
+    (tmp_path / "old.fasta").write_text(
+        "".join(f">{n}\n{s}\n" for n, s in old))
+    (tmp_path / "new.fasta").write_text(
+        "".join(f">{n}\n{s}\n" for n, s in new))
+    run_ref("createdb", tmp_path / "old.fasta", tmp_path / "oldseq")
+    run_ref("createdb", tmp_path / "new.fasta", tmp_path / "newseq")
+    run_ref("cluster", tmp_path / "oldseq", tmp_path / "oldclu",
+            tmp_path / "ctmp", "--threads", "1")
+    for extra in ([], ["--recover-deleted"]):
+        tag = "r" if extra else "d"
+        run_ref("clusterupdate", tmp_path / "oldseq", tmp_path / "newseq",
+                tmp_path / "oldclu", tmp_path / f"refmap{tag}",
+                tmp_path / f"refclu{tag}", tmp_path / f"rtmp{tag}",
+                "--threads", "1", *extra)
+        run_ours("clusterupdate", tmp_path / "oldseq", tmp_path / "newseq",
+                 tmp_path / "oldclu", tmp_path / f"mymap{tag}",
+                 tmp_path / f"myclu{tag}", tmp_path / f"mtmp{tag}", *extra)
+        assert db_bytes(str(tmp_path / f"refmap{tag}")) == \
+            db_bytes(str(tmp_path / f"mymap{tag}")), extra
+        assert db_bytes(str(tmp_path / f"refclu{tag}")) == \
+            db_bytes(str(tmp_path / f"myclu{tag}")), extra
