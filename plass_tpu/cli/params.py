@@ -161,6 +161,16 @@ def align_flags():
         Flag("--rescore-mode", "rescore_mode", int, 3, "Rescore mode", r"[0-4]"),
         Flag("--sort-results", "sort_results", int, 0, "Sort results", r"[0-1]"),
         Flag("-a", "add_backtrace", bool, False, "Add backtrace"),
+        Flag("--realign", "realign", bool, False,
+             "Compute more conservative, shorter alignments"),
+        Flag("--alignment-output-mode", "alignment_output_mode", int, 0,
+             "0: alignment, 1: cluster format", r"[0-5]"),
+        Flag("--exhaustive-search", "exhaustive_search", bool, False,
+             "Turn on exhaustive (sliced) target-profile search"),
+        Flag("--exhaustive-search-filter", "exhaustive_search_filter",
+             int, 0, "Filter result during search", r"[0-1]"),
+        Flag("--realign-score-bias", "realign_score_bias", float, -0.2,
+             "Additional bias when realigning"),
         Flag("--wrapped-scoring", "wrapped_scoring", bool, False,
              "Double query for circular scoring"),
         Flag("--filter-hits", "filter_hits", bool, False, "Filter hits by precision lib"),

@@ -35,17 +35,25 @@ def load_alignments(path):
 def load_prefilter(path):
     """Parse a prefilter DB into {query_key: [(target, score, diag), ...]};
     diagonals are short-cast on disk and recovered by the rescorer's
-    +-65536 scan."""
+    +-65536 scan. Dict insertion order is the prefilter DB's DATA order
+    (Alignment opens it LINEAR_ACCCESS, Alignment.cpp:93) — writers that
+    must match the reference's physical record order iterate this dict."""
     db = seqdb.SeqDB.open(path)
     out = {}
-    for i in range(db.size):
+    for i in seqdb.data_order(db):
+        i = int(i)
         key = int(db.keys[i])
         hits = []
         for line in db.get_data(i).tobytes().decode().strip().split("\n"):
             if not line:
                 continue
-            t, s, d = line.split("\t")
-            hits.append((int(t), int(s), int(d)))
+            cols = line.split("\t")
+            if len(cols) >= 3:
+                hits.append((int(cols[0]), int(cols[1]), int(cols[2])))
+            else:
+                # cluster-format / key-only result lines (Alignment only
+                # reads the first column, Alignment.cpp parseKey)
+                hits.append((int(cols[0].split(" ")[0]), 0, 0))
         out[key] = hits
     return out
 
@@ -181,9 +189,24 @@ def _align(positional, space):
             gap_extend=v["gap_extend"] if space_was_set(space, "gap_extend") else 1,
             tdb=tdb, alignment_mode=v.get("alignment_mode", 0),
             add_backtrace=v["add_backtrace"],
-            seq_id_mode=v["seq_id_mode"])
+            seq_id_mode=v["seq_id_mode"],
+            realign=bool(v.get("realign", False)),
+            comp_bias_corr=bool(v.get("comp_bias_corr", 1)),
+            max_accept=v.get("max_accept", 2**31 - 1),
+            max_reject=v.get("max_rejected", 2**31 - 1))
+        if v.get("alignment_output_mode", 0) == 1:
+            # ALIGNMENT_OUTPUT_CLUSTER (Alignment.cpp:255-259,506-511):
+            # target keys only, CLUSTER_RES dbtype
+            w = seqdb.DBWriter(seqdb.CLUSTER_RES)
+            for key in hits:
+                body = "".join(f"{r['dbKey']}\n" for r in res[key])
+                w.write(key, body.encode(), add_newline=False)
+            w.finish().save(positional[3])
+            return 0
         protein_align_results_to_db(
-            res, add_backtrace=v["add_backtrace"]).save(positional[3])
+            res, add_backtrace=v["add_backtrace"]
+            or bool(v.get("realign", False)),
+            key_order=list(hits)).save(positional[3])
         return 0
     hits = load_prefilter(positional[2])
     res = align_nucl(db, hits, seq_id_thr=v["min_seq_id"].nucleotides,
@@ -228,7 +251,7 @@ def _lcaalign(positional, space):
         gap_extend=v["gap_extend"] if space_was_set(space, "gap_extend") else 1,
         max_accept=v["max_accept"], max_reject=v["max_rejected"],
         seq_id_mode=v["seq_id_mode"])
-    protein_align_results_to_db(res).save(positional[3])
+    protein_align_results_to_db(res, key_order=list(hits)).save(positional[3])
     return 0
 
 
@@ -246,7 +269,8 @@ def _prefilter(positional, space):
         comp_bias_corr=bool(v["comp_bias_corr"]), mask=v["search_mask"],
         spaced_kmer=bool(v["search_spaced_kmer"]),
         exact_kmer_matching=bool(v["exact_kmer_matching"]),
-        add_self_matches=v["add_self_matches"])
+        add_self_matches=v["add_self_matches"],
+        cov_thr=v.get("cov_thr", 0.0), cov_mode=v.get("cov_mode", 0))
     hits = pf.prefilter(qdb, tdb, p, same_db=same)
     qorder = [int(qdb.keys[i]) for i in
               np.argsort(qdb.offsets, kind="stable")]
@@ -259,6 +283,15 @@ def _search(positional, space):
     if len(positional) != 4:
         raise ValueError("usage: search <i:qDB> <i:tDB> <o:alnDB> <tmpDir>")
     v = space.values
+    if seqdb.read_dbtype(positional[1]) == seqdb.HMM_PROFILE:
+        if v.get("exhaustive_search", False):
+            return _search_sliced_profile(positional, space)
+        return _search_targetprofile(positional, space)
+    if space_was_set(space, "num_iterations"):
+        it = v["num_iterations"]
+        it = it.aminoacids if isinstance(it, P.MultiParam) else it
+        if it > 1:
+            return _search_iterative(positional, space, it)
     sens = v["sensitivity"] if space_was_set(space, "sensitivity") else 5.7
     p = SearchParams(
         sensitivity=sens, kmer_size=v["search_kmer_size"],
@@ -290,6 +323,167 @@ def _search(positional, space):
     t = q if same else seqdb.SeqDB.open(positional[1])
     run_search(q, t, positional[2], positional[3], p,
                tdb_path=positional[1])
+    return 0
+
+
+def _swap_cov_mode(cov_mode):
+    """Util::swapCoverageMode (Util.cpp:569-585)."""
+    return {0: 0, 1: 2, 2: 1, 3: 4, 4: 3, 5: 5}.get(cov_mode, cov_mode)
+
+
+def _search_targetprofile(positional, space):
+    """Default search against target profiles (Search.cpp:352-363 +
+    data/workflow/searchtargetprofile.sh): profile-target prefilter
+    (k-mer 5 unless set, Search.cpp:250-252), swap, profile-query
+    alignment with the swapped coverage mode, swap back."""
+    from .tools_linsearch import _invoke
+    v = space.values
+    query, target, out, tmp = positional
+    os.makedirs(tmp, exist_ok=True)
+    if os.path.exists(out + ".dbtype"):
+        raise ValueError(f"{out}.dbtype exists already!")
+    eval_thr = v["eval_thr"] if space_was_set(space, "eval_thr") else 1e-3
+    cov_mode = _swap_cov_mode(v.get("cov_mode", 0))
+    sens = v["sensitivity"] if space_was_set(space, "sensitivity") else 5.7
+    kmer = v["search_kmer_size"] \
+        if space_was_set(space, "search_kmer_size") else 5
+
+    def t(name):
+        return os.path.join(tmp, name)
+
+    if not os.path.exists(t("pref") + ".dbtype"):
+        _invoke("prefilter", [query, target, t("pref"), "-s", sens,
+                              "-k", kmer, "--max-seqs", v["max_seqs"],
+                              "--cov-mode", v.get("cov_mode", 0),
+                              "-c", v.get("cov_thr", 0.0)])
+    if not os.path.exists(t("pref_swapped") + ".dbtype"):
+        _invoke("swapresults", [query, target, t("pref"),
+                                t("pref_swapped"), "-e", eval_thr])
+    aln_mode = v["alignment_mode"] if space_was_set(space,
+                                                    "alignment_mode") else 2
+    if not os.path.exists(t("aln_swapped") + ".dbtype"):
+        aln_args = [target, query, t("pref_swapped"), t("aln_swapped"),
+                    "-e", eval_thr, "--cov-mode", cov_mode,
+                    "-c", v.get("cov_thr", 0.0),
+                    "--alignment-mode", aln_mode]
+        if v.get("add_backtrace"):
+            aln_args += ["-a"]
+        _invoke("align", aln_args)
+    _invoke("swapresults", [target, query, t("aln_swapped"), out,
+                            "-e", eval_thr])
+    if v.get("remove_tmp_files"):
+        for name in ("pref", "pref_swapped", "aln_swapped"):
+            _invoke("rmdb", [t(name)])
+    return 0
+
+
+def _search_sliced_profile(positional, space):
+    """Exhaustive search against target profiles (Search.cpp:317-352 +
+    data/workflow/searchslicedtargetprofile.sh, single slice): the
+    PROFILES run as queries against the sequence DB, then results are
+    swapped back. E-values are corrected for the inverted search by
+    |queries| / |targets|."""
+    from .tools_linsearch import _invoke
+    v = space.values
+    query, target, out, tmp = positional
+    os.makedirs(tmp, exist_ok=True)
+    if os.path.exists(out + ".dbtype"):
+        raise ValueError(f"{out}.dbtype exists already!")
+    qsize = sum(1 for _ in open(query + ".index"))
+    tsize = sum(1 for _ in open(target + ".index"))
+    eval_thr = v["eval_thr"] if space_was_set(space, "eval_thr") else 1e-3
+    eval_corr = eval_thr * (np.float32(qsize) / np.float32(tsize))
+    cov_mode = _swap_cov_mode(v.get("cov_mode", 0))
+    sens = v["sensitivity"] if space_was_set(space, "sensitivity") else 5.7
+
+    def t(name):
+        return os.path.join(tmp, name)
+
+    if not os.path.exists(t("pref") + ".dbtype"):
+        _invoke("prefilter", [target, query, t("pref"), "-s", sens,
+                              "--max-seqs", max(300, qsize),
+                              "--cov-mode", cov_mode,
+                              "-c", v.get("cov_thr", 0.0)])
+    aln_mode = v["alignment_mode"] if space_was_set(space,
+                                                    "alignment_mode") else 2
+    if not os.path.exists(t("aln_merged") + ".dbtype"):
+        _invoke("align", [target, query, t("pref"), t("aln_merged"),
+                          "-e", eval_corr, "--cov-mode", cov_mode,
+                          "-c", v.get("cov_thr", 0.0),
+                          "--alignment-mode", aln_mode,
+                          "--alignment-output-mode", 1])
+    if v.get("exhaustive_search_filter", 0) == 1 and \
+            not os.path.exists(t("aln_filt") + ".dbtype"):
+        _invoke("filterresult", [target, query, t("aln_merged"),
+                                 t("aln_filt")])
+        _invoke("rmdb", [t("aln_merged")])
+        _invoke("mvdb", [t("aln_filt"), t("aln_merged")])
+    if not os.path.exists(t("aln") + ".dbtype"):
+        aln_args = [target, query, t("aln_merged"), t("aln"),
+                    "-e", eval_corr, "--cov-mode", cov_mode,
+                    "-c", v.get("cov_thr", 0.0),
+                    "--alignment-mode", aln_mode]
+        if v.get("add_backtrace"):
+            aln_args += ["-a"]
+        _invoke("align", aln_args)
+    _invoke("swapresults", [target, query, t("aln"), out,
+                            "-e", 1.7976931348623157e+308])
+    return 0
+
+
+def _search_iterative(positional, space, num_it):
+    """Iterative profile search (Search.cpp:371-410 +
+    data/workflow/blastpgp.sh): prefilter -> [subtract prev aln] -> align
+    (realign on iteration 0) -> merge -> result2profile -> repeat with the
+    profile DB as query."""
+    from .tools_linsearch import _invoke
+    v = space.values
+    query, target, out, tmp = positional
+    os.makedirs(tmp, exist_ok=True)
+    if os.path.exists(out + ".dbtype"):
+        raise ValueError(f"{out}.dbtype exists already!")
+    eval_real = v["eval_thr"] if space_was_set(space, "eval_thr") else 1e-3
+    eval_profile = min(eval_real, v.get("eval_profile", 0.1))
+    sens = v["sensitivity"] if space_was_set(space, "sensitivity") else 5.7
+
+    def t(name):
+        return os.path.join(tmp, name)
+
+    qdb = query
+    for step in range(num_it):
+        ev = eval_real if step == num_it - 1 else eval_profile
+        pref = t(f"pref_{step}")
+        raw_pref = pref if step == 0 else t(f"pref_tmp_{step}")
+        if not os.path.exists(raw_pref + ".dbtype"):
+            _invoke("prefilter", [qdb, target, raw_pref, "-s", sens])
+        if step >= 1 and not os.path.exists(pref + ".dbtype"):
+            _invoke("subtractdbs", [raw_pref, t(f"aln_{step - 1}"), pref,
+                                    "--e-profile", eval_profile,
+                                    "-e", eval_profile])
+        aln = t(f"aln_{step}")
+        raw_aln = aln if step == 0 else t(f"aln_tmp_{step}")
+        if not os.path.exists(raw_aln + ".dbtype"):
+            # iterative search always adds backtraces (Search.cpp:275)
+            aln_args = [qdb, target, pref, raw_aln, "-e", ev, "-a",
+                        "--alignment-mode",
+                        v["alignment_mode"]
+                        if space_was_set(space, "alignment_mode") else 2]
+            if step == 0:
+                aln_args += ["--realign"]
+            _invoke("align", aln_args)
+        if step > 0:
+            dst = out if step == num_it - 1 else aln
+            if not os.path.exists(dst + ".dbtype"):
+                _invoke("mergedbs", [qdb, dst, t(f"aln_{step - 1}"),
+                                     raw_aln])
+        elif num_it == 1:
+            pass
+        if step != num_it - 1:
+            profdb = t(f"profile_{step}")
+            if not os.path.exists(profdb + ".dbtype"):
+                _invoke("result2profile", [qdb, target, aln, profdb,
+                                           "-e", eval_profile])
+            qdb = profdb
     return 0
 
 
@@ -1958,7 +2152,9 @@ BASE_COMMANDS = [
         P.Flag("--max-accept", "max_accept", int, 2**31 - 1, "Maximum accepted alignments per query"),
         P.Flag("--max-rejected", "max_rejected", int, 2**31 - 1, "Maximum rejected alignments before give-up")]),
             "<i:qDB> <i:tDB> <i:prefDB> <o:alnDB>", "Efficient gapped alignment for lca computation", hidden=True),
-    Command("prefilter", _prefilter, lambda: P.ParamSpace(P.common_flags() + P.search_flags()),
+    Command("prefilter", _prefilter, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + [
+        P.Flag("-c", "cov_thr", float, 0.0, "Coverage threshold"),
+        P.Flag("--cov-mode", "cov_mode", int, 0, "Coverage mode", r"[0-5]")]),
             "<i:qDB> <i:tDB> <o:prefDB>", "Sensitive double-k-mer-match prefilter", hidden=True),
     Command("orftocontig", _orftocontig, lambda: P.ParamSpace(P.common_flags()),
             "<i:contigDB> <i:orfDB> <o:alnDB>", "Write ORF locations as alignment records", hidden=True),
@@ -2066,7 +2262,11 @@ BASE_COMMANDS = [
             "<i:queryFasta> <i:targetFasta> <o:tsv> <tmpDir>", "Sensitive homology search (FASTA in, BLAST-tab out)", hidden=True),
     Command("convertalis", _convertalis, lambda: P.ParamSpace(P.common_flags()),
             "<i:qDB> <i:tDB> <i:alnDB> <o:tsv>", "Convert alignment DB to BLAST-tab TSV", hidden=True),
-    Command("search", _search, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags()),
+    Command("search", _search, lambda: P.ParamSpace(P.common_flags() + P.search_flags() + P.align_flags() + [
+        P.Flag("--num-iterations", "num_iterations", int, 1,
+               "Number of iterative profile search iterations"),
+        P.Flag("--e-profile", "eval_profile", float, 0.1,
+               "E-value threshold for intermediate profiles")]),
             "<i:qDB> <i:tDB> <o:alnDB> <tmpDir>", "Sensitive homology search (prefilter + align)", hidden=True),
     Command("clust", _clust, lambda: P.ParamSpace(P.common_flags()),
             "<i:seqDB> <i:alnDB> <o:cluDB>", "Greedy incremental clustering", hidden=True),

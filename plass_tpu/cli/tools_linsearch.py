@@ -544,3 +544,104 @@ COMMANDS.append(
             "<i:oldSeqDB> <i:newSeqDB> <i:oldClustDB> <o:newMappedSeqDB> "
             "<o:newClustDB> <tmpDir>",
             "Update clustering of an evolving sequence DB", hidden=True))
+
+
+def _enrich(positional, space):
+    """enrich (workflow/Enrich.cpp:16-90 + data/workflow/enrich.sh):
+    iterative profile-boosted enrichment — exhaustive search against the
+    target profiles, then NUM_IT rounds of profile-query prefilter/align
+    against the profile consensus sequences with expandaln through the
+    profiles' own search results.
+
+    Note: the reference binary's enrich is broken as shipped — Enrich.cpp
+    registers a 4-path validator but enrich.sh consumes 6 arguments, so
+    every invocation dies with "Too many input paths" / "Cannot create
+    temporary folder". This implementation follows the enrich.sh data
+    flow, which is the documented intent."""
+    if len(positional) != 6:
+        raise ValueError(
+            "usage: enrich <i:queryDB> <i:profTargetSeqDB> <i:targetProfDB> "
+            "<i:profResultDB> <o:alnDB> <tmpDir>")
+    query, prof_target_seq, target_prof, prof_result, out, tmp = positional
+    v = space.values
+    was = space.was_set
+    os.makedirs(tmp, exist_ok=True)
+    if os.path.exists(out + ".dbtype"):
+        raise ValueError(f"{out}.dbtype exists already!")
+    num_it = v["num_iterations"] if "num_iterations" in was else 3
+    if isinstance(num_it, P.MultiParam):
+        num_it = num_it.aminoacids
+    eval_thr = v["eval_thr"] if "eval_thr" in was else 0.001
+    eval_profile = v.get("eval_profile", 0.1)
+
+    def t(name):
+        return os.path.join(tmp, name)
+
+    # exhaustive search against the target profiles (PROF_SEARCH_PAR:
+    # numIterations=1, exhaustiveSearch=true, addBacktrace=true)
+    if not os.path.exists(t("search_slice") + ".dbtype"):
+        _invoke("search", [query, target_prof, t("search_slice"),
+                           t("slice_tmp"), "--exhaustive-search", "-a",
+                           "-e", eval_thr])
+    if not os.path.exists(t("prof_slice") + ".dbtype"):
+        # PROF_PROF_PAR carries the GLOBAL --pca 1.0, overriding
+        # result2profile's own 0.0 default (Enrich.cpp:45)
+        _invoke("result2profile", [query, target_prof, t("search_slice"),
+                                   t("prof_slice"), "--pca", 1.0,
+                                   "-e", eval_thr])
+
+    inp = t("prof_slice")
+    # enrich.sh searches against "${TARGET_PROF}_consensus"; result2profile
+    # does not produce it, so generate one into tmp when absent
+    consensus = target_prof + "_consensus"
+    if not os.path.exists(consensus + ".dbtype"):
+        consensus = t("prof_consensus")
+        if not os.path.exists(consensus + ".dbtype"):
+            _invoke("profile2consensus", [target_prof, consensus])
+    for step in range(num_it):
+        ev = eval_thr if step == num_it - 1 else min(eval_thr, eval_profile)
+        pref = t(f"pref_{step}")
+        if not os.path.exists(pref + ".dbtype"):
+            _invoke("prefilter", [inp, consensus, pref])
+        if step >= 1:
+            _invoke("subtractdbs", [pref, t("aln_0"), t(f"pref_next_{step}"),
+                                    "-e", eval_thr,
+                                    "--e-profile", eval_profile])
+            for ext in ("", ".index", ".dbtype"):
+                os.replace(t(f"pref_next_{step}") + ext, pref + ext)
+        aln = t(f"aln_{step}")
+        if not os.path.exists(aln + ".dbtype"):
+            _invoke("align", [inp, consensus, pref, aln, "-e", ev, "-a"])
+        # expand the profile-consensus hits through the profiles' own
+        # search results
+        _invoke("expandaln", [inp, prof_target_seq, aln, prof_result,
+                              t(f"aln_exp_{step}")])
+        for ext in ("", ".index", ".dbtype"):
+            os.replace(t(f"aln_exp_{step}") + ext, aln + ext)
+        if step > 0:
+            _invoke("mergedbs", [inp, t("aln_new"), t("aln_0"), aln])
+            for ext in ("", ".index", ".dbtype"):
+                os.replace(t("aln_new") + ext, t("aln_0") + ext)
+        if step - 1 != num_it:
+            profdb = t(f"profile_{step}")
+            if not os.path.exists(profdb + ".dbtype"):
+                _invoke("result2profile", [query, prof_target_seq, t("aln_0"),
+                                           profdb, "--pca", 1.0,
+                                           "-e", eval_thr])
+            inp = profdb
+    for ext in ("", ".index", ".dbtype"):
+        os.replace(t("aln_0") + ext, out + ext)
+    return 0
+
+
+COMMANDS.append(
+    Command("enrich", _enrich, lambda: P.ParamSpace(
+        P.common_flags() + P.search_flags() + P.align_flags() + [
+            P.Flag("--num-iterations", "num_iterations", int, 3,
+                   "Number of enrichment iterations"),
+            P.Flag("--e-profile", "eval_profile", float, 0.1,
+                   "Include sequences matching below this E-value in the "
+                   "profile")]),
+            "<i:queryDB> <i:profTargetSeqDB> <i:targetProfDB> "
+            "<i:profResultDB> <o:alnDB> <tmpDir>",
+            "Boost diversity of search result", hidden=True))

@@ -51,7 +51,13 @@ def _collect_msa_inputs(qdb, tdb, rdb, i, same_db, eval_profile, mat,
         if tid is None:
             raise ValueError(f"Sequence {r['dbKey']} does not exist in "
                              "target sequence database")
-        tnum = mat.aa2num[tdb.get_seq(tid)]
+        if tdb.dbtype == seqdb.HMM_PROFILE:
+            # profile targets contribute their stored query residues
+            # (Sequence::mapProfile numSequence, result2profile.cpp:144)
+            raw = np.asarray(tdb.get_data(tid))
+            tnum = raw.reshape(-1, 23)[:, 20].copy()
+        else:
+            tnum = mat.aa2num[tdb.get_seq(tid)]
         if not r["backtrace"] and recompute_missing_bt:
             # Matcher::getSWResult recompute (result2profile.cpp:200-207):
             # SubstitutionMatrix(2.0, -0.2) striped SW with backtrace
@@ -749,6 +755,10 @@ def _expandaln(positional, space, return_aln=True):
     mat = constants.blosum62()
     adb = seqdb.SeqDB.open(positional[0])
     cdb = adb if positional[1] == positional[0] else seqdb.SeqDB.open(positional[1])
+    a_is_prof = adb.dbtype == seqdb.HMM_PROFILE
+    c_is_prof = cdb.dbtype == seqdb.HMM_PROFILE
+    if a_is_prof and c_is_prof:
+        raise ValueError("Profile-profile is currently not supported")
     abdb = seqdb.SeqDB.open(positional[2])
     bcdb = seqdb.SeqDB.open(positional[3])
     eval_profile = v.get("eval_profile", EVAL_PROFILE_DEFAULT)
@@ -781,10 +791,21 @@ def _expandaln(positional, space, return_aln=True):
         i = int(i)
         qkey = int(abdb.keys[i])
         aid = adb.key_to_id(qkey)
-        anum = mat.aa2num[adb.get_seq(aid)]
+        aprof = None
+        if a_is_prof:
+            # Sequence aSeq(..., DBTYPE_HMM_PROFILE, ..., compBiasCorrection)
+            # (expandaln.cpp:164): mapProfile already folds the bias in;
+            # rescoring indexes profile_for_alignment (expandaln.cpp:46)
+            from ..ops.profile_query import ProfileQuery
+            pq = ProfileQuery(adb.get_data(aid).tobytes(), comp_bias=comp_bias)
+            anum = pq.qnum
+            aprof = pq.aln_profile.astype(np.int64)
+        else:
+            anum = mat.aa2num[adb.get_seq(aid)]
         La = len(anum)
         bias = np.zeros(La, dtype=np.float64)
-        if comp_bias:
+        if comp_bias and not a_is_prof:
+            # bias only computed for amino-acid A dbs (expandaln.cpp:211)
             bias = calc_local_aa_bias(mat.sub, mat.pback, anum)
         bias_short = np.where(bias < 0.0, bias - 0.5, bias + 0.5).astype(np.int64)
         intervals = {}
@@ -817,7 +838,16 @@ def _expandaln(positional, space, return_aln=True):
                     # overlap is silently dropped (expandaln.cpp:262-268)
                     continue
                 cid = cdb.key_to_id(ckey)
-                cnum = mat.aa2num[cdb.get_seq(cid)]
+                cprof = None
+                if c_is_prof:
+                    # cSeq is built WITHOUT bias correction (expandaln.cpp:165)
+                    from ..ops.profile_query import ProfileQuery
+                    cq = ProfileQuery(cdb.get_data(cid).tobytes(),
+                                      comp_bias=False)
+                    cnum = cq.qnum
+                    cprof = cq.aln_profile.astype(np.int64)
+                else:
+                    cnum = mat.aa2num[cdb.get_seq(cid)]
                 # rescoreResultByBacktrace (expandaln.cpp:24-73)
                 score = 0
                 idents = 0
@@ -825,7 +855,12 @@ def _expandaln(positional, space, return_aln=True):
                 last = ""
                 for st in ac["backtrace"]:
                     if st == "M":
-                        score += int(sub[anum[qp]][cnum[tp]]) + int(bias_short[qp])
+                        if cprof is not None:
+                            score += int(cprof[anum[qp]][tp])
+                        elif aprof is not None:
+                            score += int(aprof[cnum[tp]][qp])
+                        else:
+                            score += int(sub[anum[qp]][cnum[tp]]) + int(bias_short[qp])
                         idents += int(anum[qp] == cnum[tp])
                         qp += 1
                         tp += 1

@@ -166,7 +166,12 @@ class SeqDB:
         return lut
 
     def total_residues(self):
-        """Sum of sequence lengths (DBReader::getAminoAcidDBSize)."""
+        """Sum of sequence lengths (DBReader::getAminoAcidDBSize,
+        DBReader.cpp:537-546); profile DBs count columns
+        (dataSize / PROFILE_READIN_SIZE - size)."""
+        if self.dbtype == HMM_PROFILE:
+            # PROFILE_READIN_SIZE = 23 (Sequence.h)
+            return int(self.lengths.sum()) // 23 - self.size
         return int(self.seq_lens().sum())
 
     # -- persistence --------------------------------------------------------

@@ -62,7 +62,8 @@ def lib():
         _LIB.banded_backtrace.argtypes = [
             u8p, ctypes.c_int32, u8p, ctypes.c_int32, i8p, i8p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
+            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
         _LIB.banded_backtrace.restype = ctypes.c_int64
         f64p = ctypes.POINTER(ctypes.c_double)
         _LIB.tantan_mask.argtypes = [
@@ -108,4 +109,6 @@ def lib():
                                        ctypes.c_int64, u8p]
         _LIB.ps_discretize_cs219.argtypes = [f32p, ctypes.c_int64, f32p,
                                              f32p, f32p, ctypes.c_int64, u8p]
+        _LIB.pq_map_profile.argtypes = [f32p, f64p, ctypes.c_int64,
+                                        ctypes.c_int32, i16p, u32p, i8p]
         return _LIB

@@ -15,6 +15,8 @@
 #include <cstring>
 #include <vector>
 
+// profile_mode: score = mat[tseq[j] * q_total + q_start + i] (query-profile
+// PSSM, banded_sw<PROFILE>, StripedSmithWaterman.cpp:252-256,866)
 extern "C" int64_t banded_backtrace(
         const uint8_t *tseq, int32_t tlen,
         const uint8_t *qseq, int32_t qlen,
@@ -22,7 +24,8 @@ extern "C" int64_t banded_backtrace(
         const int8_t *mat, int32_t alph,
         int32_t gap_open, int32_t gap_extend,
         int32_t band_width, int32_t score,
-        uint8_t *out_ops, int64_t out_cap) {
+        uint8_t *out_ops, int64_t out_cap,
+        int32_t profile_mode, int32_t q_start, int32_t q_total) {
     if (qlen <= 0 || tlen <= 0) return -1;
     std::vector<int32_t> h_prev, e_prev, h_curr;
     std::vector<int8_t> dir;
@@ -73,9 +76,12 @@ extern "C" int64_t banded_backtrace(
                 int32_t e1 = e > 0 ? e : 0;
                 int32_t f1 = f > 0 ? f : 0;
                 int32_t best_gap = e1 > f1 ? e1 : f1;
-                int32_t diag = h_prev[du]
-                    + (int32_t)mat[(int32_t)qseq[i] * alph + tseq[j]]
-                    + (int32_t)comp_bias[i];
+                int32_t sc = profile_mode
+                    ? (int32_t)mat[(int32_t)tseq[j] * q_total
+                                   + (q_start + i)]
+                    : (int32_t)mat[(int32_t)qseq[i] * alph + tseq[j]]
+                      + (int32_t)comp_bias[i];
+                int32_t diag = h_prev[du] + sc;
                 h_curr[u] = best_gap > diag ? best_gap : diag;
                 if (h_curr[u] > max_seen) max_seen = h_curr[u];
                 if (best_gap <= diag) {

@@ -102,22 +102,58 @@ class KmerIndex:
     excluded, IndexTable.h:141-148)."""
 
     def __init__(self, tdb, kmer_size, kmer_thr, seed_mat, spaced=True,
-                 mask=0):
+                 mask=0, comp_bias=True):
+        from ..data import seqdb as _seqdb
         positions = spaced_positions(kmer_size, spaced)
         x_idx = seed_mat.alphabet_size - 1
         self_score = np.diag(seed_mat.sub).astype(np.int32)
+        is_profile = tdb.dbtype == _seqdb.HMM_PROFILE
         all_kmers = []
         all_sid = []
         all_pos = []
         masker = None
-        if mask:
+        if mask and not is_profile:
             from . import tantan
             masker = tantan.TantanMasker(seed_mat)
+        # internal target ids follow the DATA-file order: the reference
+        # opens the target with LINEAR_ACCCESS (Prefiltering.cpp:164) and
+        # IndexBuilder assigns ids sequentially, so score ties in the final
+        # hit sort break by data order, not key order
+        self.order = np.asarray(_seqdb.data_order(tdb), dtype=np.int64)
         # the SequenceLookup used for ungapped diagonal scoring holds the
         # *masked* sequences when masking is on (IndexBuilder.cpp:520-521,
         # maskedLookup), so keep what we indexed
         self.nums = []
-        for i in range(tdb.size):
+        for rank in range(tdb.size):
+            i = int(self.order[rank])
+            if is_profile:
+                # profile targets: every k-mer scoring >= kmerThr under the
+                # profile's own column scores goes into the index
+                # (IndexBuilder.cpp:105-133 addSimilarKmerCount /
+                # IndexTable.h:298-330 addSimilarSequence); the ungapped
+                # rescorer reads the CONSENSUS residues
+                # (IndexBuilder.cpp:132 numConsensusSequence)
+                from .profile_query import (ProfileQuery,
+                                            enumerate_profile_kmers)
+                pq = ProfileQuery(tdb.get_data(i).tobytes(),
+                                  comp_bias=comp_bias)
+                self.nums.append(pq.consensus)
+                w_starts, w_off, packed, _ = enumerate_profile_kmers(
+                    pq, positions, kmer_thr)
+                starts = np.repeat(w_starts, np.diff(w_off)).astype(np.int64)
+                if not len(packed):
+                    continue
+                # one entry per distinct kmer at its lowest position
+                # (sorted by (kmer, position_j), IndexTable.h:52-63)
+                order = np.lexsort((starts, packed))
+                packed, starts = packed[order], starts[order]
+                first = np.ones(len(packed), dtype=bool)
+                first[1:] = packed[1:] != packed[:-1]
+                all_kmers.append(packed[first])
+                all_sid.append(np.full(int(first.sum()), rank,
+                                       dtype=np.int32))
+                all_pos.append(starts[first].astype(np.int32))
+                continue
             num = seed_mat.aa2num[np.asarray(tdb.get_seq(i))]
             if masker is not None:
                 num = masker.mask(num)
@@ -135,7 +171,7 @@ class KmerIndex:
             first = np.ones(len(packed), dtype=bool)
             first[1:] = packed[1:] != packed[:-1]
             all_kmers.append(packed[first])
-            all_sid.append(np.full(int(first.sum()), i, dtype=np.int32))
+            all_sid.append(np.full(int(first.sum()), rank, dtype=np.int32))
             all_pos.append(starts[first].astype(np.int32))
         if all_kmers:
             kmers = np.concatenate(all_kmers)
@@ -577,17 +613,28 @@ def prefilter(qdb, tdb, params=None, same_db=None):
     p = params or PrefilterParams()
     seed = p.seed_mat or constants.vtml80_8()
     ungapped = p.ungapped_mat or constants.blosum62_pref()
+    is_profile_query = qdb.dbtype == seqdb.HMM_PROFILE
+    is_profile_target = tdb.dbtype == seqdb.HMM_PROFILE
+    if is_profile_query and is_profile_target:
+        raise ValueError("Query-profiles cannot be searched against a "
+                         "target-profile database!")
     k = p.kmer_size or auto_kmer_size(tdb.total_residues())
-    kmer_thr = kmer_threshold(p.sensitivity, k, p.kmer_score)
+    kmer_thr = kmer_threshold(p.sensitivity, k, p.kmer_score,
+                              profile=is_profile_query or is_profile_target)
     max_seqs = min(int(p.max_seqs), tdb.size)
     if same_db is None:
         same_db = qdb is tdb
+    # profile targets: consensus never masked (Prefiltering.cpp:173-175),
+    # query k-mers matched exactly (takeOnlyBestKmer, Prefiltering.cpp:177)
+    exact_matching = p.exact_kmer_matching or is_profile_target
     logger.info("prefilter: k=%d kmerThr=%d maxSeqs=%d", k, kmer_thr,
                 max_seqs)
 
     index = getattr(p, "prebuilt_index", None)
     if index is None:
-        index = KmerIndex(tdb, k, kmer_thr, seed, p.spaced_kmer, p.mask)
+        index = KmerIndex(tdb, k, kmer_thr, seed, p.spaced_kmer,
+                          0 if is_profile_target else p.mask,
+                          comp_bias=p.comp_bias_corr)
     positions = index.positions
     x_idx = seed.alphabet_size - 1
     sub20 = seed.sub[:20, :20].astype(np.int32)
@@ -597,26 +644,67 @@ def prefilter(qdb, tdb, params=None, same_db=None):
     # target numeric cache for diagonal scoring
     # diagonal scoring reads the index's (possibly masked) sequences; the
     # seed and ungapped matrices share one letter order, so the numeric
-    # encodings are interchangeable
+    # encodings are interchangeable. Internal target ids (= index ranks)
+    # follow the target DATA order, like the reference's LINEAR_ACCCESS
+    # reader, so score ties sort by data order.
     tnums = index.nums
-    tkeys = tdb.keys
+    tkeys = np.asarray(tdb.keys)[index.order]
     tkey_to_id = {int(kk): i for i, kk in enumerate(tkeys)}
+    tkey_to_dbid = {int(kk): int(index.order[i])
+                    for i, kk in enumerate(tkeys)}
 
     out = {}
     for qi in range(qdb.size):
         qkey = int(qdb.keys[qi])
-        qnum_seed = seed.aa2num[np.asarray(qdb.get_seq(qi))]
-        qnum_ung = ungapped.aa2num[np.asarray(qdb.get_seq(qi))]
-        L = len(qnum_seed)
-        # composition bias under the seed matrix (QueryMatcher.cpp:90-98)
-        if p.comp_bias_corr:
-            comp = calc_local_aa_bias(seed_sub8, seed.pback, qnum_seed)
-        else:
+        pq = None
+        if is_profile_query:
+            from .profile_query import ProfileQuery, enumerate_profile_kmers
+            pq = ProfileQuery(qdb.get_data(qi).tobytes(),
+                              comp_bias=p.comp_bias_corr)
+            qnum_seed = pq.qnum
+            qnum_ung = pq.qnum
+            L = pq.L
             comp = np.zeros(L, dtype=np.float32)
+        else:
+            qnum_seed = seed.aa2num[np.asarray(qdb.get_seq(qi))]
+            qnum_ung = ungapped.aa2num[np.asarray(qdb.get_seq(qi))]
+            L = len(qnum_seed)
+            # composition bias under the seed matrix (QueryMatcher.cpp:90-98)
+            if p.comp_bias_corr:
+                comp = calc_local_aa_bias(seed_sub8, seed.pback, qnum_seed)
+            else:
+                comp = np.zeros(L, dtype=np.float32)
 
-        starts, packed = extract_kmers(qnum_seed, positions, x_idx)
         hits_t = hits_d = hits_c = None
-        if len(starts):
+        if is_profile_query:
+            # per-window candidate lists from the sorted profile columns
+            # (QueryMatcher with kmerGenerator->setDivideStrategy(profile),
+            # QueryMatcher.h:67-69)
+            w_starts, w_off, cand_kmer, _ = enumerate_profile_kmers(
+                pq, positions, kmer_thr)
+            cand_inst = np.repeat(np.arange(len(w_starts)), np.diff(w_off))
+            starts = w_starts
+            if len(cand_kmer):
+                lo = np.searchsorted(index.uniq, cand_kmer)
+                lo = np.minimum(lo, len(index.uniq) - 1) \
+                    if len(index.uniq) else lo
+                if len(index.uniq):
+                    found = index.uniq[lo] == cand_kmer
+                    lo, cand_inst = lo[found], cand_inst[found]
+                    ecnt = index.counts[lo]
+                    if int(ecnt.sum()):
+                        span = int(positions[-1]) + 1
+                        if p.diag_score:
+                            hits_t, hits_d = match_candidates(
+                                index, lo, ecnt, starts[cand_inst],
+                                L - span, tdb.size)
+                        else:
+                            hits_t, hits_d, hits_c = match_candidates(
+                                index, lo, ecnt, starts[cand_inst],
+                                L - span, tdb.size, count_mode=True)
+        else:
+            starts, packed = extract_kmers(qnum_seed, positions, x_idx)
+        if not is_profile_query and len(starts):
             # per-instance threshold: kmerThr - round(bias sum), with the
             # reference's float32 sequential accumulation over the spaced
             # positions (QueryMatcher.cpp:214-229: `float += float`)
@@ -630,7 +718,7 @@ def prefilter(qdb, tdb, params=None, same_db=None):
             inst_thr = np.maximum(kmer_thr - bias_r.astype(np.int32), 0)
 
             window = qnum_seed[starts[:, None] + positions[None, :]]
-            if p.exact_kmer_matching:
+            if exact_matching:
                 cand_kmer, cand_inst = _pack(window), np.arange(len(starts))
             else:
                 ukm, inv = np.unique(window, axis=0, return_inverse=True)
@@ -702,11 +790,20 @@ def prefilter(qdb, tdb, params=None, same_db=None):
         if hits_t is not None and len(hits_t):
             # diagonal scoring with the 2-bit-factor matrix + comp/4 bias
             # (UngappedAlignment::createProfile, UngappedAlignment.cpp:322-331)
-            comp4 = np.where(comp < 0.0, comp / 4 - 0.5,
-                             comp / 4 + 0.5).astype(np.int8)
-            bias8 = abs(int(sub2.min())) + abs(min(int(comp4.min()), 0))
-            cap = 255 - bias8
-            qprofile = sub2[qnum_ung] + comp4[:, None].astype(np.int32)
+            if is_profile_query:
+                # profile path: per-position alignment PSSM, zero bias
+                # correction, X column contributes 0
+                # (UngappedAlignment.cpp:295-345)
+                bias8 = abs(min(int(pq.aln_profile.min()), 0))
+                cap = 255 - bias8
+                qprofile = np.zeros((L, sub2.shape[0]), dtype=np.int32)
+                qprofile[:, :20] = pq.aln_profile.T.astype(np.int32)
+            else:
+                comp4 = np.where(comp < 0.0, comp / 4 - 0.5,
+                                 comp / 4 + 0.5).astype(np.int8)
+                bias8 = abs(int(sub2.min())) + abs(min(int(comp4.min()), 0))
+                cap = 255 - bias8
+                qprofile = sub2[qnum_ung] + comp4[:, None].astype(np.int32)
             sdiag = np.where(hits_d.astype(np.int32) < 32768,
                              hits_d.astype(np.int32),
                              hits_d.astype(np.int32) - 65536)
@@ -738,13 +835,28 @@ def prefilter(qdb, tdb, params=None, same_db=None):
             keep = st >= thr
             if identity_tid is not None:
                 keep &= ht != identity_tid
-            ht, ex, dg = ht[keep], ex[keep], dg[keep]
+            ht, st, ex, dg = ht[keep], st[keep], ex[keep], dg[keep]
             sdg = np.where(dg.astype(np.int32) < 32768, dg.astype(np.int32),
                            dg.astype(np.int32) - 65536)
-            order = np.lexsort((ht, -np.abs(ex)))
+            if thr >= cap and len(ht):
+                # saturated-threshold rescale path (QueryMatcher.cpp:
+                # 152-166 rescoreHits + getResult rescaleScore): scores are
+                # re-expressed relative to the query self-score
+                self_exact = int(diagonal_scores_exact(
+                    qprofile, qnum_ung, np.array([0]))[0])
+                max_self = max(1, min(self_exact - cap, 65535))
+                new_score = np.minimum(ex - cap, 65535).astype(np.float32)
+                count8 = ((new_score / np.float32(max_self))
+                          * np.float32(255) + np.float32(0.5)).astype(
+                              np.int64).astype(np.uint8)
+                pref = cap + (count8.astype(np.int64) * max_self) // 255
+            else:
+                pref = ex
+            order = np.lexsort((ht, -np.abs(pref)))
             budget = max_seqs - (1 if identity_tid is not None else 0)
             for j in order[:budget]:
-                results.append((int(tkeys[ht[j]]), int(ex[j]), int(sdg[j])))
+                results.append((int(tkeys[ht[j]]), int(pref[j]),
+                                int(sdg[j])))
         if identity_tid is not None:
             # identity raw score: USHRT_MAX in diagonal mode, UCHAR_MAX in
             # k-mer-count mode (QueryMatcher.cpp:343-353)
@@ -756,7 +868,7 @@ def prefilter(qdb, tdb, params=None, same_db=None):
                 r for r in results
                 if _can_be_covered_pref(
                     p.cov_thr, p.cov_mode, float(L),
-                    float(tdb.seq_len(tkey_to_id[r[0]])))]
+                    float(tdb.seq_len(tkey_to_dbid[r[0]])))]
         out[qkey] = results
     return out
 
@@ -900,6 +1012,7 @@ def save_prefilter_index(index, base_out, kmer_thr, mask, spaced,
         np.zeros(0, dtype=np.uint8)
     np.savez(out + ".npz",
              kmers=index.kmers, sid=index.sid, pos=index.pos,
+             order=index.order,
              nums=flat.astype(np.uint8), num_off=num_off,
              meta=np.array([index.kmer_size, kmer_thr, int(mask),
                             int(spaced), seq_type, max_seq_len,
@@ -928,6 +1041,8 @@ def load_prefilter_index(base, kmer_size, kmer_thr, mask, spaced):
     off = d["num_off"]
     flat = d["nums"]
     idx.nums = [flat[off[i]:off[i + 1]] for i in range(len(off) - 1)]
+    idx.order = (d["order"] if "order" in d.files
+                 else np.arange(len(off) - 1, dtype=np.int64))
     idx.uniq, idx.starts = np.unique(idx.kmers, return_index=True)
     idx.counts = np.diff(np.append(idx.starts, len(idx.kmers)))
     idx.kmer_size = kmer_size

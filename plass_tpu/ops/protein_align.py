@@ -66,7 +66,45 @@ class ProteinAligner:
         self.bias_corr = aa_bias_correction
         self.nat = __import__("plass_tpu.native", fromlist=["lib"]).lib()
 
+    def init_query_profile(self, aln_profile, qnum):
+        """ssw_init with a query profile (StripedSmithWaterman.cpp:698-760):
+        per-position PSSM (aa-major, L-stride), X row zeroed, no
+        composition bias."""
+        self.is_profile = True
+        self.qnum = np.asarray(qnum, dtype=np.uint8)
+        L = aln_profile.shape[1]
+        self.L = L
+        # mat rows: 20 PSSM rows + zeroed X row (ssw_init memset,
+        # StripedSmithWaterman.cpp:711-714)
+        mat = np.zeros((self.alpha, L), dtype=np.int8)
+        mat[:20] = aln_profile
+        self.profile_mat = mat
+        self.comp = np.zeros(L, dtype=np.int8)
+        self.bias = abs(min(int(aln_profile.min(initial=0)), 0))
+        self.profile_byte = self._profile_from_mat(mat, self.bias,
+                                                   BYTE_LANES, np.uint8)
+        self.profile_word = self._profile_from_mat(mat, 0, WORD_LANES,
+                                                   np.int16)
+        # profile_word_linear[i][j] = mat[i*L + j]
+        # (StripedSmithWaterman.cpp:748-752)
+        self.linear = mat.astype(np.int32)
+
+    def _profile_from_mat(self, mat, bias, lanes, dtype, q_slice=None):
+        """createQueryProfile<.., PROFILE> over per-position columns."""
+        cols = mat if q_slice is None else mat[:, q_slice]
+        L = cols.shape[1]
+        seg = (L + lanes - 1) // lanes
+        prof = np.full((self.alpha, seg * lanes), bias, dtype=np.int32)
+        pos = np.arange(seg * lanes)
+        pp = pos // lanes + (pos % lanes) * seg
+        valid = pp < L
+        pv = pp[valid]
+        for nt in range(self.alpha):
+            prof[nt, valid] = cols[nt, pv].astype(np.int32) + bias
+        return np.ascontiguousarray(prof.astype(dtype))
+
     def init_query(self, qnum):
+        self.is_profile = False
         self.qnum = np.asarray(qnum, dtype=np.uint8)
         L = len(qnum)
         self.L = L
@@ -132,6 +170,9 @@ class ProteinAligner:
     def _rev_profile(self, q_len_rev, bias, lanes, dtype):
         """Reverse profile over q[qEnd - p] for p in [0, qEnd]
         (createQueryProfile on query_rev_sequence with offset)."""
+        if self.is_profile:
+            rev = self.profile_mat[:, q_len_rev - 1::-1]
+            return self._profile_from_mat(rev, bias, lanes, dtype)
         qr = self.qnum[q_len_rev - 1::-1]  # q[qEnd], ..., q[0]
         cr = self.comp[q_len_rev - 1::-1]
         seg = (q_len_rev + lanes - 1) // lanes
@@ -205,7 +246,8 @@ class ProteinAligner:
         tseq = np.ascontiguousarray(dbnum[r["dbStart"]:r["dbEnd"] + 1])
         qseq = np.ascontiguousarray(self.qnum[r["qStart"]:r["qEnd"] + 1])
         comp = np.ascontiguousarray(self.comp[r["qStart"]:r["qEnd"] + 1])
-        mat = np.ascontiguousarray(self.sub8)
+        mat = np.ascontiguousarray(self.profile_mat) if self.is_profile \
+            else np.ascontiguousarray(self.sub8)
         cap = (q_len + t_len + 2)
         out = np.zeros(cap, dtype=np.uint8)
         n = self.nat.banded_backtrace(
@@ -214,7 +256,10 @@ class ProteinAligner:
             comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), self.alpha,
             gap_open, gap_extend, band, r["score1"],
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            1 if self.is_profile else 0,
+            r["qStart"] if self.is_profile else 0,
+            self.L if self.is_profile else 0)
         if n < 0:
             return None
         return out[:n].tobytes().decode()
@@ -274,7 +319,8 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                   comp_bias_corr=True, max_accept=2**31 - 1,
                   max_reject=2**31 - 1, evaluer=None, tdb=None,
                   alignment_mode=2, add_backtrace=False,
-                  include_identity=False, seq_id_mode=0):
+                  include_identity=False, seq_id_mode=0, realign=False,
+                  realign_max_seqs=2**31 - 1):
     """`align` for amino-acid DBs (Alignment.cpp:250-470 semantics).
 
     db: query DB; tdb: target DB (None = same DB, enables identity
@@ -292,17 +338,43 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                                             tdb.total_residues())
     if add_backtrace:
         alignment_mode = 3
+    realigner = None
+    realign_sw_mode = 0
+    realign_cov = cov_thr
+    if realign:
+        # Alignment ctor (Alignment.cpp:47-56,165-171): first pass runs in
+        # SCORE_ONLY with covThr 0; the realign pass uses the -0.2-biased
+        # matrix and initSWMode(max(mode, SCORE_COV), 0, 0); the forced
+        # backtrace (Alignment.cpp:52-55) comes AFTER that, so without -a
+        # the realigned results carry empty "0M" backtraces and
+        # score-per-column seqIds
+        realign_sw_mode = init_sw_mode(max(alignment_mode, 2), 0.0, 0.0)
+        alignment_mode = 1  # ALIGNMENT_MODE_SCORE_ONLY
+        realign_cov = cov_thr
+        cov_thr = 0.0
+        if add_backtrace is False:
+            add_backtrace = True
+        realigner = ProteinAligner(constants.blosum62_pref(),
+                                   comp_bias_corr)
     sw_mode = init_sw_mode(alignment_mode, cov_thr, seq_id_thr)
     aligner = ProteinAligner(mat, comp_bias_corr)
     out = {}
+    is_profile_query = db.dbtype == seqdb.HMM_PROFILE
     for qkey in sorted(hits):
         hlist = hits[qkey]
         if not hlist:
             out[qkey] = []
             continue
         qid = db.key_to_id(qkey)
-        qnum = mat.aa2num[np.asarray(db.get_seq(qid))]
-        aligner.init_query(qnum)
+        if is_profile_query:
+            from .profile_query import ProfileQuery
+            pq = ProfileQuery(db.get_data(qid).tobytes(),
+                              comp_bias=comp_bias_corr)
+            qnum = pq.qnum
+            aligner.init_query_profile(pq.aln_profile, pq.qnum)
+        else:
+            qnum = mat.aa2num[np.asarray(db.get_seq(qid))]
+            aligner.init_query(qnum)
         L = len(qnum)
         mask_len = L // 2
         results = []
@@ -321,6 +393,11 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                         seq_id_mode, gap_open, gap_extend, eval_thr,
                         cov_mode, cov_thr, mask_len,
                         add_backtrace=add_backtrace)
+            if is_identity:
+                # the MAIN pass overwrites identity cov/seqId with 1.0
+                # (Alignment.cpp:389-394); the realign pass below does not
+                r["qcov"] = r["tcov"] = 1.0
+                r["seqId"] = 1.0
             ok = is_identity or (
                 (r["eval"] <= eval_thr) and (r["seqId"] >= seq_id_thr)
                 and _has_cov(cov_thr, cov_mode, r["qcov"], r["tcov"])
@@ -331,6 +408,36 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                 rejected = 0
             else:
                 rejected += 1
+        if realigner is not None:
+            # recompute boundaries with the biased matrix, keep score/eval
+            # (Alignment.cpp:415-449)
+            if is_profile_query:
+                realigner.init_query_profile(pq.aln_profile, pq.qnum)
+            else:
+                realigner.init_query(qnum)
+            re_results = []
+            for r in results:
+                if len(re_results) >= realign_max_seqs:
+                    break
+                tid = tdb.key_to_id(r["dbKey"])
+                tnum = mat.aa2num[np.asarray(tdb.get_seq(tid))]
+                is_identity = (qkey == r["dbKey"]) and (include_identity
+                                                        or same_db)
+                # getSWResult(..., covMode=(int)realignCov, covThr=0,
+                # eval FLT_MAX, realignSwMode) — the reference passes
+                # realignCov in the covMode slot (Alignment.cpp:429)
+                rr = sw_pair(realigner, evaluer, tnum, r["dbKey"],
+                             is_identity, realign_sw_mode, seq_id_mode,
+                             gap_open, gap_extend, 3.402823466e+38,
+                             int(realign_cov), 0.0, L // 2,
+                             add_backtrace=add_backtrace)
+                cov_ok = _has_cov(realign_cov, cov_mode, rr["qcov"],
+                                  rr["tcov"])
+                if cov_ok or is_identity:
+                    rr["score"] = r["score"]
+                    rr["eval"] = r["eval"]
+                    re_results.append(rr)
+            results = re_results
         results.sort(key=lambda r: (r["eval"], -r["score"], r["dbLen"],
                                     r["dbKey"]))
         out[qkey] = results
@@ -393,6 +500,10 @@ def lca_align_protein(db, hits, tdb=None, alignment_mode=0, cov_thr=0.0,
             r = sw_pair(aligner, evaluer, tnum, tkey, is_identity, sw_mode,
                         seq_id_mode, gap_open, gap_extend, eval_thr,
                         cov_mode, 0.0, mask_len)
+            if is_identity:
+                # main-pass identity overwrite (Alignment.cpp:389-394)
+                r["qcov"] = r["tcov"] = 1.0
+                r["seqId"] = 1.0
             ok = is_identity or (
                 (r["eval"] <= eval_thr) and (r["seqId"] >= seq_id_thr)
                 and r["alnLength"] >= aln_len_thr)
@@ -497,8 +608,10 @@ def sw_pair(aligner, evaluer, tnum, tkey, is_identity, sw_mode, seq_id_mode,
     else:  # SCORE_ONLY: end positions, not spans (Matcher.cpp:166-171)
         seq_id = estimate_seq_id_by_score_per_col(
             a["score1"], max(qe & 0xFFFFFFFF, 1), max(te & 0xFFFFFFFF, 1))
-    if is_identity:
-        qcov = tcov = seq_id = 1.0
+    # identity coverage comes from scoreIdentical's qCov=tCov=1.0 through
+    # the mode gate above (SCORE_ONLY still zeroes it, Matcher.cpp:143-146);
+    # the main alignment pass separately forces cov/seqId to 1.0
+    # (Alignment.cpp:389-394) — that is the caller's job, not ours
     bit = int(evaluer.bit_score(a["score1"]) + 0.5)
     r = {
         "dbKey": int(tkey), "score": bit, "qcov": qcov,

@@ -159,7 +159,8 @@ def test_banded_backtrace_matches_score():
         comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         mat.alphabet_size, 11, 1, abs(len(t) - len(q)) + 1, score,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out))
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out),
+        0, 0, 0)
     assert n > 0
     ops = out[:n].tobytes().decode()
     qp = sum(1 for c in ops if c in "MI")
