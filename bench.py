@@ -83,7 +83,8 @@ def run_device_iteration(db):
         asm, _ = assemble(db, alns, seq_id_thr=0.9, keep_target=True, evaluer=ev)
         return asm
 
-    one(67)  # warm up / compile
+    one(66)  # warm up / compile (two shifts: hit-count-dependent pad
+    one(67)  # buckets and overlap-width buckets both need populating)
     t0 = time.time()
     for i in range(ITERS):
         one(68 + i)

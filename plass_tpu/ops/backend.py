@@ -84,10 +84,14 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
         jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(keys),
         hash_shift, params, hit_capacity)
     n = int(n_hits)
-    rep = np.asarray(rep[:n])
-    tgt = np.asarray(tgt[:n])
-    score = np.asarray(score[:n])
-    diag = np.asarray(diag[:n])
+    # fetch at a BUCKETED static slice size: a device slice of the exact n
+    # has a fresh shape every iteration, forcing a recompile of the
+    # fetch-program each time (~0.8s/iter on the axon backend)
+    m = min(_bucket(n, 4096), int(rep.shape[0]))
+    rep = np.asarray(rep[:m])[:n]
+    tgt = np.asarray(tgt[:m])[:n]
+    score = np.asarray(score[:m])[:n]
+    diag = np.asarray(diag[:m])[:n]
     if return_arrays:
         return _insert_self_hits(db, rep, tgt, score, diag)
     hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
@@ -260,20 +264,58 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
     trow = lut[tk].astype(np.int32)
     qrev = is_nucl & (pref < 0)
 
-    h = _round_up(m)
-    pad = h - m
-    score, first, last, ov, dist, idents = rescore_pairs(
-        jnp.asarray(codes), jnp.asarray(chars), jnp.asarray(lengths),
-        jnp.asarray(np.pad(qrow, (0, pad))), jnp.asarray(np.pad(trow, (0, pad))),
-        jnp.asarray(np.pad(dg, (0, pad))), jnp.asarray(np.pad(qrev, (0, pad))),
-        jnp.asarray(sub_flat), jnp.asarray(comp), jnp.asarray(code2char),
-        alpha, mode=params.rescore_mode)
-    score = np.asarray(score[:m]).astype(np.int64)
-    first = np.asarray(first[:m])
-    last = np.asarray(last[:m])
-    ov = np.asarray(ov[:m])
-    dist = np.asarray(dist[:m]).astype(np.int64)
-    idents = np.asarray(idents[:m]).astype(np.float64)
+    # bucket pairs by their overlap width so short-read hits don't pay the
+    # longest-contig row width in the device scan (the overlap only depends
+    # on lengths + diagonal, so it's host-computable up front)
+    lmax = codes.shape[1]
+    qlen_h = lengths[qrow].astype(np.int64)
+    tlen_h = lengths[trow].astype(np.int64)
+    dist_h = np.abs(dg).astype(np.int64)
+    ov_h = np.where(dg >= 0, np.minimum(tlen_h, qlen_h - dist_h),
+                    np.minimum(tlen_h - dist_h, qlen_h))
+    ov_h = np.maximum(ov_h, 0)
+    jc = jnp.asarray(codes)
+    jch = jnp.asarray(chars)
+    jl = jnp.asarray(lengths)
+    jsub = jnp.asarray(sub_flat)
+    jcomp = jnp.asarray(comp)
+    jc2c = jnp.asarray(code2char)
+    score = np.zeros(m, dtype=np.int64)
+    first = np.zeros(m, dtype=np.int32)
+    last = np.zeros(m, dtype=np.int32)
+    ov = np.zeros(m, dtype=np.int32)
+    dist = np.zeros(m, dtype=np.int64)
+    idents = np.zeros(m, dtype=np.float64)
+    done = np.zeros(m, dtype=bool)
+    w = 128
+    widths = []
+    while w < lmax:
+        widths.append(w)
+        w *= 4
+    widths.append(lmax)
+    for w in widths:
+        sel = ~done & (ov_h <= w)
+        done |= sel
+        idxs = np.nonzero(sel)[0]
+        if not len(idxs):
+            continue
+        mb = len(idxs)
+        pad = _round_up(mb) - mb
+        sc, fi, la, o, di, idn = rescore_pairs(
+            jc, jch, jl,
+            jnp.asarray(np.pad(qrow[idxs], (0, pad))),
+            jnp.asarray(np.pad(trow[idxs], (0, pad))),
+            jnp.asarray(np.pad(dg[idxs], (0, pad))),
+            jnp.asarray(np.pad(qrev[idxs], (0, pad))),
+            jsub, jcomp, jc2c, alpha, mode=params.rescore_mode, width=w)
+        # fetch at the padded size and trim on host (exact-size device
+        # slices would recompile the fetch program every call)
+        score[idxs] = np.asarray(sc)[:mb].astype(np.int64)
+        first[idxs] = np.asarray(fi)[:mb]
+        last[idxs] = np.asarray(la)[:mb]
+        ov[idxs] = np.asarray(o)[:mb]
+        dist[idxs] = np.asarray(di)[:mb].astype(np.int64)
+        idents[idxs] = np.asarray(idn)[:mb].astype(np.float64)
 
     qlen = lengths[qrow].astype(np.int64)
     tlen = lengths[trow].astype(np.int64)

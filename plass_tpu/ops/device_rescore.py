@@ -25,9 +25,9 @@ import numpy as np
 STAR = np.uint8(ord("*"))
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "alpha"))
+@functools.partial(jax.jit, static_argnames=("mode", "alpha", "width"))
 def rescore_pairs(codes, chars, lengths, qrow, trow, diag, qrev, sub_flat,
-                  comp_perm, code2char, alpha, mode=3):
+                  comp_perm, code2char, alpha, mode=3, width=None):
     """Score hits along their diagonals.
 
     codes:  uint8[N, L] substitution-alphabet codes ('*' scores as X)
@@ -38,8 +38,14 @@ def rescore_pairs(codes, chars, lengths, qrow, trow, diag, qrev, sub_flat,
 
     Returns (score, first, last, ov, dist, idents) int32[H] relative to the
     overlap window (DistanceCalculator::ungappedAlignmentByDiagonal).
+
+    width: static column extent of the overlap scan — every pair in this
+    call must have ov <= width (the host glue buckets pairs by overlap so
+    short-read hits don't pay the longest-contig row width).
     """
     n, lmax = codes.shape
+    if width is None:
+        width = lmax
     h = qrow.shape[0]
     qlen = lengths[qrow]
     tlen = lengths[trow]
@@ -52,7 +58,7 @@ def rescore_pairs(codes, chars, lengths, qrow, trow, diag, qrev, sub_flat,
     qoff = jnp.where(diag >= 0, dist, 0)
     toff = jnp.where(diag >= 0, 0, dist)
 
-    j = jnp.arange(lmax, dtype=jnp.int32)[None, :]
+    j = jnp.arange(width, dtype=jnp.int32)[None, :]
     qpos = qoff[:, None] + j
     qidx = jnp.where(qrev[:, None], qlen[:, None] - 1 - qpos, qpos)
     qidx = jnp.clip(qidx, 0, lmax - 1)

@@ -220,6 +220,25 @@ def test_convertkb_parity(tmp_path):
             db_bytes(str(tmp_path / "ours") + suf)
 
 
+@needs_ref
+def test_createindex_search_parity(tmp_path, dbs):
+    """search with a precomputed target index (createindex) must equal
+    both the index-free run and the reference."""
+    import shutil
+    qdb, tdb, aln, prof = dbs
+    run_ref("search", qdb, tdb, tmp_path / "ref", tmp_path / "rtmp",
+            "-s", "4.0", "--threads", "1")
+    # copy the target DB so the .idx lands in tmp_path
+    t2 = str(tmp_path / "t")
+    for suf in ("", ".index", ".dbtype", "_h", "_h.index", "_h.dbtype"):
+        shutil.copy(tdb + suf, t2 + suf)
+    run_ours("createindex", t2, tmp_path / "itmp", "-s", "4.0")
+    assert os.path.exists(t2 + ".idx.npz")
+    run_ours("search", qdb, t2, tmp_path / "ours", tmp_path / "otmp",
+             "-s", "4.0")
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "ours"))
+
+
 def test_databases_listing():
     """databases with no args prints the catalog."""
     r = subprocess.run([OURS, "databases"], capture_output=True)
