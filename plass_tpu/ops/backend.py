@@ -1,5 +1,14 @@
 """Host<->device glue: run the device k-mer matcher / rescorer on a SeqDB and
-return host-format results, so workflows can switch backends transparently."""
+return host-format results, so workflows can switch backends transparently.
+
+Transfer discipline: on a tunneled TPU backend every host<->device round
+trip costs ~50ms of latency, so the glue (a) caches the device-resident
+copies of the padded DB per SeqDB, (b) uploads per-call operands as ONE
+stacked array, and (c) fetches per-call results as ONE stacked array at a
+bucketed static size (exact-size slices would recompile the fetch)."""
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +65,21 @@ def db_to_padded(db, alphabet="kmer", bucket_rows=2048, bucket_cols=128):
     return out, lengths, keys
 
 
+def db_to_device(db, alphabet="kmer", bucket_rows=2048, bucket_cols=128):
+    """db_to_padded plus device residency: the jnp copies are cached on the
+    SeqDB so each iteration reuses them instead of re-uploading ~MBs."""
+    cache = getattr(db, "_device_cache", None)
+    if cache is None:
+        cache = db._device_cache = {}
+    ck = (alphabet, bucket_rows, bucket_cols)
+    if ck not in cache:
+        codes, lengths, keys = db_to_padded(db, alphabet, bucket_rows,
+                                            bucket_cols)
+        cache[ck] = (jnp.asarray(codes), jnp.asarray(lengths),
+                     jnp.asarray(keys))
+    return cache[ck]
+
+
 def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                     hash_shift=67, ignore_multi_kmer=False,
                     include_only_extendable=False, cov_thr=0.0,
@@ -65,8 +89,8 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
     if kmers_per_sequence_scale is None:
         kmers_per_sequence_scale = 0.2 if is_nucl else 0.0
-    codes, lengths, keys = db_to_padded(db, "kmer")
-    lmax = codes.shape[1]
+    jc, jl, jk = db_to_device(db, "kmer")
+    lmax = jc.shape[1]
     params = KmerParams(
         k=k,
         alphabet_size=(constants.nucleotide() if is_nucl else constants.reduced(13)).alphabet_size,
@@ -81,23 +105,31 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     if hit_capacity is None:
         hit_capacity = db.size * (params.ksel + 1) + db.size
     rep, tgt, score, diag, n_hits = kmermatch_device(
-        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(keys),
-        hash_shift, params, hit_capacity)
+        jc, jl, jk, hash_shift, params, hit_capacity)
     n = int(n_hits)
-    # fetch at a BUCKETED static slice size: a device slice of the exact n
-    # has a fresh shape every iteration, forcing a recompile of the
-    # fetch-program each time (~0.8s/iter on the axon backend)
+    # fetch ONCE at a BUCKETED static slice size: a device slice of the
+    # exact n has a fresh shape every iteration (fetch-program recompile),
+    # and four separate fetches pay four round trips
     m = min(_bucket(n, 4096), int(rep.shape[0]))
-    rep = np.asarray(rep[:m])[:n]
-    tgt = np.asarray(tgt[:m])[:n]
-    score = np.asarray(score[:m])[:n]
-    diag = np.asarray(diag[:m])[:n]
+    packed = np.asarray(_pack_kmer_hits(rep, tgt, score, diag, m))
+    rep = packed[0][:n].astype(np.uint32)
+    tgt = packed[1][:n].astype(np.uint32)
+    score = packed[2][:n].astype(np.int32)
+    diag = packed[3][:n].astype(np.int32)
     if return_arrays:
         return _insert_self_hits(db, rep, tgt, score, diag)
     hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
     for r, t, s, d in zip(rep.tolist(), tgt.tolist(), score.tolist(), diag.tolist()):
         hits[r].append((t, s, d))
     return hits
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _pack_kmer_hits(rep, tgt, score, diag, m):
+    """One fetchable [4, m] i64 view of the hit arrays."""
+    return jnp.stack([rep[:m].astype(jnp.int64), tgt[:m].astype(jnp.int64),
+                      score[:m].astype(jnp.int64),
+                      diag[:m].astype(jnp.int64)])
 
 
 def _insert_self_hits(db, rep, tgt, score, diag):
@@ -216,6 +248,31 @@ def _round_up(x, step=4096):
     return ((x + step - 1) // step) * step
 
 
+def _score_tables_device(db):
+    """Device-resident copies of the scoring tables, cached per SeqDB."""
+    cache = getattr(db, "_device_cache", None)
+    if cache is None:
+        cache = db._device_cache = {}
+    if "score_tables" not in cache:
+        sub_flat, comp, code2char, alpha = _score_tables(db)
+        cache["score_tables"] = (jnp.asarray(sub_flat), jnp.asarray(comp),
+                                 jnp.asarray(code2char), alpha)
+    return cache["score_tables"]
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "alpha", "width"))
+def _rescore_packed(codes, chars, lengths, ops, sub_flat, comp, code2char,
+                    alpha, mode, width):
+    """rescore_pairs with ONE stacked i32[4, H] input (qrow, trow, diag,
+    qrev) and ONE stacked i32[6, H] output — a single upload and a single
+    fetch per call instead of ten round trips."""
+    qrow, trow, dg, qrev = ops[0], ops[1], ops[2], ops[3].astype(bool)
+    outs = rescore_pairs(codes, chars, lengths, qrow, trow, dg, qrev,
+                         sub_flat, comp, code2char, alpha, mode=mode,
+                         width=width)
+    return jnp.stack([o.astype(jnp.int32) for o in outs])
+
+
 def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
                          return_flat=False):
     """Device-accelerated rescorediagonal; same output as rescore_diagonal.
@@ -234,8 +291,9 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
             db.total_residues())
 
     codes, lengths, keys = db_to_padded(db, "score")
-    chars, _, _ = db_to_padded(db, "char")
-    sub_flat, comp, code2char, alpha = _score_tables(db)
+    jc, jl, _ = db_to_device(db, "score")
+    jch, _, _ = db_to_device(db, "char")
+    jsub, jcomp, jc2c, alpha = _score_tables_device(db)
     lut = db.id_lookup_array()
 
     if isinstance(hits, tuple):
@@ -274,12 +332,6 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
     ov_h = np.where(dg >= 0, np.minimum(tlen_h, qlen_h - dist_h),
                     np.minimum(tlen_h - dist_h, qlen_h))
     ov_h = np.maximum(ov_h, 0)
-    jc = jnp.asarray(codes)
-    jch = jnp.asarray(chars)
-    jl = jnp.asarray(lengths)
-    jsub = jnp.asarray(sub_flat)
-    jcomp = jnp.asarray(comp)
-    jc2c = jnp.asarray(code2char)
     score = np.zeros(m, dtype=np.int64)
     first = np.zeros(m, dtype=np.int32)
     last = np.zeros(m, dtype=np.int32)
@@ -300,22 +352,23 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         if not len(idxs):
             continue
         mb = len(idxs)
-        pad = _round_up(mb) - mb
-        sc, fi, la, o, di, idn = rescore_pairs(
-            jc, jch, jl,
-            jnp.asarray(np.pad(qrow[idxs], (0, pad))),
-            jnp.asarray(np.pad(trow[idxs], (0, pad))),
-            jnp.asarray(np.pad(dg[idxs], (0, pad))),
-            jnp.asarray(np.pad(qrev[idxs], (0, pad))),
-            jsub, jcomp, jc2c, alpha, mode=params.rescore_mode, width=w)
-        # fetch at the padded size and trim on host (exact-size device
-        # slices would recompile the fetch program every call)
-        score[idxs] = np.asarray(sc)[:mb].astype(np.int64)
-        first[idxs] = np.asarray(fi)[:mb]
-        last[idxs] = np.asarray(la)[:mb]
-        ov[idxs] = np.asarray(o)[:mb]
-        dist[idxs] = np.asarray(di)[:mb].astype(np.int64)
-        idents[idxs] = np.asarray(idn)[:mb].astype(np.float64)
+        hb = _round_up(mb)
+        ops = np.zeros((4, hb), dtype=np.int32)
+        ops[0, :mb] = qrow[idxs]
+        ops[1, :mb] = trow[idxs]
+        ops[2, :mb] = dg[idxs]
+        ops[3, :mb] = qrev[idxs]
+        # one stacked upload + one stacked fetch at the padded size
+        # (exact-size device slices would recompile the fetch every call)
+        packed = np.asarray(_rescore_packed(
+            jc, jch, jl, jnp.asarray(ops), jsub, jcomp, jc2c, alpha,
+            params.rescore_mode, w))
+        score[idxs] = packed[0, :mb].astype(np.int64)
+        first[idxs] = packed[1, :mb]
+        last[idxs] = packed[2, :mb]
+        ov[idxs] = packed[3, :mb]
+        dist[idxs] = packed[4, :mb].astype(np.int64)
+        idents[idxs] = packed[5, :mb].astype(np.float64)
 
     qlen = lengths[qrow].astype(np.int64)
     tlen = lengths[trow].astype(np.int64)
