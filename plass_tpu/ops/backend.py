@@ -104,20 +104,30 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     )
     if hit_capacity is None:
         hit_capacity = db.size * (params.ksel + 1) + db.size
-    rep, tgt, score, diag, n_hits = kmermatch_device(
+    rep_d, tgt_d, score_d, diag_d, n_hits = kmermatch_device(
         jc, jl, jk, hash_shift, params, hit_capacity)
-    n = int(n_hits)
-    # fetch ONCE at a BUCKETED static slice size: a device slice of the
-    # exact n has a fresh shape every iteration (fetch-program recompile),
-    # and four separate fetches pay four round trips
-    m = min(_bucket(n, 4096), int(rep.shape[0]))
-    packed = np.asarray(_pack_kmer_hits(rep, tgt, score, diag, m))
-    rep = packed[0][:n].astype(np.uint32)
-    tgt = packed[1][:n].astype(np.uint32)
-    score = packed[2][:n].astype(np.int32)
-    diag = packed[3][:n].astype(np.int32)
+    # fetch ONCE at a BUCKETED static slice size, with the hit count folded
+    # into the same fetch: exact-size device slices recompile the fetch
+    # program each call, and every extra fetch is a full RPC round trip
+    guess = getattr(db, "_kmer_fetch_guess", 16384)
+    m = min(guess, int(rep_d.shape[0]))
+    packed = np.asarray(_pack_kmer_hits(rep_d, tgt_d, score_d, diag_d,
+                                        n_hits, m))
+    n = int(packed[-1])
+    if n > m:  # guess too small: refetch at the true size, raise the guess
+        m = min(_bucket(n, 4096), int(rep_d.shape[0]))
+        db._kmer_fetch_guess = min(m * 2, int(rep_d.shape[0]))
+        packed = np.asarray(_pack_kmer_hits(rep_d, tgt_d, score_d, diag_d,
+                                            n_hits, m))
+    body = packed[:-1].reshape(4, m)
+    rep = body[0][:n].astype(np.uint32)
+    tgt = body[1][:n].astype(np.uint32)
+    score = body[2][:n].astype(np.int32)
+    diag = body[3][:n].astype(np.int32)
     if return_arrays:
-        return _insert_self_hits(db, rep, tgt, score, diag)
+        return _insert_self_hits(db, rep, tgt, score, diag,
+                                 dev=(rep_d, tgt_d, score_d, diag_d),
+                                 dev_m=m)
     hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
     for r, t, s, d in zip(rep.tolist(), tgt.tolist(), score.tolist(), diag.tolist()):
         hits[r].append((t, s, d))
@@ -125,14 +135,28 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
-def _pack_kmer_hits(rep, tgt, score, diag, m):
-    """One fetchable [4, m] i64 view of the hit arrays."""
-    return jnp.stack([rep[:m].astype(jnp.int64), tgt[:m].astype(jnp.int64),
+def _pack_kmer_hits(rep, tgt, score, diag, n_hits, m):
+    """One fetchable flat i64[4*m + 1] view of the hit arrays + count."""
+    flat = jnp.stack([rep[:m].astype(jnp.int64), tgt[:m].astype(jnp.int64),
                       score[:m].astype(jnp.int64),
-                      diag[:m].astype(jnp.int64)])
+                      diag[:m].astype(jnp.int64)]).reshape(-1)
+    return jnp.concatenate([flat, n_hits.astype(jnp.int64).reshape(1)])
 
 
-def _insert_self_hits(db, rep, tgt, score, diag):
+class KmerHits(tuple):
+    """(qk, tk, score, diag) flat host arrays, self rows interleaved; also
+    carries the device-resident raw hit arrays and the self/hit slot
+    layout for device-side consumers. (A fully fused device rescore was
+    measured SLOWER than the bucketed upload+fetch path on the tunneled
+    backend — exec, not RTT, dominated — so the rescorer does not use
+    these today.)"""
+    dev = None        # (rep, tgt, score, diag) device arrays
+    dev_m = 0         # static fetched-slice length covering all n hits
+    group_starts = None
+    hit_slots = None
+
+
+def _insert_self_hits(db, rep, tgt, score, diag, dev=None, dev_m=0):
     """Flat (q, t, score, diag) arrays with a (k, k, 0, 0) self row at each
     query-group start — the array equivalent of the hits dict (device hit
     arrays arrive grouped by ascending representative)."""
@@ -156,7 +180,12 @@ def _insert_self_hits(db, rep, tgt, score, diag):
     tk[hit_slots] = tgt
     sc[hit_slots] = score
     dg[hit_slots] = diag
-    return qk, tk, sc, dg
+    out = KmerHits((qk, tk, sc, dg))
+    out.dev = dev
+    out.dev_m = dev_m
+    out.group_starts = group_starts
+    out.hit_slots = hit_slots
+    return out
 
 
 def kmermatcher_sharded(db, k, kmers_per_sequence=21,
@@ -369,6 +398,17 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         ov[idxs] = packed[3, :mb]
         dist[idxs] = packed[4, :mb].astype(np.int64)
         idents[idxs] = packed[5, :mb].astype(np.float64)
+    return _rescore_finish(db, params, evaluer, qk, tk, pref, dg, m,
+                           lengths, qrow, trow, qrev, score, first, last,
+                           ov, dist, idents, return_flat)
+
+
+def _rescore_finish(db, params, evaluer, qk, tk, pref, dg, m, lengths,
+                    qrow, trow, qrev, score, first, last, ov, dist, idents,
+                    return_flat):
+    """Host post-processing shared by the fused and bucketed device paths:
+    E-values, coordinates, coverage/seqId filters, record assembly."""
+    from .rescore import RESULT_DTYPE
 
     qlen = lengths[qrow].astype(np.int64)
     tlen = lengths[trow].astype(np.int64)
