@@ -253,15 +253,22 @@ def pairs_from_table(kmer, sid, pos, slen, valid, params: KmerParams):
 
     # sort by (kmer, len desc, id, pos); invalid entries sink to the end.
     # u64 keys are split into native u32 hi/lo pairs — TPU emulates 64-bit
-    # comparators, and the sort comparator cost dominates compile + run time
+    # comparators, and the sort comparator cost dominates compile + run
+    # time, so the trailing key and payloads (pos <= 2^29, fwd, valid) ride
+    # in ONE u32: 5 operands instead of 7
     m_hi = (masked >> jnp.uint64(32)).astype(jnp.uint32)
     m_lo = masked.astype(jnp.uint32)
     neg_len_u = ~slen.astype(jnp.uint32)  # len desc == ~len asc
-    fwd_bit = ((kmer >> jnp.uint64(63)) & jnp.uint64(1)).astype(jnp.uint8)
-    mh_s, ml_s, nl_s, sid_s, pos_s, fwd_s, valid_s = jax.lax.sort(
-        (m_hi, m_lo, neg_len_u, sid, pos, fwd_bit, valid),
+    fwd_bit = ((kmer >> jnp.uint64(63)) & jnp.uint64(1)).astype(jnp.uint32)
+    packed = ((pos.astype(jnp.uint32) << jnp.uint32(2))
+              | (fwd_bit << jnp.uint32(1)) | valid.astype(jnp.uint32))
+    mh_s, ml_s, nl_s, sid_s, pk_s = jax.lax.sort(
+        (m_hi, m_lo, neg_len_u, sid, packed),
         dimension=0, num_keys=5)
     slen_s = (~nl_s).astype(jnp.int32)
+    pos_s = (pk_s >> jnp.uint32(2)).astype(jnp.int32)
+    fwd_s = ((pk_s >> jnp.uint32(1)) & jnp.uint32(1)).astype(jnp.uint8)
+    valid_s = (pk_s & jnp.uint32(1)).astype(bool)
 
     new_group = jnp.concatenate(
         [jnp.array([True]),
@@ -404,23 +411,37 @@ def _stage_pairs(kmer, sid, pos, slen, valid, params):
 @functools.partial(jax.jit, static_argnames=("hit_capacity",))
 def _stage_hits(rep, tgt, diag, rev, valid, hit_capacity):
     hr, ht, hs, hd, hv = best_diagonal_hits(rep, tgt, diag, rev, valid)
-    # compact: stable sort by ~valid keeps (rep, tgt) order among the valid
-    order = jnp.where(hv, jnp.arange(hr.shape[0], dtype=jnp.int32),
-                      jnp.int32(2**31 - 1))
-    _, cr, ct, cs, cd, cv = jax.lax.sort(
-        (order, hr, ht, hs, hd, hv), dimension=0, num_keys=1)
+    # compact: stable sort by ~valid keeps (rep, tgt) order among the valid;
+    # the count is recoverable from the order key, so validity doesn't ride
+    # through the sort as a sixth operand
+    sentinel = jnp.int32(2**31 - 1)
+    order = jnp.where(hv, jnp.arange(hr.shape[0], dtype=jnp.int32), sentinel)
+    o_s, cr, ct, cs, cd = jax.lax.sort(
+        (order, hr, ht, hs, hd), dimension=0, num_keys=1)
     h = hit_capacity
-    return cr[:h], ct[:h], cs[:h], cd[:h], cv[:h].sum().astype(jnp.int32)
+    n_valid = jnp.minimum((o_s != sentinel).sum(), h).astype(jnp.int32)
+    return cr[:h], ct[:h], cs[:h], cd[:h], n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("params", "hit_capacity"))
+def _stage_all(seqs, lengths, keys, hash_shift, params, hit_capacity):
+    table = _stage_select(seqs, lengths, keys, hash_shift, params)
+    pairs = _stage_pairs(*table, params)
+    return _stage_hits(*pairs, hit_capacity)
 
 
 def kmermatch_device(seqs, lengths, keys, hash_shift, params: KmerParams,
-                     hit_capacity):
+                     hit_capacity, fused=True):
     """Full device k-mer matcher: padded numeric batch -> compacted hits.
 
     Returns (rep u32[H], tgt u32[H], score i32[H], diag i32[H], n_hits i32).
-    Staged as three separately-jitted calls so the persistent compilation
-    cache is hit per stage (the multi-operand sorts dominate compile time).
+    fused=True dispatches one program (fewer RPC round trips on a tunneled
+    backend); fused=False runs the three stages as separate jits so the
+    persistent compilation cache is hit per stage.
     """
+    if fused:
+        return _stage_all(seqs, lengths, keys, hash_shift, params,
+                          hit_capacity)
     table = _stage_select(seqs, lengths, keys, hash_shift, params)
     pairs = _stage_pairs(*table, params)
     return _stage_hits(*pairs, hit_capacity)
