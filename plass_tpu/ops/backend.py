@@ -15,7 +15,7 @@ import numpy as np
 from .. import constants
 from ..data import seqdb
 from . import device_kmer
-from .device_kmer import KmerParams, kmermatch_device, ksel_capacity
+from .device_kmer import KmerParams, ksel_capacity
 from .device_rescore import rescore_pairs
 
 
@@ -104,21 +104,19 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     )
     if hit_capacity is None:
         hit_capacity = db.size * (params.ksel + 1) + db.size
-    rep_d, tgt_d, score_d, diag_d, n_hits = kmermatch_device(
-        jc, jl, jk, hash_shift, params, hit_capacity)
-    # fetch ONCE at a BUCKETED static slice size, with the hit count folded
-    # into the same fetch: exact-size device slices recompile the fetch
-    # program each call, and every extra fetch is a full RPC round trip
+    # ONE dispatch + ONE fetch: the whole matcher runs as a single program
+    # whose output is already the bucketed packed slice + hit count
+    # (each jit call and each fetch is a blocking RPC on tunneled backends)
     guess = getattr(db, "_kmer_fetch_guess", 16384)
-    m = min(guess, int(rep_d.shape[0]))
-    packed = np.asarray(_pack_kmer_hits(rep_d, tgt_d, score_d, diag_d,
-                                        n_hits, m))
+    m = min(guess, hit_capacity)
+    packed = np.asarray(device_kmer.kmermatch_device_packed(
+        jc, jl, jk, hash_shift, params, hit_capacity, m))
     n = int(packed[-1])
-    if n > m:  # guess too small: refetch at the true size, raise the guess
-        m = min(_bucket(n, 4096), int(rep_d.shape[0]))
-        db._kmer_fetch_guess = min(m * 2, int(rep_d.shape[0]))
-        packed = np.asarray(_pack_kmer_hits(rep_d, tgt_d, score_d, diag_d,
-                                            n_hits, m))
+    if n > m:  # guess too small: rerun at the true size, raise the guess
+        m = min(_bucket(n, 4096), hit_capacity)
+        db._kmer_fetch_guess = min(m * 2, hit_capacity)
+        packed = np.asarray(device_kmer.kmermatch_device_packed(
+            jc, jl, jk, hash_shift, params, hit_capacity, m))
     body = packed[:-1].reshape(4, m)
     rep = body[0][:n].astype(np.uint32)
     tgt = body[1][:n].astype(np.uint32)
@@ -126,21 +124,11 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     diag = body[3][:n].astype(np.int32)
     if return_arrays:
         return _insert_self_hits(db, rep, tgt, score, diag,
-                                 dev=(rep_d, tgt_d, score_d, diag_d),
                                  dev_m=m)
     hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
     for r, t, s, d in zip(rep.tolist(), tgt.tolist(), score.tolist(), diag.tolist()):
         hits[r].append((t, s, d))
     return hits
-
-
-@functools.partial(jax.jit, static_argnames=("m",))
-def _pack_kmer_hits(rep, tgt, score, diag, n_hits, m):
-    """One fetchable flat i64[4*m + 1] view of the hit arrays + count."""
-    flat = jnp.stack([rep[:m].astype(jnp.int64), tgt[:m].astype(jnp.int64),
-                      score[:m].astype(jnp.int64),
-                      diag[:m].astype(jnp.int64)]).reshape(-1)
-    return jnp.concatenate([flat, n_hits.astype(jnp.int64).reshape(1)])
 
 
 class KmerHits(tuple):

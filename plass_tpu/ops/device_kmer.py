@@ -430,6 +430,23 @@ def _stage_all(seqs, lengths, keys, hash_shift, params, hit_capacity):
     return _stage_hits(*pairs, hit_capacity)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("params", "hit_capacity", "fetch_m"))
+def kmermatch_device_packed(seqs, lengths, keys, hash_shift, params,
+                            hit_capacity, fetch_m):
+    """Whole matcher as ONE dispatch returning ONE fetchable flat
+    i64[4*fetch_m + 1] array: (rep, tgt, score, diag) rows then the hit
+    count — a single RPC dispatch + a single RPC fetch per iteration on
+    tunneled backends, where each jit call blocks on a round trip."""
+    rep, tgt, score, diag, n_hits = _stage_all(
+        seqs, lengths, keys, hash_shift, params, hit_capacity)
+    m = min(fetch_m, rep.shape[0])
+    flat = jnp.stack([rep[:m].astype(jnp.int64), tgt[:m].astype(jnp.int64),
+                      score[:m].astype(jnp.int64),
+                      diag[:m].astype(jnp.int64)]).reshape(-1)
+    return jnp.concatenate([flat, n_hits.astype(jnp.int64).reshape(1)])
+
+
 def kmermatch_device(seqs, lengths, keys, hash_shift, params: KmerParams,
                      hit_capacity, fused=True):
     """Full device k-mer matcher: padded numeric batch -> compacted hits.
