@@ -133,7 +133,32 @@ def _databases(positional, space):
         files.append(dst)
     from .tools_linsearch import _invoke
     if input_type == _FASTA:
-        _invoke("createdb", [*files, out_db])
+        # tar archives (GTDB reps, Resfinder master.tar.gz) must be
+        # unpacked first — the reference's databases.sh untars before
+        # createdb (data/workflow/databases.sh); createdb can't parse tar
+        fasta_files = []
+        for f in files:
+            if f.endswith((".tar.gz", ".tgz", ".tar")):
+                import tarfile
+                exdir = os.path.join(tmp, "extracted")
+                os.makedirs(exdir, exist_ok=True)
+                with tarfile.open(f) as tf:
+                    for member in tf.getmembers():
+                        base = os.path.basename(member.name)
+                        if member.isfile() and any(
+                                base.endswith(s) for s in
+                                (".fa", ".fasta", ".faa", ".fna", ".fa.gz",
+                                 ".fasta.gz", ".faa.gz", ".fna.gz")):
+                            member.name = base
+                            tf.extract(member, exdir)
+                            fasta_files.append(os.path.join(exdir, base))
+                if not fasta_files:
+                    raise ValueError(
+                        f"databases: no FASTA files found inside {f}; "
+                        f"extract manually and run createdb")
+            else:
+                fasta_files.append(f)
+        _invoke("createdb", [*fasta_files, out_db])
     else:
         raise ValueError(
             f"databases: post-processing for {name} (MSA/profile input) "

@@ -115,8 +115,6 @@ def _createlinindex(positional, space):
     extra = ["--seed-sub-mat", "blosum62.out", "--kmer-per-seq",
              space.values.get("kmers_per_sequence", 21)
              if "kmers_per_sequence" in space.was_set else 21]
-    if False and "kmers_per_sequence" in space.was_set:
-        extra += ["--kmer-per-seq", space.values["kmers_per_sequence"]]
     if "kmer_size" in space.was_set:
         extra += ["-k", space.values["kmer_size"].aminoacids
                   if isinstance(space.values["kmer_size"], P.MultiParam)

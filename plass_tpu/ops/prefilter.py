@@ -1023,9 +1023,12 @@ def save_prefilter_index(index, base_out, kmer_thr, mask, spaced,
     return out
 
 
-def load_prefilter_index(base, kmer_size, kmer_thr, mask, spaced):
+def load_prefilter_index(base, kmer_size, kmer_thr, mask, spaced,
+                         seq_type=None, comp_bias=None):
     """Load a precomputed index if present and parameter-compatible
-    (indexdb.cpp findIncompatibleParameter:16-40); None otherwise."""
+    (indexdb.cpp findIncompatibleParameter:16-40); None otherwise. The
+    reference's gate also rejects on compBiasCorrection and seqType —
+    compare them too when the caller knows them (meta[4]/meta[6])."""
     path = index_file_name(base) + ".npz"
     if not os.path.exists(path):
         return None
@@ -1033,6 +1036,11 @@ def load_prefilter_index(base, kmer_size, kmer_thr, mask, spaced):
     meta = d["meta"]
     if (int(meta[0]) != kmer_size or int(meta[1]) != kmer_thr
             or int(meta[2]) != int(mask) or int(meta[3]) != int(spaced)):
+        return None
+    if seq_type is not None and int(meta[4]) != int(seq_type):
+        return None
+    if comp_bias is not None and len(meta) > 6 \
+            and int(meta[6]) != int(comp_bias):
         return None
     idx = KmerIndex.__new__(KmerIndex)
     idx.kmers = d["kmers"]

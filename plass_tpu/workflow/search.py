@@ -110,7 +110,8 @@ def run_search(qdb, tdb, out_path, tmp_base, params=None, tdb_path=None):
                 thr_eff = pf.kmer_threshold(pr.sensitivity, k_eff,
                                             pr.kmer_score)
                 pr.prebuilt_index = pf.load_prefilter_index(
-                    tdb_path, k_eff, thr_eff, pr.mask, pr.spaced_kmer)
+                    tdb_path, k_eff, thr_eff, pr.mask, pr.spaced_kmer,
+                    seq_type=tdb.dbtype, comp_bias=pr.comp_bias_corr)
                 if pr.prebuilt_index is not None:
                     logger.info("using precomputed index %s",
                                 pf.index_file_name(tdb_path))
