@@ -128,6 +128,9 @@ def common_flags():
         Flag("--remove-tmp-files", "remove_tmp_files", bool, False, "Delete temporary files"),
         Flag("--delete-tmp-inc", "delete_tmp_inc", int, 1, "Delete temporary files incrementally", r"[0-1]"),
         Flag("--force-reuse", "reuse_latest", bool, False, "Reuse tmp dir from previous run"),
+        Flag("--backend", "backend", str, "auto",
+             "Compute backend for heavy steps: auto, numpy, jax, sharded",
+             r"(auto|numpy|jax|sharded)"),
     ]
 
 

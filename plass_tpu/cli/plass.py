@@ -52,6 +52,7 @@ def _assemble(positional, space):
         rescore_mode=v["rescore_mode"],
         remove_tmp_files=v["remove_tmp_files"],
         delete_tmp_inc=bool(v["delete_tmp_inc"]),
+        backend=v.get("backend", "auto"),
     )
     run_assemble(inputs, out_file, tmp_dir, p)
     return 0

@@ -435,16 +435,17 @@ def _stage_all(seqs, lengths, keys, hash_shift, params, hit_capacity):
 def kmermatch_device_packed(seqs, lengths, keys, hash_shift, params,
                             hit_capacity, fetch_m):
     """Whole matcher as ONE dispatch returning ONE fetchable flat
-    i64[4*fetch_m + 1] array: (rep, tgt, score, diag) rows then the hit
+    i32[4*fetch_m + 1] array: (rep, tgt, score, diag) rows then the hit
     count — a single RPC dispatch + a single RPC fetch per iteration on
-    tunneled backends, where each jit call blocks on a round trip."""
+    tunneled backends, where each jit call blocks on a round trip.
+    All fields fit i32 (row keys < 2^31; score is a +-count; diag is
+    bounded by max_seq_len)."""
     rep, tgt, score, diag, n_hits = _stage_all(
         seqs, lengths, keys, hash_shift, params, hit_capacity)
     m = min(fetch_m, rep.shape[0])
-    flat = jnp.stack([rep[:m].astype(jnp.int64), tgt[:m].astype(jnp.int64),
-                      score[:m].astype(jnp.int64),
-                      diag[:m].astype(jnp.int64)]).reshape(-1)
-    return jnp.concatenate([flat, n_hits.astype(jnp.int64).reshape(1)])
+    flat = jnp.stack([rep[:m].astype(jnp.int32), tgt[:m].astype(jnp.int32),
+                      score[:m], diag[:m]]).reshape(-1)
+    return jnp.concatenate([flat, n_hits.reshape(1)])
 
 
 def kmermatch_device(seqs, lengths, keys, hash_shift, params: KmerParams,

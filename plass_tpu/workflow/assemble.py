@@ -55,7 +55,7 @@ class AssembleParams:
     rescore_mode: int = RESCORE_END_TO_END
     remove_tmp_files: bool = False
     delete_tmp_inc: bool = False
-    backend: str = "numpy"  # numpy | jax
+    backend: str = "auto"  # auto | numpy | jax | sharded
 
 
 def _iteration_hash_shift(base, iteration):
@@ -70,6 +70,8 @@ def run_assemble(input_files, out_fasta, tmp_base, params=None):
     """Full plass assemble. input_files: 1 file (single-end) or 2N files
     (paired). Writes out_fasta; returns its path."""
     p = params or AssembleParams()
+    from ..utils.device import resolve_backend
+    p.backend = resolve_backend(p.backend)
     if os.path.exists(out_fasta):
         raise FileExistsError(f"{out_fasta} exists already!")
     tmp = create_tmp_dir(tmp_base, fingerprint({"in": list(input_files),

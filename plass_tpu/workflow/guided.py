@@ -59,12 +59,13 @@ class GuidedNuclAssembleParams:
     zdrop: int = 200
     remove_tmp_files: bool = False
     delete_tmp_inc: bool = False
-    backend: str = "numpy"
+    backend: str = "auto"
 
     @classmethod
     def from_space(cls, space):
         v = space.values
         return cls(
+            backend=v.get("backend", "auto"),
             aa_num_iterations=v["num_iterations"].aminoacids,
             nucl_num_iterations=v["num_iterations"].nucleotides,
             aa_kmer_size=v["kmer_size"].aminoacids,
@@ -89,6 +90,8 @@ class GuidedNuclAssembleParams:
 
 def run_guided_nuclassemble(input_files, out_fasta, tmp_base, params=None):
     p = params or GuidedNuclAssembleParams()
+    from ..utils.device import resolve_backend
+    p.backend = resolve_backend(p.backend)
     if os.path.exists(out_fasta):
         raise FileExistsError(f"{out_fasta} exists already!")
     tmp = create_tmp_dir(tmp_base, fingerprint({"in": list(input_files),
@@ -148,16 +151,25 @@ def run_guided_nuclassemble(input_files, out_fasta, tmp_base, params=None):
             current_nucl = seqdb.SeqDB.open(wf.path(step))
             current_aa = seqdb.SeqDB.open(wf.path(f"assembly_aa_{it}"))
             continue
-        hits = kmermatcher(
-            current_aa, p.aa_kmer_size,
-            kmers_per_sequence=p.kmers_per_sequence,
-            kmers_per_sequence_scale=p.kmers_per_sequence_scale,
-            hash_shift=p.hash_shift, ignore_multi_kmer=True,
-            include_only_extendable=True)
+        kw = dict(kmers_per_sequence=p.kmers_per_sequence,
+                  kmers_per_sequence_scale=p.kmers_per_sequence_scale,
+                  hash_shift=p.hash_shift, ignore_multi_kmer=True,
+                  include_only_extendable=True)
         rp = RescoreParams(rescore_mode=RESCORE_END_TO_END,
                            seq_id_thr=p.aa_seq_id, cov_thr=0.0, cov_mode=1,
                            eval_thr=p.eval_thr, add_backtrace=True)
-        alns = rescore_diagonal(current_aa, hits, rp)
+        if p.backend in ("jax", "sharded"):
+            from ..ops.backend import (kmermatcher_jax, kmermatcher_sharded,
+                                       rescore_diagonal_jax)
+            if p.backend == "sharded":
+                hits = kmermatcher_sharded(current_aa, p.aa_kmer_size, **kw)
+            else:
+                hits = kmermatcher_jax(current_aa, p.aa_kmer_size,
+                                       return_arrays=True, **kw)
+            alns = rescore_diagonal_jax(current_aa, hits, rp)
+        else:
+            hits = kmermatcher(current_aa, p.aa_kmer_size, **kw)
+            alns = rescore_diagonal(current_aa, hits, rp)
         nucl_alns = protein_aln_to_nucl(current_nucl, current_aa, alns,
                                         p.gap_open, p.gap_extend)
         current_nucl, current_aa, _ = guided_assemble(

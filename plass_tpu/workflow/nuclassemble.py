@@ -49,12 +49,13 @@ class NuclAssembleParams:
     db_mode: bool = False
     remove_tmp_files: bool = False
     delete_tmp_inc: bool = False
-    backend: str = "numpy"
+    backend: str = "auto"
 
     @classmethod
     def from_space(cls, space):
         v = space.values
         return cls(
+            backend=v.get("backend", "auto"),
             kmer_size=v["kmer_size"].nucleotides,
             alphabet_size=v["alphabet_size"].nucleotides,
             kmers_per_sequence=v["kmers_per_sequence"],
@@ -80,6 +81,8 @@ def run_nuclassemble(input_files, out_file, tmp_base, params=None,
     """Full penguin nuclassemble. With db_mode, input_files[0] is a seq DB
     prefix and out_file receives the result DB."""
     p = params or NuclAssembleParams()
+    from ..utils.device import resolve_backend
+    p.backend = resolve_backend(p.backend)
     if not p.db_mode and os.path.exists(out_file):
         raise FileExistsError(f"{out_file} exists already!")
     tmp = create_tmp_dir(tmp_base, fingerprint({"in": list(input_files),

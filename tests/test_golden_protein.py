@@ -108,6 +108,23 @@ def test_full_workflow_jax_backend_byte_identical(example_reads, tmp_path):
     assert open(out, "rb").read() == open(golden_fasta, "rb").read()
 
 
+GOLDEN12 = "/tmp/golden12/assembly.fas"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(GOLDEN12),
+                    reason="default-params golden not generated")
+def test_full_workflow_default_params_byte_identical(example_reads, tmp_path):
+    """DEFAULT plass assemble: 12 iterations + NN coding filter
+    (Assembler.cpp:10-27 defaults) — the full product path, not just the
+    fast 2-iter variant."""
+    from plass_tpu.workflow.assemble import run_assemble, AssembleParams
+    out = str(tmp_path / "assembly.fas")
+    p = AssembleParams(backend="numpy")
+    run_assemble(example_reads, out, str(tmp_path / "tmp"), p)
+    assert open(out, "rb").read() == open(GOLDEN12, "rb").read()
+
+
 GOLDEN_NUCL = "/tmp/goldennucl"
 
 
@@ -118,6 +135,22 @@ def test_nuclassemble_byte_identical(example_reads, tmp_path):
                                                  run_nuclassemble)
     golden = os.path.join(GOLDEN_NUCL, "contigs.fasta")
     out = str(tmp_path / "contigs.fasta")
-    p = NuclAssembleParams(num_iterations=2, min_contig_len=150)
+    p = NuclAssembleParams(num_iterations=2, min_contig_len=150,
+                           backend="numpy")
+    run_nuclassemble(example_reads, out, str(tmp_path / "tmp"), p)
+    assert open(out, "rb").read() == open(golden, "rb").read()
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_NUCL),
+                    reason="nucleotide golden not generated")
+def test_nuclassemble_jax_backend_byte_identical(example_reads, tmp_path):
+    """Device pipeline (canonical k-mers, strand algebra, rev-aware
+    rescoring) must match the reference bytes too."""
+    from plass_tpu.workflow.nuclassemble import (NuclAssembleParams,
+                                                 run_nuclassemble)
+    golden = os.path.join(GOLDEN_NUCL, "contigs.fasta")
+    out = str(tmp_path / "contigs.fasta")
+    p = NuclAssembleParams(num_iterations=2, min_contig_len=150,
+                           backend="jax")
     run_nuclassemble(example_reads, out, str(tmp_path / "tmp"), p)
     assert open(out, "rb").read() == open(golden, "rb").read()

@@ -53,10 +53,41 @@ def test_guided_end_to_end_byte_identical(example_reads, tmp_path):
     from plass_tpu.workflow.guided import (GuidedNuclAssembleParams,
                                            run_guided_nuclassemble)
     p = GuidedNuclAssembleParams(aa_num_iterations=2, nucl_num_iterations=2,
-                                 min_contig_len=150)
+                                 min_contig_len=150, backend="numpy")
     out = str(tmp_path / "assembly.fasta")
     run_guided_nuclassemble(example_reads, out, str(tmp_path / "tmp"), p)
     assert open(out, "rb").read() == open(f"{GOLDEN}/assembly.fasta", "rb").read()
+
+
+@needs_golden
+def test_guided_jax_backend_byte_identical(example_reads, tmp_path):
+    """Guided path on the device backend: aa k-mer match + rescore and the
+    nested nuclassemble all run through ops/backend.py."""
+    from plass_tpu.workflow.guided import (GuidedNuclAssembleParams,
+                                           run_guided_nuclassemble)
+    p = GuidedNuclAssembleParams(aa_num_iterations=2, nucl_num_iterations=2,
+                                 min_contig_len=150, backend="jax")
+    out = str(tmp_path / "assembly.fasta")
+    run_guided_nuclassemble(example_reads, out, str(tmp_path / "tmp"), p)
+    assert open(out, "rb").read() == open(f"{GOLDEN}/assembly.fasta", "rb").read()
+
+
+GOLDEN_DEFAULT = "/tmp/goldenguided"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(f"{GOLDEN_DEFAULT}/assembly.fasta"),
+                    reason="default guided golden not generated")
+def test_guided_default_5_5_byte_identical(example_reads, tmp_path):
+    """DEFAULT guided_nuclassemble: 5 aa + 5 nucl iterations
+    (GuidedNuclassembler.cpp:12-15)."""
+    from plass_tpu.workflow.guided import (GuidedNuclAssembleParams,
+                                           run_guided_nuclassemble)
+    p = GuidedNuclAssembleParams(min_contig_len=150, backend="numpy")
+    out = str(tmp_path / "assembly.fasta")
+    run_guided_nuclassemble(example_reads, out, str(tmp_path / "tmp"), p)
+    assert open(out, "rb").read() == \
+        open(f"{GOLDEN_DEFAULT}/assembly.fasta", "rb").read()
 
 
 AA_GOLDEN = "/tmp/goldenlinclustaa"

@@ -19,6 +19,11 @@ rm -rf /tmp/golden2 && mkdir -p /tmp/golden2
     /tmp/golden2/tmp --threads 1 --num-iterations 2 --filter-proteins 0 \
     --delete-tmp-inc 0 > /tmp/golden2.log 2>&1
 
+echo "== /tmp/golden12 (plass assemble, DEFAULT params: 12 iters + NN filter)"
+rm -rf /tmp/golden12 && mkdir -p /tmp/golden12
+"$REF_PLASS" assemble "$READS1" "$READS2" /tmp/golden12/assembly.fas \
+    /tmp/golden12/tmp --threads 1 --delete-tmp-inc 0 > /tmp/golden12.log 2>&1
+
 echo "== /tmp/goldennucl (penguin nuclassemble, 2 iters, min-contig 150)"
 rm -rf /tmp/goldennucl && mkdir -p /tmp/goldennucl
 "$REF_PENGUIN" nuclassemble "$READS1" "$READS2" /tmp/goldennucl/contigs.fasta \
