@@ -128,7 +128,8 @@ def _kmermatcher(positional, space):
                        kmers_per_sequence_scale=scale, hash_shift=v["hash_shift"],
                        ignore_multi_kmer=v["ignore_multi_kmer"],
                        include_only_extendable=v["include_only_extendable"],
-                       cov_thr=v["cov_thr"], cov_mode=v["cov_mode"])
+                       cov_thr=v["cov_thr"], cov_mode=v["cov_mode"],
+                       split_memory_limit=v.get("split_memory_limit", "0"))
     hits_to_db(hits, is_nucl).save(positional[1])
     return 0
 

@@ -280,14 +280,70 @@ def _score_tables_device(db):
 @functools.partial(jax.jit, static_argnames=("mode", "alpha", "width"))
 def _rescore_packed(codes, chars, lengths, ops, sub_flat, comp, code2char,
                     alpha, mode, width):
-    """rescore_pairs with ONE stacked i32[4, H] input (qrow, trow, diag,
-    qrev) and ONE stacked i32[6, H] output — a single upload and a single
-    fetch per call instead of ten round trips."""
-    qrow, trow, dg, qrev = ops[0], ops[1], ops[2], ops[3].astype(bool)
+    """rescore_pairs with ONE stacked i32[3, H] input (qrow, trow,
+    diag<<1|qrev) and ONE stacked i32[5, H] output (score, first, last,
+    ov, idents; dist = |diag| is host-derivable) — a single upload and a
+    single fetch per call instead of ten round trips."""
+    qrow, trow = ops[0], ops[1]
+    dg = jnp.right_shift(ops[2], 1)  # arithmetic shift keeps the sign
+    qrev = (ops[2] & 1).astype(bool)
     outs = rescore_pairs(codes, chars, lengths, qrow, trow, dg, qrev,
                          sub_flat, comp, code2char, alpha, mode=mode,
                          width=width)
-    return jnp.stack([o.astype(jnp.int32) for o in outs])
+    score, first, last, ov, _dist, idents = outs
+    return jnp.stack([score.astype(jnp.int32), first, last, ov,
+                      idents.astype(jnp.int32)])
+
+
+def _self_rescore_host(db, mode):
+    """Analytic rescoring of the (k, k, diag 0) self rows — identical to
+    what rescore_pairs computes for qrow==trow, dist 0, so these ~N rows
+    never ride the host<->device link. Cached per SeqDB + mode.
+
+    mode 3 (END_TO_END): first/last from the '*'-skip on the raw chars,
+    score = clipped sum of diagonal substitution scores over the window,
+    idents = window size. mode 0 (HAMMING): idents = score = overlap."""
+    cache = getattr(db, "_self_rescore_cache", None)
+    if cache is None:
+        cache = db._self_rescore_cache = {}
+    if mode in cache:
+        return cache[mode]
+    n = db.size
+    lens = db.seq_lens().astype(np.int64)
+    ov = lens.astype(np.int32)
+    if mode == 0:
+        z = np.full(n, -1, dtype=np.int32)
+        out = (ov.astype(np.int64), z, z, ov, ov.astype(np.int64))
+        cache[mode] = out
+        return out
+    is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+    mat = constants.nucleotide() if is_nucl else constants.blosum62()
+    sub = mat.sub.astype(np.int64)
+    offsets = db.offsets.astype(np.int64)
+    data = db.data
+    nonempty = lens > 0
+    safe_off = np.minimum(offsets, max(len(data) - 1, 0))
+    first_char = np.where(nonempty, data[safe_off], 0)
+    last_char = np.where(nonempty,
+                         data[np.minimum(offsets + np.maximum(lens, 1) - 1,
+                                         max(len(data) - 1, 0))], 0)
+    star = np.uint8(ord("*"))
+    first = (first_char == star).astype(np.int32)
+    last_idx = np.maximum(ov - 1, 0)
+    strip = (last_idx > 0) & (last_char == star)
+    last = (last_idx - strip).astype(np.int32)
+    codes = mat.aa2num[data].astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(sub[codes, codes])])
+    lo = offsets + first
+    hi = offsets + np.minimum(last.astype(np.int64), lens - 1) + 1
+    hi = np.maximum(hi, lo)
+    score = np.maximum(cs[hi] - cs[lo], 0)
+    idents = np.maximum(0, np.minimum(last, ov - 1) - first + 1)
+    score[~nonempty] = 0
+    idents[~nonempty] = 0
+    out = (score, first, last, ov, idents.astype(np.int64))
+    cache[mode] = out
+    return out
 
 
 def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
@@ -339,23 +395,38 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
     trow = lut[tk].astype(np.int32)
     qrev = is_nucl & (pref < 0)
 
-    # bucket pairs by their overlap width so short-read hits don't pay the
-    # longest-contig row width in the device scan (the overlap only depends
-    # on lengths + diagonal, so it's host-computable up front)
     lmax = codes.shape[1]
-    qlen_h = lengths[qrow].astype(np.int64)
-    tlen_h = lengths[trow].astype(np.int64)
-    dist_h = np.abs(dg).astype(np.int64)
-    ov_h = np.where(dg >= 0, np.minimum(tlen_h, qlen_h - dist_h),
-                    np.minimum(tlen_h - dist_h, qlen_h))
-    ov_h = np.maximum(ov_h, 0)
+    dist = np.abs(dg).astype(np.int64)
     score = np.zeros(m, dtype=np.int64)
     first = np.zeros(m, dtype=np.int32)
     last = np.zeros(m, dtype=np.int32)
     ov = np.zeros(m, dtype=np.int32)
-    dist = np.zeros(m, dtype=np.int64)
     idents = np.zeros(m, dtype=np.float64)
     done = np.zeros(m, dtype=bool)
+
+    # the inserted (k, k, diag 0) self rows — roughly the whole DB, and for
+    # a fresh read set the majority of all rows — are analytic on the host;
+    # never ship them (genuine device hits exclude rep == tgt)
+    self_mask = (qk == tk) & (dg == 0) & (pref == 0)
+    if self_mask.any():
+        s_sc, s_f, s_l, s_ov, s_id = _self_rescore_host(
+            db, params.rescore_mode)
+        rows = qrow[self_mask]
+        score[self_mask] = s_sc[rows]
+        first[self_mask] = s_f[rows]
+        last[self_mask] = s_l[rows]
+        ov[self_mask] = s_ov[rows]
+        idents[self_mask] = s_id[rows]
+        done |= self_mask
+
+    # bucket remaining pairs by their overlap width so short-read hits
+    # don't pay the longest-contig row width in the device scan (the
+    # overlap only depends on lengths + diagonal, host-computable up front)
+    qlen_h = lengths[qrow].astype(np.int64)
+    tlen_h = lengths[trow].astype(np.int64)
+    ov_h = np.where(dg >= 0, np.minimum(tlen_h, qlen_h - dist),
+                    np.minimum(tlen_h - dist, qlen_h))
+    ov_h = np.maximum(ov_h, 0)
     w = 128
     widths = []
     while w < lmax:
@@ -370,11 +441,10 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
             continue
         mb = len(idxs)
         hb = _round_up(mb)
-        ops = np.zeros((4, hb), dtype=np.int32)
+        ops = np.zeros((3, hb), dtype=np.int32)
         ops[0, :mb] = qrow[idxs]
         ops[1, :mb] = trow[idxs]
-        ops[2, :mb] = dg[idxs]
-        ops[3, :mb] = qrev[idxs]
+        ops[2, :mb] = (dg[idxs].astype(np.int32) << 1) | qrev[idxs]
         # one stacked upload + one stacked fetch at the padded size
         # (exact-size device slices would recompile the fetch every call)
         packed = np.asarray(_rescore_packed(
@@ -384,8 +454,7 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         first[idxs] = packed[1, :mb]
         last[idxs] = packed[2, :mb]
         ov[idxs] = packed[3, :mb]
-        dist[idxs] = packed[4, :mb].astype(np.int64)
-        idents[idxs] = packed[5, :mb].astype(np.float64)
+        idents[idxs] = packed[4, :mb].astype(np.float64)
     return _rescore_finish(db, params, evaluer, qk, tk, pref, dg, m,
                            lengths, qrow, trow, qrev, score, first, last,
                            ov, dist, idents, return_flat)

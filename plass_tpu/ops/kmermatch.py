@@ -376,20 +376,100 @@ def emit_hits(rep_id, tgt_id, diagonal, rev, db_keys):
     return hits
 
 
+def parse_memory_limit(s):
+    """'--split-memory-limit' strings: plain bytes or K/M/G/T suffix
+    (Parameters.cpp parseByteString). Returns bytes (0 = unlimited)."""
+    if isinstance(s, (int, np.integer)):
+        return int(s)
+    s = str(s).strip()
+    if not s:
+        return 0
+    mult = {"K": 1 << 10, "M": 1 << 20, "G": 1 << 30, "T": 1 << 40}
+    suffix = s[-1].upper()
+    if suffix in mult:
+        return int(float(s[:-1]) * mult[suffix])
+    return int(float(s))
+
+
+ENTRY_BYTES = 20  # kmer u64 + id u32 + pos i32 + len i32
+
+
+def compute_hash_splits(db, k, kmers_per_sequence, kmers_per_sequence_scale,
+                        hash_shift, ignore_multi_kmer, memory_limit_bytes,
+                        seed_mat=None):
+    """Exact-histogram split selection (kmermatcher.cpp:594-779): one
+    counting pass over the per-sequence selections, then 16-bit hash-range
+    boundaries chosen so every split's table fits the memory limit.
+
+    Returns a list of (lo, hi) inclusive ranges covering 0..0xFFFF (one
+    range = single-split mode)."""
+    hist = np.zeros(65536, dtype=np.int64)
+    kmer, _sid, _pos, _slen, is_nucl = build_kmer_table(
+        db, k, kmers_per_sequence, kmers_per_sequence_scale, hash_shift,
+        ignore_multi_kmer, seed_mat=seed_mat)
+    # the ~1/(ksel+1) whole-sequence entries carry an already-hashed value
+    # whose range key is its own low 16 bits; re-hashing them here only
+    # skews the BALANCE estimate by that fraction (range membership is
+    # enforced exactly inside build_kmer_table)
+    h16 = (xxh64_u64_np(kmer & ~BIT63 if is_nucl else kmer, hash_shift)
+           & np.uint64(0xFFFF)).astype(np.int64)
+    np.add.at(hist, h16, 1)
+    total = int(hist.sum())
+    if memory_limit_bytes <= 0 or total * ENTRY_BYTES <= memory_limit_bytes:
+        return [(0, 0xFFFF)]
+    per_split = max(memory_limit_bytes // ENTRY_BYTES, 1)
+    ranges = []
+    lo = 0
+    acc = 0
+    for h in range(65536):
+        if acc + hist[h] > per_split and acc > 0:
+            ranges.append((lo, h - 1))
+            lo = h
+            acc = 0
+        acc += int(hist[h])
+    ranges.append((lo, 0xFFFF))
+    return ranges
+
+
 def kmermatcher(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                 hash_shift=67, ignore_multi_kmer=False,
                 include_only_extendable=False, cov_thr=0.0, cov_mode=0,
-                hash_range=None):
+                hash_range=None, split_memory_limit=0):
     """Full kmermatcher: SeqDB -> prefilter hits dict {query_key: [(target,
-    score, diag), ...]} with the self hit first."""
+    score, diag), ...]} with the self hit first.
+
+    split_memory_limit (bytes or 'NG' string, 0 = unlimited): when the
+    k-mer table would exceed it, the hash space is split into ranges whose
+    tables each fit (kmermatcher.cpp:594-779) and the per-split pair
+    streams are merged before hit emission (the reference's k-way merge,
+    kmermatcher.cpp:947-1020). Selection is per-sequence and split-
+    independent, so the merged output is identical to a single-split run.
+    """
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
     if kmers_per_sequence_scale is None:
         kmers_per_sequence_scale = 0.2 if is_nucl else 0.0
-    kmer, sid, pos, slen, is_nucl = build_kmer_table(
-        db, k, kmers_per_sequence, kmers_per_sequence_scale, hash_shift,
-        ignore_multi_kmer, hash_range)
-    rep, tgt, diag, tlen, rev = assign_groups(
-        kmer, sid, pos, slen, is_nucl, include_only_extendable, cov_thr, cov_mode)
+    limit = parse_memory_limit(split_memory_limit)
+    if hash_range is None and limit > 0:
+        ranges = compute_hash_splits(
+            db, k, kmers_per_sequence, kmers_per_sequence_scale, hash_shift,
+            ignore_multi_kmer, limit)
+    else:
+        ranges = [hash_range if hash_range is not None else (0, 0xFFFF)]
+    parts = []
+    for rng in ranges:
+        kmer, sid, pos, slen, is_nucl = build_kmer_table(
+            db, k, kmers_per_sequence, kmers_per_sequence_scale, hash_shift,
+            ignore_multi_kmer, rng if len(ranges) > 1 or hash_range else None)
+        parts.append(assign_groups(
+            kmer, sid, pos, slen, is_nucl, include_only_extendable, cov_thr,
+            cov_mode))
+    if len(parts) == 1:
+        rep, tgt, diag, _tlen, rev = parts[0]
+    else:
+        rep = np.concatenate([p[0] for p in parts])
+        tgt = np.concatenate([p[1] for p in parts])
+        diag = np.concatenate([p[2] for p in parts])
+        rev = np.concatenate([p[4] for p in parts])
     return emit_hits(rep, tgt, diag, rev, db.keys)
 
 
