@@ -180,7 +180,8 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
                         kmers_per_sequence_scale=None, hash_shift=67,
                         ignore_multi_kmer=False,
                         include_only_extendable=False, cov_thr=0.0,
-                        n_devices=None):
+                        n_devices=None, bucket_capacity=None,
+                        max_retries=4):
     """Multi-chip kmermatcher over a jax.sharding.Mesh of all local devices
     (parallel/mesh.py): data-parallel selection, hash-range all_to_all,
     per-shard pair emission, representative-routed exchange, local hit
@@ -218,16 +219,34 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
     sub_flat, comp, code2char, alpha = _score_tables(db)
     mesh = make_mesh(n_devices)
     per_shard = n_pad // n_devices
-    bucket_capacity = per_shard * (params.ksel + 1)
-    hit_capacity = per_shard * (params.ksel + 1)
-    fn = sharded_iteration_fn(mesh, params, bucket_capacity, hit_capacity,
-                              alpha)
-    rowids = np.arange(n_pad, dtype=np.uint32)
-    cr, ct, cs, cd, cv, _score, _idents = fn(
-        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(rowids),
-        jnp.asarray(score_codes), jnp.asarray(chars), jnp.asarray(lengths),
-        jnp.asarray(sub_flat), jnp.asarray(comp), jnp.asarray(code2char),
-        jnp.asarray(np.int32(hash_shift)))
+    if bucket_capacity is None:
+        bucket_capacity = per_shard * (params.ksel + 1)
+    # overflow-safe: the step reports entries dropped at any exchange /
+    # compaction; retry with doubled capacity until everything fits
+    # (silent truncation would corrupt hits on skewed hash distributions)
+    for attempt in range(max_retries + 1):
+        hit_capacity = bucket_capacity
+        fn = sharded_iteration_fn(mesh, params, bucket_capacity,
+                                  hit_capacity, alpha)
+        rowids = np.arange(n_pad, dtype=np.uint32)
+        cr, ct, cs, cd, cv, _score, _idents, overflow = fn(
+            jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(rowids),
+            jnp.asarray(score_codes), jnp.asarray(chars),
+            jnp.asarray(lengths), jnp.asarray(sub_flat), jnp.asarray(comp),
+            jnp.asarray(code2char), jnp.asarray(np.int32(hash_shift)))
+        n_dropped = int(np.asarray(overflow).sum())
+        if n_dropped == 0:
+            break
+        if attempt == max_retries:
+            raise RuntimeError(
+                f"sharded kmermatcher: {n_dropped} entries still overflow "
+                f"exchange buckets at capacity {bucket_capacity} after "
+                f"{max_retries} retries")
+        from ..utils.log import logger
+        logger.warning(
+            f"sharded exchange overflow ({n_dropped} entries dropped at "
+            f"capacity {bucket_capacity}); retrying with doubled capacity")
+        bucket_capacity *= 2
     cr = np.asarray(cr)
     ct = np.asarray(ct)
     cs = np.asarray(cs)

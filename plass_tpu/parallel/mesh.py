@@ -40,8 +40,11 @@ def _exchange(fields, dest, valid, n_shards, capacity, axis):
     """Route entries to their destination shard with per-destination buckets.
 
     fields: list of (array, fill_value); dest: int32[T] in [0, n_shards);
-    valid: bool[T]. Returns the received flat arrays [n_shards*capacity]
-    plus a received-valid mask. Entries beyond a bucket's capacity drop.
+    valid: bool[T]. Returns the received flat arrays [n_shards*capacity],
+    a received-valid mask, and the number of entries THIS shard failed to
+    send because a destination bucket overflowed (int32 scalar) — callers
+    must check it and retry with a larger capacity; entries past capacity
+    are dropped from the buffers, never silently kept.
     """
     t = dest.shape[0]
     dest = jnp.where(valid, dest, n_shards)
@@ -53,6 +56,7 @@ def _exchange(fields, dest, valid, n_shards, capacity, axis):
     my_rank = jnp.take_along_axis(
         rank_in_dest, jnp.clip(dest_s, 0, n_shards - 1)[:, None], axis=1)[:, 0] - 1
     fits = (dest_s < n_shards) & (my_rank < capacity)
+    n_dropped = ((dest_s < n_shards) & ~fits).sum().astype(jnp.int32)
     slot = jnp.clip(dest_s, 0, n_shards - 1) * capacity + my_rank
 
     def a2a(x):
@@ -70,6 +74,7 @@ def _exchange(fields, dest, valid, n_shards, capacity, axis):
     vbuf = jnp.zeros((n_shards * capacity,), dtype=bool)
     vbuf = vbuf.at[widx].set(True, mode="drop")
     out.append(a2a(vbuf))
+    out.append(n_dropped)
     return out
 
 
@@ -103,7 +108,7 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
 
         # ---- stage 2: hash-range exchange (same k-mer -> same shard)
         dest = (h16 * n_shards) // 65536
-        r_kmer, r_sid, r_pos, r_slen, r_valid = _exchange(
+        r_kmer, r_sid, r_pos, r_slen, r_valid, drop1 = _exchange(
             [(kmer, device_kmer.U64MAX), (sid, np.uint32(0)),
              (pos, np.int32(0)), (slen, np.int32(0))],
             dest, valid, n_shards, bucket_capacity, axis)
@@ -115,7 +120,7 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
         # ---- stage 4: re-route pairs by representative so every
         # (rep, target) run is complete on one shard
         pair_dest = (rep_id % jnp.uint32(n_shards)).astype(jnp.int32)
-        p_rep, p_tgt, p_diag, p_rev, p_valid = _exchange(
+        p_rep, p_tgt, p_diag, p_rev, p_valid, drop2 = _exchange(
             [(rep_id, np.uint32(0xFFFFFFFF)), (sid_s, np.uint32(0)),
              (diagonal, np.int32(0)), (rev, False)],
             pair_dest, keep, n_shards, bucket_capacity, axis)
@@ -127,11 +132,14 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
                            jnp.int32(2**31 - 1))
         _, cr, ct, cs, cd, cv = jax.lax.sort(
             (horder, hr, ht, hs, hd, hv), dimension=0, num_keys=1)
+        drop3 = jnp.maximum(
+            hv.sum().astype(jnp.int32) - jnp.int32(hit_capacity), 0)
         cr = cr[:hit_capacity]
         ct = ct[:hit_capacity]
         cs = cs[:hit_capacity]
         cd = cd[:hit_capacity]
         cv = cv[:hit_capacity]
+        overflow = (drop1 + drop2 + drop3).reshape(1)
 
         # ---- stage 5: rescore hits locally against replicated sequences
         qrow = cr.astype(jnp.int32)
@@ -141,12 +149,12 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
             codes, chars_arr, all_lengths,
             jnp.where(cv, qrow, 0), jnp.where(cv, trow, 0),
             cd, qrev & cv, sub_flat, comp, c2c, alpha, mode=3)
-        return cr, ct, cs, cd, cv, score, idents
+        return cr, ct, cs, cd, cv, score, idents, overflow
 
     in_specs = (P(axis), P(axis), P(axis),     # seqs, lengths, keys sharded
                 P(), P(), P(), P(), P(), P(),  # replicated arrays + luts
                 P())
-    out_specs = tuple(P(axis) for _ in range(7))
+    out_specs = tuple(P(axis) for _ in range(8))
     try:
         smap = jax.shard_map
     except AttributeError:  # older jax

@@ -129,3 +129,34 @@ def test_device_backend_matches_host_kmermatch(merged_reads):
     dev = kmermatcher_jax(aa, 14, kmers_per_sequence=60, hash_shift=67,
                           ignore_multi_kmer=True, include_only_extendable=False)
     assert host == dev
+
+
+def test_exchange_overflow_retries_to_exact_results(merged_reads):
+    """Forcing bucket overflow must either retry to the exact hit set or
+    raise — never silently truncate (VERDICT: skewed hash distributions)."""
+    import jax
+    from plass_tpu.data import seqdb
+    from plass_tpu.ops import orf as orf_mod
+    from plass_tpu.ops import translate as tr
+    from plass_tpu.ops.backend import kmermatcher_sharded
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    reads, _ = merged_reads
+    sub = seqdb.subdb(reads, range(120))
+    odb, ohdb = orf_mod.extract_orfs(sub, min_length=45, max_length=32734,
+                                     max_gaps=0, start_mode=0)
+    aa = tr.translate_nucs(odb, ohdb, 1, add_orf_stop=True)
+    kw = dict(kmers_per_sequence=60, hash_shift=67, ignore_multi_kmer=True,
+              include_only_extendable=False)
+    full = kmermatcher_sharded(aa, 14, n_devices=4, **kw)
+    # a capacity far below the k-mer table size forces overflow on the
+    # hash-range exchange; the retry loop must recover the exact hit set
+    tiny = kmermatcher_sharded(aa, 14, n_devices=4, bucket_capacity=64,
+                               max_retries=10, **kw)
+    assert {k: sorted(v) for k, v in full.items()} == \
+           {k: sorted(v) for k, v in tiny.items()}
+    # with retries disabled it must raise, not truncate
+    with pytest.raises(RuntimeError, match="overflow"):
+        kmermatcher_sharded(aa, 14, n_devices=4, bucket_capacity=64,
+                            max_retries=0, **kw)
