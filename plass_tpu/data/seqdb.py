@@ -100,7 +100,18 @@ class SeqDB:
         elif path.endswith(".linidx_h"):
             path = path[: -len("_h")] + "_seq_h"
         dbtype = read_dbtype(path)
-        data = np.fromfile(path, dtype=np.uint8)
+        # mmap the data file instead of reading it into RAM (reference:
+        # DBReader.cpp:402-425 mmaps with sequential madvise) — record
+        # accessors and padded-batch construction read through the map, so
+        # peak RSS stays bounded by what is actually touched, not DB size
+        if os.path.getsize(path) == 0:
+            data = np.zeros(0, dtype=np.uint8)
+        else:
+            data = np.memmap(path, dtype=np.uint8, mode="r")
+            try:
+                data._mmap.madvise(__import__("mmap").MADV_SEQUENTIAL)
+            except (AttributeError, OSError):
+                pass
         idx = _read_index(path + ".index")
         if read_dbtype_raw(path) & (1 << 31):
             return _decompress_db(data, idx[0], idx[1], idx[2], dbtype)
@@ -177,7 +188,10 @@ class SeqDB:
     # -- persistence --------------------------------------------------------
 
     def save(self, path):
-        self.data.tofile(path)
+        # writing over the very file the data is mmapped from would corrupt
+        # the live view; the bytes are already on disk in that case
+        if getattr(self.data, "filename", None) != os.path.abspath(path):
+            self.data.tofile(path)
         _write_index(path + ".index", self.keys, self.offsets, self.lengths)
         write_dbtype(path, self.dbtype)
 

@@ -121,3 +121,71 @@ def test_format_seq_id():
     assert format_seq_id(0.05) == "0.050"
     assert format_seq_id(0.005) == "0.005"
     assert format_seq_id(0.0) == "0.000"
+
+
+def test_batch_orf_matches_scalar_oracle():
+    """The vectorized extract_orfs path must reproduce the scalar
+    find_orfs_in_strand state machine for every start mode / filter combo
+    on random sequences with stops, starts, Ns and IUPAC letters."""
+    from plass_tpu.data.seqdb import DBWriter, NUCLEOTIDES, GENERIC_DB
+
+    rng = np.random.default_rng(7)
+    letters = np.frombuffer(b"ACGTacgtNRYu.", dtype=np.uint8)
+    records = []
+    for i in range(160):
+        L = int(rng.integers(0, 90))
+        p = np.array([0.22, 0.22, 0.22, 0.22, 0.02, 0.02, 0.02, 0.02,
+                      0.015, 0.005, 0.005, 0.005, 0.005])
+        p = p / p.sum()
+        records.append(letters[rng.choice(len(letters), L, p=p)].tobytes())
+    writer = DBWriter(NUCLEOTIDES)
+    for i, r in enumerate(records):
+        writer.write(i * 3 + 1, r)  # non-contiguous keys
+    db = writer.finish()
+
+    def scalar_extract(seq_db, **kw):
+        # the pre-vectorization reference implementation
+        sw = DBWriter(NUCLEOTIDES)
+        hw = DBWriter(GENERIC_DB)
+        out_key = 0
+        for i in range(seq_db.size):
+            key = int(seq_db.keys[i])
+            raw = seq_db.get_seq(i)
+            if len(raw) < 3:
+                continue
+            seq = orf_mod._setseq(np.asarray(raw))
+            rc = orf_mod._revcomp_orf(seq)
+            L = len(seq)
+            for strand, s in ((orf_mod.STRAND_PLUS, seq),
+                              (orf_mod.STRAND_MINUS, rc)):
+                orfs = orf_mod.find_orfs_in_strand(
+                    s, kw["min_length"], kw["max_length"], kw["max_gaps"],
+                    kw["start_mode"])
+                for from_, to, inc_start, inc_end in orfs:
+                    if kw["contig_start_mode"] < 2 and \
+                            int(inc_start) == kw["contig_start_mode"]:
+                        continue
+                    if kw["contig_end_mode"] < 2 and \
+                            int(inc_end) == kw["contig_end_mode"]:
+                        continue
+                    fp, tp = from_, to
+                    if strand == orf_mod.STRAND_MINUS:
+                        fp, tp = (L - 1) - from_, (L - 1) - to
+                    sw.write(out_key, s[from_:to + 1].tobytes())
+                    hw.write(out_key, orf_mod._orf_header(
+                        key, fp, tp, inc_start, inc_end))
+                    out_key += 1
+        return sw.finish(sort_by_key=False), hw.finish(sort_by_key=False)
+
+    for start_mode in (0, 1, 2):
+        for csm, cem, minl, maxl, gaps in ((2, 2, 1, 10**6, 10**9),
+                                           (1, 0, 3, 12, 0),
+                                           (0, 2, 0, 10**6, 1)):
+            kw = dict(min_length=minl, max_length=maxl, max_gaps=gaps,
+                      start_mode=start_mode, contig_start_mode=csm,
+                      contig_end_mode=cem)
+            got_s, got_h = orf_mod.extract_orfs(db, chunk_cells=2000, **kw)
+            exp_s, exp_h = scalar_extract(db, **kw)
+            assert got_s.size == exp_s.size, (start_mode, csm, cem)
+            assert np.array_equal(got_s.data, exp_s.data), (start_mode, csm)
+            assert np.array_equal(got_h.data, exp_h.data), (start_mode, csm)
