@@ -283,15 +283,20 @@ def _assemble_native(db, alignments, seq_id_thr, max_seq_len, keep_target,
                                             db.total_residues())
     n = db.size
     lut = db.id_lookup_array()
-    # flat sequence arrays in id order
-    seq_lens = db.seq_lens().astype(np.int32)
-    seq_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(seq_lens, out=seq_off[1:])
-    total = int(seq_off[-1])
-    ll = seq_lens.astype(np.int64)
-    cols = np.arange(total) - np.repeat(seq_off[:-1], ll)
-    src = np.repeat(db.offsets, ll) + cols
-    seq_data = np.ascontiguousarray(db.data[src])
+    # flat sequence arrays in id order, cached per SeqDB (rebuilt once per
+    # DB instead of once per iteration)
+    cache = getattr(db, "_flat_idorder", None)
+    if cache is None:
+        seq_lens = db.seq_lens().astype(np.int32)
+        seq_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(seq_lens, out=seq_off[1:])
+        total = int(seq_off[-1])
+        ll = seq_lens.astype(np.int64)
+        cols = np.arange(total) - np.repeat(seq_off[:-1], ll)
+        src = np.repeat(db.offsets, ll) + cols
+        seq_data = np.ascontiguousarray(db.data[src])
+        cache = db._flat_idorder = (seq_data, seq_off, seq_lens)
+    seq_data, seq_off, seq_lens = cache
 
     # flatten alignment records per query in id order with the initial
     # rescale (bit -> raw -> score-per-column x100; seqId x aln/(aln+.5))
@@ -373,16 +378,40 @@ def _assemble_native(db, alignments, seq_id_thr, max_seq_len, keep_target,
         cap *= 2
         flags[:] = 0
 
-    writer = seqdb.DBWriter(db.dbtype)
+    # build the output SeqDB directly with vectorized record placement —
+    # same bytes as DBWriter (payload + "\n\x00", write order = contigs in
+    # id order then pass-through, index key-sorted) without ~N Python
+    # round trips through per-record write() calls
     contig_rows = np.nonzero(out_is_contig)[0]
-    for i in contig_rows:
-        writer.write(int(keys[i]),
-                     out_buf[int(out_off[i]): int(out_off[i]) + int(out_len[i])]
-                     .tobytes())
     not_contig = (flags & IS_CONTIG) == 0
     not_consumed = (flags & WAS_CONSUMED) == 0
     keep = not_contig & (not_consumed | keep_target)
-    for i in np.nonzero(keep)[0]:
-        writer.write(int(keys[i]),
-                     seq_data[int(seq_off[i]): int(seq_off[i + 1])].tobytes())
-    return writer.finish(sort_by_key=True), flags
+    keep_rows = np.nonzero(keep)[0]
+
+    def _payload_positions(dst_off, lens):
+        total = int(lens.sum())
+        rows = np.repeat(np.arange(len(lens)), lens)
+        cum = np.cumsum(lens) - lens
+        cols = np.arange(total) - np.repeat(cum, lens)
+        return np.repeat(dst_off, lens) + cols, rows, cols
+
+    c_len = out_len[contig_rows].astype(np.int64)
+    k_len = seq_lens[keep_rows].astype(np.int64)
+    rec_lens = np.concatenate([c_len, k_len]) + 2
+    dst_off = np.zeros(len(rec_lens), dtype=np.int64)
+    if len(rec_lens) > 1:
+        np.cumsum(rec_lens[:-1], out=dst_off[1:])
+    data = np.empty(int(rec_lens.sum()), dtype=np.uint8)
+    nc = len(contig_rows)
+    if nc:
+        dpos, _, cols = _payload_positions(dst_off[:nc], c_len)
+        data[dpos] = out_buf[np.repeat(out_off[contig_rows], c_len) + cols]
+    if len(keep_rows):
+        dpos, _, cols = _payload_positions(dst_off[nc:], k_len)
+        data[dpos] = seq_data[np.repeat(seq_off[keep_rows], k_len) + cols]
+    data[dst_off + rec_lens - 2] = np.uint8(ord("\n"))
+    data[dst_off + rec_lens - 1] = 0
+    out_keys = np.concatenate([keys[contig_rows], keys[keep_rows]])
+    order = np.argsort(out_keys, kind="stable")
+    return seqdb.SeqDB(data, out_keys[order], dst_off[order],
+                       rec_lens[order], db.dbtype), flags

@@ -109,21 +109,23 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     # (each jit call and each fetch is a blocking RPC on tunneled backends)
     guess = getattr(db, "_kmer_fetch_guess", 16384)
     m = min(guess, hit_capacity)
-    packed = np.asarray(device_kmer.kmermatch_device_packed(
-        jc, jl, jk, hash_shift, params, hit_capacity, m))
+    packed_dev, dev = device_kmer.kmermatch_device_packed(
+        jc, jl, jk, hash_shift, params, hit_capacity, m)
+    packed = np.asarray(packed_dev)
     n = int(packed[-1])
     if n > m:  # guess too small: rerun at the true size, raise the guess
         m = min(_bucket(n, 4096), hit_capacity)
         db._kmer_fetch_guess = min(m * 2, hit_capacity)
-        packed = np.asarray(device_kmer.kmermatch_device_packed(
-            jc, jl, jk, hash_shift, params, hit_capacity, m))
+        packed_dev, dev = device_kmer.kmermatch_device_packed(
+            jc, jl, jk, hash_shift, params, hit_capacity, m)
+        packed = np.asarray(packed_dev)
     body = packed[:-1].reshape(4, m)
     rep = body[0][:n].astype(np.uint32)
     tgt = body[1][:n].astype(np.uint32)
     score = body[2][:n].astype(np.int32)
     diag = body[3][:n].astype(np.int32)
     if return_arrays:
-        return _insert_self_hits(db, rep, tgt, score, diag,
+        return _insert_self_hits(db, rep, tgt, score, diag, dev=dev,
                                  dev_m=m)
     hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
     for r, t, s, d in zip(rep.tolist(), tgt.tolist(), score.tolist(), diag.tolist()):
@@ -134,11 +136,10 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
 class KmerHits(tuple):
     """(qk, tk, score, diag) flat host arrays, self rows interleaved; also
     carries the device-resident raw hit arrays and the self/hit slot
-    layout for device-side consumers. (A fully fused device rescore was
-    measured SLOWER than the bucketed upload+fetch path on the tunneled
-    backend — exec, not RTT, dominated — so the rescorer does not use
-    these today.)"""
-    dev = None        # (rep, tgt, score, diag) device arrays
+    layout, so the device rescorer can address hits by INDEX instead of
+    re-uploading (qrow, trow, diag) triples — one third the upload bytes
+    on a tunneled backend."""
+    dev = None        # (rep, tgt, diag) device arrays, hits compacted first
     dev_m = 0         # static fetched-slice length covering all n hits
     group_starts = None
     hit_slots = None
@@ -296,6 +297,28 @@ def _score_tables_device(db):
     return cache["score_tables"]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "alpha", "width", "has_rev"))
+def _rescore_from_dev(codes, chars, lengths, lut, dev_rep, dev_tgt, dev_diag,
+                      idxops, sub_flat, comp, code2char, alpha, mode, width,
+                      has_rev):
+    """Rescore hits addressed by device-resident index: idxops i32[Hb] =
+    (hit index << 1) | qrev selects rows of the kmer stage's device hit
+    arrays, so the only upload is one word per hit and the only fetch is
+    the packed i32[3, Hb] result (score, first<<16|last, idents); overlap
+    and distance are host-derivable from lengths + diagonal."""
+    sel = idxops >> 1
+    qrev = (idxops & 1).astype(bool)
+    qrow = lut[dev_rep[sel].astype(jnp.int32)]
+    trow = lut[dev_tgt[sel].astype(jnp.int32)]
+    dg = dev_diag[sel]
+    score, first, last, _ov, _dist, idents = rescore_pairs(
+        codes, chars, lengths, qrow, trow, dg, qrev, sub_flat, comp,
+        code2char, alpha, mode=mode, width=width, has_rev=has_rev)
+    fl = (first.astype(jnp.int32) << 16) | (last.astype(jnp.int32) & 0xFFFF)
+    return jnp.stack([score.astype(jnp.int32), fl, idents.astype(jnp.int32)])
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "alpha", "width"))
 def _rescore_packed(codes, chars, lengths, ops, sub_flat, comp, code2char,
                     alpha, mode, width):
@@ -387,6 +410,13 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
     jch, _, _ = db_to_device(db, "char")
     jsub, jcomp, jc2c, alpha = _score_tables_device(db)
     lut = db.id_lookup_array()
+    use_dev = isinstance(hits, KmerHits) and hits.dev is not None \
+        and params.rescore_mode in (0, 3)
+    if use_dev:
+        cache = db._device_cache
+        if "lut" not in cache:
+            cache["lut"] = jnp.asarray(lut.astype(np.int32))
+        jlut = cache["lut"]
 
     if isinstance(hits, tuple):
         qk, tk, pref, dg = hits  # flat arrays from return_arrays=True
@@ -452,6 +482,7 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         widths.append(w)
         w *= 4
     widths.append(lmax)
+    pending = []
     for w in widths:
         sel = ~done & (ov_h <= w)
         done |= sel
@@ -460,6 +491,18 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
             continue
         mb = len(idxs)
         hb = _round_up(mb)
+        if use_dev:
+            # address hits by index into the kmer stage's device arrays:
+            # one word per hit up, three words per hit down; all width
+            # buckets are dispatched before the first (blocking) fetch
+            didx = np.searchsorted(hits.hit_slots, idxs).astype(np.int32)
+            ops1 = np.zeros(hb, dtype=np.int32)
+            ops1[:mb] = (didx << 1) | qrev[idxs]
+            out_dev = _rescore_from_dev(
+                jc, jch, jl, jlut, *hits.dev, jnp.asarray(ops1), jsub,
+                jcomp, jc2c, alpha, params.rescore_mode, w, is_nucl)
+            pending.append((idxs, mb, out_dev))
+            continue
         ops = np.zeros((3, hb), dtype=np.int32)
         ops[0, :mb] = qrow[idxs]
         ops[1, :mb] = trow[idxs]
@@ -474,6 +517,14 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         last[idxs] = packed[2, :mb]
         ov[idxs] = packed[3, :mb]
         idents[idxs] = packed[4, :mb].astype(np.float64)
+    for idxs, mb, out_dev in pending:
+        packed = np.asarray(out_dev)
+        score[idxs] = packed[0, :mb].astype(np.int64)
+        fl = packed[1, :mb]
+        first[idxs] = fl >> 16
+        last[idxs] = ((fl & 0xFFFF) ^ 0x8000) - 0x8000  # sign-extend i16
+        ov[idxs] = ov_h[idxs].astype(np.int32)
+        idents[idxs] = packed[2, :mb].astype(np.float64)
     return _rescore_finish(db, params, evaluer, qk, tk, pref, dg, m,
                            lengths, qrow, trow, qrev, score, first, last,
                            ov, dist, idents, return_flat)

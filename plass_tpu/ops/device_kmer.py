@@ -143,15 +143,21 @@ def select_kmers(seqs, lengths, params: KmerParams, hash_shift):
     too_much = cum_le - kc
 
     # sort into selection order (hash, masked kmer, pos); u64 keys split into
-    # native u32 hi/lo (TPU emulates 64-bit compares)
+    # native u32 hi/lo (TPU emulates 64-bit compares). The iota payload keeps
+    # the original tie-break; the fwd bit rides in its low bit so store_kmer
+    # is reconstructable after the compaction sort without any gathers
+    # (random gathers are the dominant cost on TPU — ~13ms per 1.5M elems —
+    # so every stage carries values through its sorts/scans instead).
     masked = (store_kmer | jnp.uint64(BIT63)) if params.is_nucl else store_kmer
     masked_for_dup = jnp.where(valid, masked, jnp.full_like(masked, U64MAX))
     mk_hi = (masked_for_dup >> jnp.uint64(32)).astype(jnp.uint32)
     mk_lo = masked_for_dup.astype(jnp.uint32)
     big_if_inval = jnp.where(valid, h16, INVALID_HASH)
-    s_h, s_hi, s_lo, s_pos, s_idx = jax.lax.sort(
-        (big_if_inval, mk_hi, mk_lo, store_pos,
-         jax.lax.broadcasted_iota(jnp.int32, (n, p), 1)),
+    fwd = (store_kmer >> jnp.uint64(63)).astype(jnp.int32) if params.is_nucl \
+        else jnp.zeros((n, p), dtype=jnp.int32)
+    pk = (jax.lax.broadcasted_iota(jnp.int32, (n, p), 1) << 1) | fwd
+    s_h, s_hi, s_lo, s_pos, s_pk = jax.lax.sort(
+        (big_if_inval, mk_hi, mk_lo, store_pos, pk),
         dimension=1, num_keys=4)
 
     if params.ignore_multi_kmer:
@@ -190,18 +196,24 @@ def select_kmers(seqs, lengths, params: KmerParams, hash_shift):
     sel = (nonb | (bnd & ((too_much[:, None] == 0) | (r_bnd <= too_much[:, None])))) \
         & (r_all <= kc[:, None])
 
-    # compact to KSEL slots keeping selection order
+    # compact to KSEL slots keeping selection order — the selected entries'
+    # values ride the sort as payload operands (one 1-key row sort instead
+    # of a sort plus three row gathers)
     order_key = jnp.where(sel, jnp.arange(p, dtype=jnp.int32)[None, :], INVALID_HASH)
-    c_key, c_idx = jax.lax.sort(
-        (order_key, s_idx), dimension=1, num_keys=1)
+    c_key, c_hi, c_lo, c_pos, c_pk, c_h = jax.lax.sort(
+        (order_key, s_hi, s_lo, s_pos, s_pk, s_h), dimension=1, num_keys=1)
     take = min(ksel, p)
     c_key = c_key[:, :take]
-    c_idx = c_idx[:, :take]
     sel_valid = c_key < INVALID_HASH
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, take), 0)
-    sel_kmer = store_kmer[rows, c_idx]
-    sel_pos = store_pos[rows, c_idx]
-    sel_h16 = h16[rows, c_idx]
+    c_hi = c_hi[:, :take]
+    if params.is_nucl:
+        # restore store_kmer's bit63 (fwd flag) that the dup-mask forced on
+        c_fwd = (c_pk[:, :take] & 1).astype(jnp.uint32)
+        c_hi = (c_hi & jnp.uint32(0x7FFFFFFF)) | (c_fwd << jnp.uint32(31))
+    sel_kmer = (c_hi.astype(jnp.uint64) << jnp.uint64(32)) | \
+        c_lo[:, :take].astype(jnp.uint64)
+    sel_pos = c_pos[:, :take]
+    sel_h16 = c_h[:, :take]
     if take < ksel:
         pad = ksel - take
         sel_kmer = jnp.pad(sel_kmer, ((0, 0), (0, pad)))
@@ -274,20 +286,27 @@ def pairs_from_table(kmer, sid, pos, slen, valid, params: KmerParams):
         [jnp.array([True]),
          (mh_s[1:] != mh_s[:-1]) | (ml_s[1:] != ml_s[:-1])])
     t = mh_s.shape[0]
-    idx = jnp.arange(t, dtype=jnp.int32)
-    rep_row = _segmented_cummax(jnp.where(new_group, idx, -1), new_group)
-    rep_id = sid_s[rep_row]
-    rep_pos = pos_s[rep_row]
-    rep_len = slen_s[rep_row]
+    # representative = first entry of each group; broadcast its (id, packed
+    # pos/fwd, neg-len) down the group with ONE segmented first-carry scan
+    # instead of a position scan plus three 1.5M-element random gathers
+    def _first_op(a, b):
+        af, a1, a2, a3 = a
+        bf, b1, b2, b3 = b
+        return (af | bf, jnp.where(bf, b1, a1), jnp.where(bf, b2, a2),
+                jnp.where(bf, b3, a3))
+    _, rep_id, rep_pk, rep_nl = jax.lax.associative_scan(
+        _first_op, (new_group, sid_s, pk_s, nl_s))
+    rep_pos = (rep_pk >> jnp.uint32(2)).astype(jnp.int32)
+    rep_len = (~rep_nl).astype(jnp.int32)
 
-    # singleton groups are dropped (kmermatcher.cpp:476-478)
-    group_id = jnp.cumsum(new_group.astype(jnp.int32)) - 1
-    same_prev = jnp.concatenate([jnp.array([False]), group_id[1:] == group_id[:-1]])
-    same_next = jnp.concatenate([group_id[:-1] == group_id[1:], jnp.array([False])])
+    # singleton groups are dropped (kmermatcher.cpp:476-478): an entry stays
+    # iff it doesn't start a group or the next entry doesn't either
+    same_prev = ~new_group
+    same_next = jnp.concatenate([~new_group[1:], jnp.array([False])])
     non_singleton = same_prev | same_next
 
     if params.is_nucl:
-        rep_fwd = fwd_s[rep_row] != 0
+        rep_fwd = ((rep_pk >> jnp.uint32(1)) & jnp.uint32(1)) != 0
         tgt_fwd = fwd_s != 0
         rev = rep_fwd != tgt_fwd
         q_pos = jnp.where(tgt_fwd, rep_pos, rep_len - 1 - rep_pos)
@@ -334,10 +353,41 @@ def _segment_ends(change):
     return (t - 1) - jnp.flip(rev_first)
 
 
-def _segment_suffix_max(key, change):
-    """max of key over [i, segment_end(i)] for segments delimited by change."""
+def _segment_last2(val, change):
+    """(segment end index, val at segment end) per position — one flipped
+    first-carry scan; the flipped segment's first element is the original
+    segment's last."""
+    t = change.shape[0]
+    idx = jnp.arange(t, dtype=jnp.int32)
     rev_change = jnp.flip(jnp.concatenate([change[1:], jnp.array([True])]))
-    return jnp.flip(_segmented_cummax(jnp.flip(key), rev_change))
+
+    def op(a, b):
+        af, a1, a2 = a
+        bf, b1, b2 = b
+        return (af | bf, jnp.where(bf, b1, a1), jnp.where(bf, b2, a2))
+
+    _, f_idx, f_val = jax.lax.associative_scan(
+        op, (rev_change, jnp.flip(idx), jnp.flip(val)))
+    return jnp.flip(f_idx), jnp.flip(f_val)
+
+
+def _seg_suffix_max2(c, pk, payload, change):
+    """Segmented suffix max of the lexicographic (c, pk) key carrying
+    `payload` — all-i32 tuple scan instead of an emulated-int64 packed key."""
+    rev_change = jnp.flip(jnp.concatenate([change[1:], jnp.array([True])]))
+
+    def op(a, b):
+        af, ac, apk, ad = a
+        bf, bc, bpk, bd = b
+        a_wins = ~bf & ((ac > bc) | ((ac == bc) & (apk >= bpk)))
+        return (af | bf,
+                jnp.where(a_wins, ac, bc),
+                jnp.where(a_wins, apk, bpk),
+                jnp.where(a_wins, ad, bd))
+
+    _, fc, fpk, fd = jax.lax.associative_scan(
+        op, (rev_change, jnp.flip(c), jnp.flip(pk), jnp.flip(payload)))
+    return jnp.flip(fc), jnp.flip(fpk), jnp.flip(fd)
 
 
 def best_diagonal_hits(rep, tgt, diag, rev, valid, absorb=True):
@@ -368,26 +418,36 @@ def best_diagonal_hits(rep, tgt, diag, rev, valid, absorb=True):
         [jnp.array([False]), diag[1:] != diag[:-1]])
 
     run_first = _segmented_cummax(jnp.where(run_change, idx, -1), run_change)
-    run_end = _segment_ends(run_change)
+    run_end, rev_end = _segment_last2(rev.astype(jnp.int32), run_change)
     tgt_end = _segment_ends(tgt_change)
 
-    # per-entry scan key: (run-local count, position, rev) — position encodes
-    # the reference's ">= updates, latest wins" tie-break
-    c = (idx - run_first + 1).astype(jnp.int64)
-    key = (c << 40) | (idx.astype(jnp.int64) << 1) | rev.astype(jnp.int64)
-    suffix = _segment_suffix_max(key, tgt_change)
+    # per-entry scan key: (run-local count, position<<1|rev) — position
+    # encodes the reference's ">= updates, latest wins" tie-break; diag and
+    # rev ride the scans as payloads so no position gathers are needed
+    c = idx - run_first + 1
+    pk = (idx << 1) | rev.astype(jnp.int32)
+    sfx_c, sfx_pk, sfx_diag = _seg_suffix_max2(c, pk, diag, tgt_change)
 
-    # per pair-seg start p: first (clipped) run candidate + later-runs candidate
-    re_p = run_end  # at p: end of p's diagonal run
-    cand_a = (((re_p - idx + 1).astype(jnp.int64)) << 40) \
-        | (re_p.astype(jnp.int64) << 1) | rev[jnp.clip(re_p, 0, t - 1)].astype(jnp.int64)
-    nxt = jnp.clip(re_p + 1, 0, t - 1)
-    has_b = re_p < tgt_end
-    cand_b = jnp.where(has_b, suffix[nxt], jnp.int64(-1))
-    best = jnp.maximum(cand_a, cand_b)
-    best_pos = ((best >> 1) & ((1 << 39) - 1)).astype(jnp.int32)
-    best_diag = diag[jnp.clip(best_pos, 0, t - 1)]
-    best_rev = (best & 1).astype(bool)
+    # later-runs candidate: suffix evaluated at the start of the NEXT run in
+    # the same target segment. suffix is non-increasing within a segment, so
+    # that equals the segmented suffix max over next-position run starts —
+    # a static shift + one more scan instead of a gather at run_end+1.
+    nxt_new_run = jnp.concatenate([run_change[1:], jnp.array([False])])
+    nxt_new_tgt = jnp.concatenate([tgt_change[1:], jnp.array([True])])
+    pick = nxt_new_run & ~nxt_new_tgt
+    neg1 = jnp.int32(-1)
+    a_c = jnp.where(pick, jnp.concatenate([sfx_c[1:], neg1[None]]), neg1)
+    a_pk = jnp.where(pick, jnp.concatenate([sfx_pk[1:], neg1[None]]), neg1)
+    a_diag = jnp.concatenate([sfx_diag[1:], neg1[None]])
+    b_c, b_pk, b_diag = _seg_suffix_max2(a_c, a_pk, a_diag, tgt_change)
+
+    # own-run candidate, clipped to start at this entry (diag is constant
+    # within a run, so the candidate's diag is the entry's own)
+    ca_c = run_end - idx + 1
+    ca_pk = (run_end << 1) | rev_end
+    b_wins = (b_c > ca_c) | ((b_c == ca_c) & (b_pk > ca_pk))
+    best_diag = jnp.where(b_wins, b_diag, diag)
+    best_rev = jnp.where(b_wins, b_pk & 1, rev_end).astype(bool)
 
     top_score = tgt_end - idx + 1
     score = jnp.where(best_rev, -top_score, top_score)
@@ -439,13 +499,17 @@ def kmermatch_device_packed(seqs, lengths, keys, hash_shift, params,
     count — a single RPC dispatch + a single RPC fetch per iteration on
     tunneled backends, where each jit call blocks on a round trip.
     All fields fit i32 (row keys < 2^31; score is a +-count; diag is
-    bounded by max_seq_len)."""
+    bounded by max_seq_len).
+
+    Also returns the full device-resident (rep, tgt, diag) hit arrays so
+    downstream device stages (rescoring) can consume the hits without the
+    host ever re-uploading them."""
     rep, tgt, score, diag, n_hits = _stage_all(
         seqs, lengths, keys, hash_shift, params, hit_capacity)
     m = min(fetch_m, rep.shape[0])
     flat = jnp.stack([rep[:m].astype(jnp.int32), tgt[:m].astype(jnp.int32),
                       score[:m], diag[:m]]).reshape(-1)
-    return jnp.concatenate([flat, n_hits.reshape(1)])
+    return jnp.concatenate([flat, n_hits.reshape(1)]), (rep, tgt, diag)
 
 
 def kmermatch_device(seqs, lengths, keys, hash_shift, params: KmerParams,

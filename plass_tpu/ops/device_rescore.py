@@ -25,9 +25,11 @@ import numpy as np
 STAR = np.uint8(ord("*"))
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "alpha", "width"))
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "alpha", "width", "has_rev"))
 def rescore_pairs(codes, chars, lengths, qrow, trow, diag, qrev, sub_flat,
-                  comp_perm, code2char, alpha, mode=3, width=None):
+                  comp_perm, code2char, alpha, mode=3, width=None,
+                  has_rev=True):
     """Score hits along their diagonals.
 
     codes:  uint8[N, L] substitution-alphabet codes ('*' scores as X)
@@ -42,6 +44,11 @@ def rescore_pairs(codes, chars, lengths, qrow, trow, diag, qrev, sub_flat,
     width: static column extent of the overlap scan — every pair in this
     call must have ov <= width (the host glue buckets pairs by overlap so
     short-read hits don't pay the longest-contig row width).
+
+    has_rev=False (static) drops the reverse-strand machinery entirely —
+    the protein path never reverses, and random gathers (comp_perm[qc],
+    code2char[qc]) are the dominant device cost. Codes and chars are
+    fetched through ONE packed u16 gather per side for the same reason.
     """
     n, lmax = codes.shape
     if width is None:
@@ -60,17 +67,24 @@ def rescore_pairs(codes, chars, lengths, qrow, trow, diag, qrev, sub_flat,
 
     j = jnp.arange(width, dtype=jnp.int32)[None, :]
     qpos = qoff[:, None] + j
-    qidx = jnp.where(qrev[:, None], qlen[:, None] - 1 - qpos, qpos)
+    if has_rev:
+        qidx = jnp.where(qrev[:, None], qlen[:, None] - 1 - qpos, qpos)
+    else:
+        qidx = qpos
     qidx = jnp.clip(qidx, 0, lmax - 1)
     tidx = jnp.clip(toff[:, None] + j, 0, lmax - 1)
 
-    qc = codes[qrow[:, None], qidx].astype(jnp.int32)
-    qc = jnp.where(qrev[:, None], comp_perm[qc], qc)
-    tc = codes[trow[:, None], tidx].astype(jnp.int32)
-    # raw chars for star detection; &~0x20 case fold only for identity counts
-    qch = jnp.where(qrev[:, None], code2char[qc],
-                    chars[qrow[:, None], qidx])
-    tch = chars[trow[:, None], tidx]
+    comb = (codes.astype(jnp.uint16) << jnp.uint16(8)) | chars
+    qcomb = comb[qrow[:, None], qidx]
+    tcomb = comb[trow[:, None], tidx]
+    qc = (qcomb >> jnp.uint16(8)).astype(jnp.int32)
+    tc = (tcomb >> jnp.uint16(8)).astype(jnp.int32)
+    qch = (qcomb & jnp.uint16(0xFF)).astype(jnp.uint8)
+    tch = (tcomb & jnp.uint16(0xFF)).astype(jnp.uint8)
+    if has_rev:
+        qc = jnp.where(qrev[:, None], comp_perm[qc], qc)
+        # reverse hits read canonical chars derived from the numeric codes
+        qch = jnp.where(qrev[:, None], code2char[qc], qch)
     fold = np.uint8(~0x20 & 0xFF)
     qch_u = qch & fold
     tch_u = tch & fold
