@@ -65,7 +65,11 @@ def build_workload():
 
 
 def run_device_iteration(db):
-    """One full iteration with the jax backend + host extend. Returns seconds."""
+    """One full iteration with the jax backend + host extend.
+
+    Returns (seconds, {"kmermatch": s, "rescore": s, "extend": s}) —
+    the per-stage split mirrors the reference's own phase timers
+    (kmermatcher.cpp:406-436)."""
     from plass_tpu.ops.backend import kmermatcher_jax, rescore_diagonal_jax
     from plass_tpu.ops.evalue import EvalueComputer
     from plass_tpu.ops.rescore import RescoreParams
@@ -74,21 +78,31 @@ def run_device_iteration(db):
     ev = EvalueComputer.for_matrix("blosum62_ungapped", db.total_residues())
     rp = RescoreParams(rescore_mode=3, seq_id_thr=0.9, eval_thr=1e-5)
 
-    def one(shift):
+    def one(shift, stages=None):
+        t0 = time.time()
         hits = kmermatcher_jax(db, 14, kmers_per_sequence=60, hash_shift=shift,
                                ignore_multi_kmer=True,
                                include_only_extendable=True,
                                return_arrays=True)
+        t1 = time.time()
         alns = rescore_diagonal_jax(db, hits, rp, ev, return_flat=True)
+        t2 = time.time()
         asm, _ = assemble(db, alns, seq_id_thr=0.9, keep_target=True, evaluer=ev)
+        t3 = time.time()
+        if stages is not None:
+            stages["kmermatch"] += t1 - t0
+            stages["rescore"] += t2 - t1
+            stages["extend"] += t3 - t2
         return asm
 
     one(66)  # warm up / compile (two shifts: hit-count-dependent pad
     one(67)  # buckets and overlap-width buckets both need populating)
+    stages = {"kmermatch": 0.0, "rescore": 0.0, "extend": 0.0}
     t0 = time.time()
     for i in range(ITERS):
-        one(68 + i)
-    return (time.time() - t0) / ITERS
+        one(68 + i, stages)
+    total = (time.time() - t0) / ITERS
+    return total, {k: round(v / ITERS, 4) for k, v in stages.items()}
 
 
 def run_reference_iteration(db):
@@ -125,7 +139,7 @@ def run_reference_iteration(db):
 def main():
     db = build_workload()
     n_reads = db.size
-    dev_s = run_device_iteration(db)
+    dev_s, stages = run_device_iteration(db)
     ref_s = run_reference_iteration(db)
     reads_per_s = n_reads / dev_s
     if ref_s:
@@ -137,6 +151,11 @@ def main():
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / baseline, 3),
+        "scale": SCALE,
+        "n_reads": n_reads,
+        "iteration_s": round(dev_s, 4),
+        "stages_s": stages,
+        "baseline_reads_per_s": round(baseline, 1) if baseline else None,
     }))
 
 

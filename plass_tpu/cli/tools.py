@@ -620,6 +620,24 @@ def _result2repseq(positional, space):
     return 0
 
 
+_STRTOD_RE = re.compile(
+    r"^[ \t]*[+-]?(?:inf(?:inity)?|nan|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+    r"|0[xX][0-9a-fA-F]+)", re.IGNORECASE)
+
+
+def _strtod(tok):
+    """C strtod: parse the longest numeric prefix; None when nothing parses."""
+    m = _STRTOD_RE.match(tok)
+    if not m:
+        return None
+    s = m.group(0).strip()
+    try:
+        return float.fromhex(s) if s[:2].lower() in ("0x", "-0", "+0") and \
+            "x" in s.lower() else float(s)
+    except ValueError:
+        return None
+
+
 def _filterdb(positional, space):
     """filterdb.cpp: per-record line filtering — by key file, by numeric
     comparison on a column, sorting entries, extracting the first N
@@ -672,6 +690,16 @@ def _filterdb(positional, space):
     regex = v.get("filter_regex", "")
     mapping_file = v.get("mapping_file", "")
     trim = v.get("trim_to_one_column", False)
+    expr_text = v.get("filter_expression", "")
+    expression = None
+    if expr_text:
+        # EXPRESSION_FILTERING (filterdb.cpp:207-208,247-255,326-341)
+        from ..utils.expr import Expression, ExprError
+        try:
+            expression = Expression(expr_text)
+        except ExprError:
+            logger.info(f"Error in expression {expr_text}")
+            raise
     mapping = {}
     if mapping_file:
         for line in open(mapping_file):
@@ -723,6 +751,23 @@ def _filterdb(positional, space):
                 if ((op == "ge" and val >= comp_value)
                         or (op == "le" and val <= comp_value)
                         or (op == "e" and val == comp_value)):
+                    out.append(l)
+        elif expression is not None:
+            # bind each referenced column ($N = 0-based word N-1) via
+            # strtod-prefix parsing; unparseable columns keep the stale
+            # variable value, exactly like filterdb.cpp:328-336
+            for l in lines:
+                words = l.split()
+                for ci in expression.bindable:
+                    if ci < len(words):
+                        val = _strtod(words[ci])
+                        if val is None:
+                            logger.warning(f"Can not parse column {ci}!")
+                            continue
+                        expression.bind(ci, val)
+                    else:
+                        logger.warning(f"Can not parse column {ci}!")
+                if expression.evaluate() != 0:
                     out.append(l)
         else:
             out = lines
@@ -2287,6 +2332,8 @@ BASE_COMMANDS = [
         P.Flag("--beats-first", "beats_first", bool, False, "Keep lines matching the first line's column"),
         P.Flag("--filter-regex", "filter_regex", str, "", "Keep lines whose column matches the regex"),
         P.Flag("--mapping-file", "mapping_file", str, "", "Map the filter column through a TSV"),
+        P.Flag("--filter-expression", "filter_expression", str, "",
+               "Keep lines where the expression over $1..$128 columns is nonzero"),
         P.Flag("--trim-to-one-column", "trim_to_one_column", bool, False, "Output only the filter column")]),
             "<i:db> <o:db>", "Filter result DB lines", hidden=True),
     Command("result2rbh", _result2rbh, lambda: P.ParamSpace(P.common_flags()),

@@ -188,14 +188,22 @@ def _extractdomains(positional, space):
             "usage: extractdomains <i:domainDB> <i:msaDB> <o:domainDB>")
     v = space.values
     msa_type = v.get("msa_type", 2)
-    if msa_type == 0:
-        raise NotImplementedError(
-            "ca3m MSA input (--msa-type 0) is not supported yet")
     cov_thr = v["cov_thr"]
     eval_thr = v["eval_thr"] if "eval_thr" in space.was_set else 0.001
     mat = constants.blosum62()
     dom = seqdb.SeqDB.open(positional[0])
-    msadb = seqdb.SeqDB.open(positional[1])
+    if msa_type == 0:
+        # ca3m input (extractdomains.cpp:219-233,273-277): the MSA DB is an
+        # ffindex triple; records decode through CompressedA3M::extractA3M
+        from ..data import ca3m
+        msadb = ca3m.open_ffindex(positional[1] + "_ca3m.ffdata",
+                                  positional[1] + "_ca3m.ffindex")
+        ca3m_hdrs = ca3m.open_ffindex(positional[1] + "_header.ffdata",
+                                      positional[1] + "_header.ffindex")
+        ca3m_seqs = ca3m.open_ffindex(positional[1] + "_sequence.ffdata",
+                                      positional[1] + "_sequence.ffindex")
+    else:
+        msadb = seqdb.SeqDB.open(positional[1])
     writer = seqdb.DBWriter(seqdb.ALIGNMENT_RES)
     K, lambda_lin = 0.041, 0.267  # computeEvalue (extractdomains.cpp:46-50)
     for i in seqdb.data_order(dom):
@@ -219,7 +227,11 @@ def _extractdomains(positional, space):
         if not domains:
             logger.warning(f"Can not map any entries for entry {key}!")
             continue
-        msa = msadb.get_data(mi).tobytes().decode()
+        if msa_type == 0:
+            msa = ca3m.extract_a3m(msadb.get_data(mi).tobytes(),
+                                   ca3m_seqs, ca3m_hdrs).decode()
+        else:
+            msa = msadb.get_data(mi).tobytes().decode()
         out = []
         query_seq = None
         qnum = None

@@ -185,6 +185,7 @@ def flash_combine(seq1, qual1, seq2_rc, qual2_rc):
 
 def merge_reads(paths):
     """mergereads: paired FASTQ files -> (sequence DB, header DB)."""
+    from ..utils.progress import Progress
     if len(paths) % 2 != 0:
         raise ValueError("mergereads requires an even number of input files")
     seq_writer = seqdb.DBWriter(seqdb.NUCLEOTIDES)
@@ -192,10 +193,12 @@ def merge_reads(paths):
     key = 0
     n_combined = 0
     n_pairs = 0
+    prog = Progress()  # unknown total, Debug::Progress's dot mode
     for fi in range(len(paths) // 2):
         it1 = iter_fastx(paths[fi * 2])
         it2 = iter_fastx(paths[fi * 2 + 1])
         for (n1, c1, s1, q1), (n2, c2, s2, q2) in zip(it1, it2):
+            prog.update()
             if len(s1) == 0 or len(s2) == 0 or len(q1) == 0 or len(q2) == 0:
                 raise ValueError("invalid read pair (empty sequence or quality)")
             n_pairs += 1
@@ -216,6 +219,7 @@ def merge_reads(paths):
                 seq_writer.write(key, s2rc)
                 hdr_writer.write(key, n2)
                 key += 1
+    prog.finish()
     sdb = seq_writer.finish()
     hdb = hdr_writer.finish()
     return sdb, hdb

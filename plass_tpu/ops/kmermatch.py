@@ -449,6 +449,12 @@ def kmermatcher(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     if kmers_per_sequence_scale is None:
         kmers_per_sequence_scale = 0.2 if is_nucl else 0.0
     limit = parse_memory_limit(split_memory_limit)
+    if limit <= 0:
+        # no explicit limit: budget 90% of system memory minus what's
+        # already resident, exactly like Util::computeMemory
+        # (Util.cpp:640-653) — oversized tables then split automatically
+        from ..utils.progress import current_rss, total_system_memory
+        limit = max(int(total_system_memory() * 0.9) - current_rss(), 1)
     if hash_range is None and limit > 0:
         ranges = compute_hash_splits(
             db, k, kmers_per_sequence, kmers_per_sequence_scale, hash_shift,

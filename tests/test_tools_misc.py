@@ -214,3 +214,32 @@ def test_extractdomains(tmp_path):
     run_ours("extractdomains", dom, msadb, tmp_path / "my", "--threads", 1,
              "-e", 1000, "-c", 0.0)
     assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "my"))
+
+
+@needs_ref
+def test_extractdomains_ca3m(aa_db, tmp_path):
+    """--msa-type 0: the MSA DB is a compressed-A3M ffindex triple decoded
+    through CompressedA3M::extractA3M (extractdomains.cpp:219-233,273-277)."""
+    import shutil
+    from plass_tpu.data import seqdb
+    aln = str(tmp_path / "aln")
+    run_ref("kmermatcher", aa_db, tmp_path / "pref", "-k", 6,
+            "--kmer-per-seq", 60, "--threads", 1)
+    run_ref("align", aa_db, aa_db, tmp_path / "pref", aln, "-a",
+            "-e", 10000, "--threads", 1)
+    ca = str(tmp_path / "ca3m")
+    run_ref("result2msa", aa_db, aa_db, aln, ca, "--msa-format-mode", "1",
+            "--threads", "1")
+    shutil.copy(ca + "_ca3m.ffdata.dbtype", ca + ".dbtype")
+    w = seqdb.DBWriter(seqdb.ALIGNMENT_RES)
+    w.write(0, (b"0\tP001\t2\t35\t42\t0\t33\t40\t1e-20\n"
+                b"0\tP003\t10\t40\t42\t0\t30\t35\t1e-08\n"),
+            add_newline=False)
+    w.write(3, b"3\tP009\t5\t40\t45\t2\t37\t44\t1e-12\n", add_newline=False)
+    dom = str(tmp_path / "dom")
+    w.finish().save(dom)
+    run_ref("extractdomains", dom, ca, tmp_path / "ref", "--threads", 1,
+            "-e", 1000, "-c", 0.0, "--msa-type", 0)
+    run_ours("extractdomains", dom, ca, tmp_path / "my", "--threads", 1,
+             "-e", 1000, "-c", 0.0, "--msa-type", 0)
+    assert db_bytes(str(tmp_path / "ref")) == db_bytes(str(tmp_path / "my"))
