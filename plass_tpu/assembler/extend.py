@@ -270,36 +270,13 @@ def _flat_to_dict(db, flat):
     return out
 
 
-def _assemble_native(db, alignments, seq_id_thr, max_seq_len, keep_target,
-                     evaluer):
-    """Flatten inputs, run native/extend.cpp, rebuild the writer output in
-    the oracle's exact order (contigs in id order, then pass-through)."""
-    import ctypes
-    from .. import native
-
-    mat = constants.blosum62()
-    if evaluer is None:
-        evaluer = EvalueComputer.for_matrix("blosum62_ungapped",
-                                            db.total_residues())
+def _flatten_records(db, alignments, evaluer, lut, scale_seq_id):
+    """Flatten per-query alignment records (dict or return_flat format) into
+    id-ordered arrays for the native kernels, applying the initial rescale:
+    bit -> raw -> score-per-column x100; seqId is additionally scaled by
+    aln/(aln+0.5) on the protein path (assembleresult.cpp:161-169) but kept
+    raw on the nucleotide one (nuclassembleresult.cpp:176-184)."""
     n = db.size
-    lut = db.id_lookup_array()
-    # flat sequence arrays in id order, cached per SeqDB (rebuilt once per
-    # DB instead of once per iteration)
-    cache = getattr(db, "_flat_idorder", None)
-    if cache is None:
-        seq_lens = db.seq_lens().astype(np.int32)
-        seq_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(seq_lens, out=seq_off[1:])
-        total = int(seq_off[-1])
-        ll = seq_lens.astype(np.int64)
-        cols = np.arange(total) - np.repeat(seq_off[:-1], ll)
-        src = np.repeat(db.offsets, ll) + cols
-        seq_data = np.ascontiguousarray(db.data[src])
-        cache = db._flat_idorder = (seq_data, seq_off, seq_lens)
-    seq_data, seq_off, seq_lens = cache
-
-    # flatten alignment records per query in id order with the initial
-    # rescale (bit -> raw -> score-per-column x100; seqId x aln/(aln+.5))
     keys = db.keys.astype(np.uint32)
     if isinstance(alignments, dict) and "qk" in alignments \
             and "rec" in alignments:
@@ -326,7 +303,11 @@ def _assemble_native(db, alignments, seq_id_thr, max_seq_len, keep_target,
             recs["score"].astype(np.float64)) + 0.5)
         aln_len = recs["alnLength"].astype(np.int64)
         score = ((raw / (aln_len + 0.5)) * 100).astype(np.int32)
-        seq_id = (recs["seqId"].astype(np.float64) * aln_len) / (aln_len + 0.5)
+        if scale_seq_id:
+            seq_id = (recs["seqId"].astype(np.float64) * aln_len) \
+                / (aln_len + 0.5)
+        else:
+            seq_id = recs["seqId"].astype(np.float64)
         dbid = lut[recs["dbKey"].astype(np.int64)].astype(np.int32)
         a = dict(
             dbkey=np.ascontiguousarray(recs["dbKey"].astype(np.uint32)),
@@ -345,6 +326,94 @@ def _assemble_native(db, alignments, seq_id_thr, max_seq_len, keep_target,
         a = dict(dbkey=np.zeros(0, dtype=np.uint32), dbid=z32, score=z32,
                  seqid=np.zeros(0, dtype=np.float64), alnlen=z32, qs=z32,
                  qe=z32, qlen=z32, ts=z32, te=z32, tlen=z32)
+    return aln_off, a
+
+
+def _native_ptr(arr, ct):
+    import ctypes
+    return arr.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def _native_output_db(db, keys, seq_data, seq_off, seq_lens, flags, out_buf,
+                      out_off, out_len, out_is_contig, keep_target):
+    """Build the output SeqDB directly with vectorized record placement —
+    same bytes as DBWriter (payload + "\\n\\x00", write order = contigs in
+    id order then pass-through, index key-sorted) without ~N Python round
+    trips through per-record write() calls."""
+    from ..data import seqdb as seqdb_mod
+
+    contig_rows = np.nonzero(out_is_contig)[0]
+    not_contig = (flags & IS_CONTIG) == 0
+    not_consumed = (flags & WAS_CONSUMED) == 0
+    keep = not_contig & (not_consumed | keep_target)
+    keep_rows = np.nonzero(keep)[0]
+
+    def _payload_positions(dst_off, lens):
+        total = int(lens.sum())
+        cum = np.cumsum(lens) - lens
+        cols = np.arange(total) - np.repeat(cum, lens)
+        return np.repeat(dst_off, lens) + cols, cols
+
+    c_len = out_len[contig_rows].astype(np.int64)
+    k_len = seq_lens[keep_rows].astype(np.int64)
+    rec_lens = np.concatenate([c_len, k_len]) + 2
+    dst_off = np.zeros(len(rec_lens), dtype=np.int64)
+    if len(rec_lens) > 1:
+        np.cumsum(rec_lens[:-1], out=dst_off[1:])
+    data = np.empty(int(rec_lens.sum()), dtype=np.uint8)
+    nc = len(contig_rows)
+    if nc:
+        dpos, cols = _payload_positions(dst_off[:nc], c_len)
+        data[dpos] = out_buf[np.repeat(out_off[contig_rows], c_len) + cols]
+    if len(keep_rows):
+        dpos, cols = _payload_positions(dst_off[nc:], k_len)
+        data[dpos] = seq_data[np.repeat(seq_off[keep_rows], k_len) + cols]
+    data[dst_off + rec_lens - 2] = np.uint8(ord("\n"))
+    data[dst_off + rec_lens - 1] = 0
+    out_keys = np.concatenate([keys[contig_rows], keys[keep_rows]])
+    order = np.argsort(out_keys, kind="stable")
+    return seqdb_mod.SeqDB(data, out_keys[order], dst_off[order],
+                           rec_lens[order], db.dbtype)
+
+
+def _flat_seqs(db):
+    """Flat sequence arrays in id order, cached per SeqDB (rebuilt once per
+    DB instead of once per iteration)."""
+    cache = getattr(db, "_flat_idorder", None)
+    if cache is None:
+        n = db.size
+        seq_lens = db.seq_lens().astype(np.int32)
+        seq_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(seq_lens, out=seq_off[1:])
+        total = int(seq_off[-1])
+        ll = seq_lens.astype(np.int64)
+        cols = np.arange(total) - np.repeat(seq_off[:-1], ll)
+        src = np.repeat(db.offsets, ll) + cols
+        seq_data = np.ascontiguousarray(db.data[src])
+        cache = db._flat_idorder = (seq_data, seq_off, seq_lens)
+    return cache
+
+
+def _assemble_native(db, alignments, seq_id_thr, max_seq_len, keep_target,
+                     evaluer):
+    """Flatten inputs, run native/extend.cpp, rebuild the writer output in
+    the oracle's exact order (contigs in id order, then pass-through)."""
+    import ctypes
+    from .. import native
+
+    mat = constants.blosum62()
+    if evaluer is None:
+        evaluer = EvalueComputer.for_matrix("blosum62_ungapped",
+                                            db.total_residues())
+    n = db.size
+    lut = db.id_lookup_array()
+    seq_data, seq_off, seq_lens = _flat_seqs(db)
+
+    # flatten alignment records per query in id order with the initial
+    # rescale (bit -> raw -> score-per-column x100; seqId x aln/(aln+.5))
+    keys = db.keys.astype(np.uint32)
+    aln_off, a = _flatten_records(db, alignments, evaluer, lut,
+                                  scale_seq_id=True)
 
     ascii_mat = np.ascontiguousarray(mat.ascii_mat.astype(np.int16))
     flags = np.zeros(n, dtype=np.uint8)
@@ -378,40 +447,6 @@ def _assemble_native(db, alignments, seq_id_thr, max_seq_len, keep_target,
         cap *= 2
         flags[:] = 0
 
-    # build the output SeqDB directly with vectorized record placement —
-    # same bytes as DBWriter (payload + "\n\x00", write order = contigs in
-    # id order then pass-through, index key-sorted) without ~N Python
-    # round trips through per-record write() calls
-    contig_rows = np.nonzero(out_is_contig)[0]
-    not_contig = (flags & IS_CONTIG) == 0
-    not_consumed = (flags & WAS_CONSUMED) == 0
-    keep = not_contig & (not_consumed | keep_target)
-    keep_rows = np.nonzero(keep)[0]
-
-    def _payload_positions(dst_off, lens):
-        total = int(lens.sum())
-        rows = np.repeat(np.arange(len(lens)), lens)
-        cum = np.cumsum(lens) - lens
-        cols = np.arange(total) - np.repeat(cum, lens)
-        return np.repeat(dst_off, lens) + cols, rows, cols
-
-    c_len = out_len[contig_rows].astype(np.int64)
-    k_len = seq_lens[keep_rows].astype(np.int64)
-    rec_lens = np.concatenate([c_len, k_len]) + 2
-    dst_off = np.zeros(len(rec_lens), dtype=np.int64)
-    if len(rec_lens) > 1:
-        np.cumsum(rec_lens[:-1], out=dst_off[1:])
-    data = np.empty(int(rec_lens.sum()), dtype=np.uint8)
-    nc = len(contig_rows)
-    if nc:
-        dpos, _, cols = _payload_positions(dst_off[:nc], c_len)
-        data[dpos] = out_buf[np.repeat(out_off[contig_rows], c_len) + cols]
-    if len(keep_rows):
-        dpos, _, cols = _payload_positions(dst_off[nc:], k_len)
-        data[dpos] = seq_data[np.repeat(seq_off[keep_rows], k_len) + cols]
-    data[dst_off + rec_lens - 2] = np.uint8(ord("\n"))
-    data[dst_off + rec_lens - 1] = 0
-    out_keys = np.concatenate([keys[contig_rows], keys[keep_rows]])
-    order = np.argsort(out_keys, kind="stable")
-    return seqdb.SeqDB(data, out_keys[order], dst_off[order],
-                       rec_lens[order], db.dbtype), flags
+    return _native_output_db(db, keys, seq_data, seq_off, seq_lens, flags,
+                             out_buf, out_off, out_len, out_is_contig,
+                             keep_target), flags

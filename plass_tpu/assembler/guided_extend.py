@@ -38,10 +38,22 @@ def _parsed_seq_id(seq_id):
 
 def guided_assemble(nucl_db, aa_db, alignments, seq_id_thr=0.99,
                     max_seq_len=200000, keep_target=True,
-                    rescore_mode=RESCORE_END_TO_END):
+                    rescore_mode=RESCORE_END_TO_END, use_native=True):
     """alignments: {query_key: [proteinaln2nucl record dicts]}.
 
-    Returns (nucl_out, aa_out, was_extended)."""
+    Returns (nucl_out, aa_out, was_extended). Runs in the native kernel
+    (native/nucl_extend.cpp guided_assemble_greedy) unless
+    use_native=False or the two DBs are not row-aligned."""
+    if use_native and rescore_mode == RESCORE_END_TO_END \
+            and np.array_equal(nucl_db.keys, aa_db.keys):
+        try:
+            return _guided_assemble_native(nucl_db, aa_db, alignments,
+                                           seq_id_thr, max_seq_len,
+                                           keep_target)
+        except Exception as e:  # pragma: no cover - fallback safety
+            import warnings
+            warnings.warn(f"native guided assemble failed ({e}); "
+                          f"python fallback")
     mat = constants.nucleotide()
     ascii_mat = mat.ascii_mat
     lut = nucl_db.id_lookup_array()
@@ -170,3 +182,102 @@ def guided_assemble(nucl_db, aa_db, alignments, seq_id_thr=0.99,
 
     return (nucl_writer.finish(sort_by_key=True),
             aa_writer.finish(sort_by_key=True), was_extended)
+
+
+def _guided_assemble_native(nucl_db, aa_db, alignments, seq_id_thr,
+                            max_seq_len, keep_target):
+    """Flatten the per-query record dicts (pre-filtered by the parsed-text
+    seqId threshold, guidedassembleresult.cpp:197-201), run the native
+    lockstep kernel, rebuild both output DBs in the oracle's order."""
+    import ctypes
+    from .extend import _flat_seqs, _native_output_db, _native_ptr as ptr
+    from .. import constants as _c
+    from .. import native
+
+    mat = _c.nucleotide()
+    n = nucl_db.size
+    lut = nucl_db.id_lookup_array()
+    seq_data, seq_off, seq_lens = _flat_seqs(nucl_db)
+    aa_data, aa_off_flat, aa_lens = _flat_seqs(aa_db)
+    keys = nucl_db.keys.astype(np.uint32)
+
+    counts = np.zeros(n + 1, dtype=np.int64)
+    n_aln_raw = np.zeros(n, dtype=np.int32)
+    flat = {k: [] for k in ("dbkey", "dbid", "score", "seqid", "alnlen",
+                            "qs", "qe", "qlen", "ts", "te", "tlen")}
+    for i in range(n):
+        recs = alignments.get(int(keys[i]), [])
+        n_aln_raw[i] = len(recs)
+        kept = 0
+        for r in recs:
+            seq_id = _parsed_seq_id(r["seqId"])
+            if seq_id < seq_id_thr:
+                continue
+            qs, qe = int(r["qStartPos"]), int(r["qEndPos"])
+            ts, te = int(r["dbStartPos"]), int(r["dbEndPos"])
+            flat["dbkey"].append(int(r["dbKey"]))
+            flat["dbid"].append(int(lut[int(r["dbKey"])]))
+            flat["score"].append(int(r["score"]))
+            flat["seqid"].append(seq_id)
+            flat["alnlen"].append(max(qe - qs, te - ts) + 1)
+            flat["qs"].append(qs)
+            flat["qe"].append(qe)
+            flat["qlen"].append(int(r["qLen"]))
+            flat["ts"].append(ts)
+            flat["te"].append(te)
+            flat["tlen"].append(int(r["dbLen"]))
+            kept += 1
+        counts[i + 1] = kept
+    aln_off = np.cumsum(counts)
+    a = {k: np.ascontiguousarray(
+            np.asarray(v, dtype=np.float64 if k == "seqid" else
+                       (np.uint32 if k == "dbkey" else np.int32)))
+         for k, v in flat.items()}
+
+    ascii_mat = np.ascontiguousarray(mat.ascii_mat.astype(np.int16))
+    flags = np.zeros(n, dtype=np.uint8)
+    n_out_off = np.zeros(n, dtype=np.int64)
+    n_out_len = np.zeros(n, dtype=np.int64)
+    a_out_off = np.zeros(n, dtype=np.int64)
+    a_out_len = np.zeros(n, dtype=np.int64)
+    out_is_contig = np.zeros(n, dtype=np.uint8)
+    n_cap = int(seq_off[-1]) + int(a["tlen"].sum()) + 1024
+    a_cap = int(aa_off_flat[-1]) + int(a["tlen"].sum()) // 3 + 1024
+    lib = native.lib()
+
+    while True:
+        n_buf = np.empty(n_cap, dtype=np.uint8)
+        a_buf = np.empty(a_cap, dtype=np.uint8)
+        rc = lib.guided_assemble_greedy(
+            ptr(seq_data, ctypes.c_uint8), ptr(seq_off, ctypes.c_int64),
+            ptr(seq_lens, ctypes.c_int32),
+            ptr(aa_data, ctypes.c_uint8), ptr(aa_off_flat, ctypes.c_int64),
+            ptr(aa_lens, ctypes.c_int32),
+            ptr(keys, ctypes.c_uint32), np.int32(n),
+            ptr(aln_off, ctypes.c_int64), ptr(n_aln_raw, ctypes.c_int32),
+            ptr(a["dbkey"], ctypes.c_uint32), ptr(a["dbid"], ctypes.c_int32),
+            ptr(a["score"], ctypes.c_int32), ptr(a["seqid"], ctypes.c_double),
+            ptr(a["alnlen"], ctypes.c_int32), ptr(a["qs"], ctypes.c_int32),
+            ptr(a["qe"], ctypes.c_int32), ptr(a["qlen"], ctypes.c_int32),
+            ptr(a["ts"], ctypes.c_int32), ptr(a["te"], ctypes.c_int32),
+            ptr(a["tlen"], ctypes.c_int32), ptr(ascii_mat, ctypes.c_int16),
+            float(seq_id_thr), int(max_seq_len),
+            ptr(flags, ctypes.c_uint8),
+            ptr(n_buf, ctypes.c_uint8), np.int64(n_cap),
+            ptr(n_out_off, ctypes.c_int64), ptr(n_out_len, ctypes.c_int64),
+            ptr(a_buf, ctypes.c_uint8), np.int64(a_cap),
+            ptr(a_out_off, ctypes.c_int64), ptr(a_out_len, ctypes.c_int64),
+            ptr(out_is_contig, ctypes.c_uint8))
+        if rc == 0:
+            break
+        n_cap *= 2
+        a_cap *= 2
+        flags[:] = 0
+
+    nucl_out = _native_output_db(nucl_db, keys, seq_data, seq_off, seq_lens,
+                                 flags, n_buf, n_out_off, n_out_len,
+                                 out_is_contig, keep_target)
+    aa_out = _native_output_db(aa_db, keys, aa_data, aa_off_flat, aa_lens,
+                               flags, a_buf, a_out_off, a_out_len,
+                               out_is_contig, keep_target)
+    return nucl_out, aa_out, flags

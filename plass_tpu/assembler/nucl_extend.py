@@ -140,8 +140,23 @@ def _select_nucl_fragment(heap, query_key):
 
 def nucl_assemble(db, alignments, seq_id_thr=0.99, max_seq_len=200000,
                   keep_target=True, rescore_mode=RESCORE_END_TO_END,
-                  evaluer=None):
-    """nuclassembleresults: db + per-query alignments -> extended DB."""
+                  evaluer=None, use_native=True):
+    """nuclassembleresults: db + per-query alignments -> extended DB.
+
+    Runs in the native kernel (native/nucl_extend.cpp, same semantics
+    incl. the libstdc++ heap order) unless use_native=False."""
+    if use_native and rescore_mode == RESCORE_END_TO_END:
+        try:
+            return _nucl_assemble_native(db, alignments, seq_id_thr,
+                                         max_seq_len, keep_target, evaluer)
+        except Exception as e:  # pragma: no cover - fallback safety
+            import warnings
+            warnings.warn(f"native nucl assemble failed ({e}); "
+                          f"python fallback")
+    if isinstance(alignments, dict) and "qk" in alignments \
+            and "rec" in alignments:
+        from .extend import _flat_to_dict
+        alignments = _flat_to_dict(db, alignments)
     mat = constants.nucleotide()
     ascii_mat = mat.ascii_mat
     if evaluer is None:
@@ -276,3 +291,73 @@ def nucl_assemble(db, alignments, seq_id_thr=0.99, max_seq_len=200000,
             writer.write(int(db.keys[i]), db.get_seq_bytes(i))
 
     return writer.finish(sort_by_key=True), was_extended
+
+
+def revcomp_char_lut():
+    """256-byte char-level reverse-complement LUT replicating
+    getRevFragment's numeric round trip (aa2num -> reverse -> num2aa with
+    X -> 'N', assembleresult.cpp:59-68) for every possible byte."""
+    mat = constants.nucleotide()
+    num = mat.aa2num[np.arange(256, dtype=np.int64)]
+    chars = mat.num2aa[mat.reverse[num]]
+    return np.ascontiguousarray(
+        np.where(chars == ord("X"), np.uint8(ord("N")), chars).astype(np.uint8))
+
+
+def _nucl_assemble_native(db, alignments, seq_id_thr, max_seq_len,
+                          keep_target, evaluer):
+    """Flatten inputs, run native/nucl_extend.cpp, rebuild the writer
+    output in the oracle's exact order. The coordinate swap for reverse-
+    strand hits and the per-query use_reverse map live in the kernel."""
+    import ctypes
+    from .extend import (_flat_seqs, _flatten_records, _native_output_db,
+                         _native_ptr as ptr)
+    from .. import native
+
+    mat = constants.nucleotide()
+    if evaluer is None:
+        evaluer = EvalueComputer.for_matrix("nucleotide_ungapped",
+                                            db.total_residues())
+    n = db.size
+    lut = db.id_lookup_array()
+    seq_data, seq_off, seq_lens = _flat_seqs(db)
+    keys = db.keys.astype(np.uint32)
+    # nucleotide initial rescore keeps seqId unscaled
+    # (nuclassembleresult.cpp:176-184)
+    aln_off, a = _flatten_records(db, alignments, evaluer, lut,
+                                  scale_seq_id=False)
+
+    ascii_mat = np.ascontiguousarray(mat.ascii_mat.astype(np.int16))
+    rc_lut = revcomp_char_lut()
+    flags = np.zeros(n, dtype=np.uint8)
+    out_off = np.zeros(n, dtype=np.int64)
+    out_len = np.zeros(n, dtype=np.int64)
+    out_is_contig = np.zeros(n, dtype=np.uint8)
+    cap = int(seq_off[-1]) + int(a["tlen"].sum()) + 1024
+    lib = native.lib()
+
+    while True:
+        out_buf = np.empty(cap, dtype=np.uint8)
+        rc = lib.nucl_assemble_greedy(
+            ptr(seq_data, ctypes.c_uint8), ptr(seq_off, ctypes.c_int64),
+            ptr(seq_lens, ctypes.c_int32), ptr(keys, ctypes.c_uint32),
+            np.int32(n), ptr(aln_off, ctypes.c_int64),
+            ptr(a["dbkey"], ctypes.c_uint32), ptr(a["dbid"], ctypes.c_int32),
+            ptr(a["score"], ctypes.c_int32), ptr(a["seqid"], ctypes.c_double),
+            ptr(a["alnlen"], ctypes.c_int32), ptr(a["qs"], ctypes.c_int32),
+            ptr(a["qe"], ctypes.c_int32), ptr(a["qlen"], ctypes.c_int32),
+            ptr(a["ts"], ctypes.c_int32), ptr(a["te"], ctypes.c_int32),
+            ptr(a["tlen"], ctypes.c_int32), ptr(ascii_mat, ctypes.c_int16),
+            ptr(rc_lut, ctypes.c_uint8), float(seq_id_thr),
+            int(max_seq_len), ptr(flags, ctypes.c_uint8),
+            ptr(out_buf, ctypes.c_uint8), np.int64(cap),
+            ptr(out_off, ctypes.c_int64), ptr(out_len, ctypes.c_int64),
+            ptr(out_is_contig, ctypes.c_uint8))
+        if rc == 0:
+            break
+        cap *= 2
+        flags[:] = 0
+
+    return _native_output_db(db, keys, seq_data, seq_off, seq_lens, flags,
+                             out_buf, out_off, out_len, out_is_contig,
+                             keep_target), flags

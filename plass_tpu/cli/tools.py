@@ -621,21 +621,28 @@ def _result2repseq(positional, space):
 
 
 _STRTOD_RE = re.compile(
-    r"^[ \t]*[+-]?(?:inf(?:inity)?|nan|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
-    r"|0[xX][0-9a-fA-F]+)", re.IGNORECASE)
+    r"^[ \t]*[+-]?(?:inf(?:inity)?|nan|0[xX][0-9a-fA-F]+"
+    r"|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)", re.IGNORECASE)
 
 
 def _strtod(tok):
-    """C strtod: parse the longest numeric prefix; None when nothing parses."""
+    """C strtod: parse the longest numeric prefix; None when nothing parses.
+
+    Hex literals are tried before decimals so '0x1A' binds 26.0, not the
+    '0' prefix; a finite-looking literal that overflows to inf is treated
+    as unparseable, matching the ERANGE path (filterdb.cpp:330 keeps the
+    stale variable value in that case)."""
     m = _STRTOD_RE.match(tok)
     if not m:
         return None
     s = m.group(0).strip()
     try:
-        return float.fromhex(s) if s[:2].lower() in ("0x", "-0", "+0") and \
-            "x" in s.lower() else float(s)
+        val = float.fromhex(s) if "x" in s.lower() else float(s)
     except ValueError:
         return None
+    if val in (float("inf"), float("-inf")) and "inf" not in s.lower():
+        return None
+    return val
 
 
 def _filterdb(positional, space):
@@ -648,7 +655,9 @@ def _filterdb(positional, space):
     v = space.values
     path = v.get("filter_file", "")
     db = seqdb.SeqDB.open(positional[0])
-    if path:
+    # mode precedence mirrors filterdb.cpp:117-215: sort-entries wins over
+    # everything, then file filtering, then the elif chain below
+    if path and not v.get("sort_entries", 0):
         # FILE_FILTERING (filterdb.cpp:120-176,389-406): the filter set is
         # the first column of every line in the file (or a DB's data file,
         # NUL bytes skipped); string membership on the filter column;
@@ -711,7 +720,12 @@ def _filterdb(positional, space):
         lines = [l for l in db.get_data(i).tobytes().decode().splitlines()
                  if l]
         out = []
-        if mapping_file:
+        if sort_entries:
+            vals = [float(l.split("\t")[col]) for l in lines]
+            order = sorted(range(len(lines)), key=lambda j: vals[j],
+                           reverse=(sort_entries == 2))
+            out = [lines[j] for j in order]
+        elif mapping_file:
             # FILE_MAPPING (filterdb.cpp:407-452): replace the filter
             # column with each mapped value; unmapped lines are dropped
             for l in lines:
@@ -720,18 +734,6 @@ def _filterdb(positional, space):
                                        ()):
                     out.append("\t".join(cols[:col] + [val]
                                           + cols[col + 1:]))
-        elif regex:
-            import re as _re
-            pat = _re.compile(regex)
-            for l in lines:
-                cols = l.split("\t")
-                if pat.search(cols[col]):
-                    out.append(cols[col] if trim else l)
-        elif sort_entries:
-            vals = [float(l.split("\t")[col]) for l in lines]
-            order = sorted(range(len(lines)), key=lambda j: vals[j],
-                           reverse=(sort_entries == 2))
-            out = [lines[j] for j in order]
         elif extract_lines > 0:
             out = lines[:extract_lines]
         elif beats_first:
@@ -769,6 +771,15 @@ def _filterdb(positional, space):
                         logger.warning(f"Can not parse column {ci}!")
                 if expression.evaluate() != 0:
                     out.append(l)
+        elif regex:
+            # REGEX_FILTERING is the reference's fallback mode, ranked
+            # below expression filtering (filterdb.cpp:207-215)
+            import re as _re
+            pat = _re.compile(regex)
+            for l in lines:
+                cols = l.split("\t")
+                if pat.search(cols[col]):
+                    out.append(cols[col] if trim else l)
         else:
             out = lines
         if trim and not regex and not mapping_file:

@@ -11,8 +11,8 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-_SOURCES = ["ssw.cpp", "extend.cpp", "banded.cpp", "tantan.cpp", "pssm.cpp",
-            "ungapped.cpp", "profilestates.cpp"]
+_SOURCES = ["ssw.cpp", "extend.cpp", "nucl_extend.cpp", "banded.cpp",
+            "tantan.cpp", "pssm.cpp", "ungapped.cpp", "profilestates.cpp"]
 
 
 def _build(so_path):
@@ -58,6 +58,19 @@ def lib():
             i32p, i32p, i16p, ctypes.c_double, ctypes.c_int64,
             u8p, u8p, ctypes.c_int64, i64p, i64p, u8p]
         _LIB.assemble_greedy.restype = ctypes.c_int
+        _LIB.nucl_assemble_greedy.argtypes = [
+            u8p, i64p, i32p, u32p, ctypes.c_int32,
+            i64p, u32p, i32p, i32p, f64p, i32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i16p, u8p, ctypes.c_double, ctypes.c_int64,
+            u8p, u8p, ctypes.c_int64, i64p, i64p, u8p]
+        _LIB.nucl_assemble_greedy.restype = ctypes.c_int
+        _LIB.guided_assemble_greedy.argtypes = [
+            u8p, i64p, i32p, u8p, i64p, i32p, u32p, ctypes.c_int32,
+            i64p, i32p, u32p, i32p, i32p, f64p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, i16p, ctypes.c_double, ctypes.c_int64, u8p,
+            u8p, ctypes.c_int64, i64p, i64p,
+            u8p, ctypes.c_int64, i64p, i64p, u8p]
+        _LIB.guided_assemble_greedy.restype = ctypes.c_int
         i8p = ctypes.POINTER(ctypes.c_int8)
         _LIB.banded_backtrace.argtypes = [
             u8p, ctypes.c_int32, u8p, ctypes.c_int32, i8p, i8p,

@@ -143,6 +143,8 @@ class KmerHits(tuple):
     dev_m = 0         # static fetched-slice length covering all n hits
     group_starts = None
     hit_slots = None
+    pre = None        # sharded path: carried (score, first, last, idents)
+    pre_mode = None   # rescore mode the carried columns were computed with
 
 
 def _insert_self_hits(db, rep, tgt, score, diag, dev=None, dev_m=0):
@@ -182,17 +184,23 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
                         ignore_multi_kmer=False,
                         include_only_extendable=False, cov_thr=0.0,
                         n_devices=None, bucket_capacity=None,
-                        max_retries=4):
+                        max_retries=4, return_arrays=False):
     """Multi-chip kmermatcher over a jax.sharding.Mesh of all local devices
     (parallel/mesh.py): data-parallel selection, hash-range all_to_all,
     per-shard pair emission, representative-routed exchange, local hit
-    emission. Returns the host hits-dict format.
+    emission + on-shard END_TO_END rescoring.
+
+    With return_arrays (the product path), returns KmerHits flat arrays
+    whose hit rows CARRY the mesh step's stage-5 rescore columns —
+    rescore_diagonal_jax consumes them directly instead of re-dispatching
+    the scan. Otherwise returns the host hits-dict format.
 
     Documented deviation: sharded runs use clean per-(rep,target) runs
     (absorb=False) because the single-device absorption quirk
     (kmermatcher.cpp:880-898) cannot cross shard boundaries — matching the
     reference's own MPI hash-range splits, whose run scans also restart at
-    split boundaries.
+    split boundaries (verified against the reference binary's
+    --split-memory-limit path in tests/test_split.py).
     """
     import jax
     from ..parallel.mesh import make_mesh, sharded_iteration_fn
@@ -230,7 +238,7 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
         fn = sharded_iteration_fn(mesh, params, bucket_capacity,
                                   hit_capacity, alpha)
         rowids = np.arange(n_pad, dtype=np.uint32)
-        cr, ct, cs, cd, cv, _score, _idents, overflow = fn(
+        cr, ct, cs, cd, cv, r_score, r_fl, r_idents, overflow = fn(
             jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(rowids),
             jnp.asarray(score_codes), jnp.asarray(chars),
             jnp.asarray(lengths), jnp.asarray(sub_flat), jnp.asarray(comp),
@@ -253,8 +261,27 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
     cs = np.asarray(cs)
     cd = np.asarray(cd)
     cv = np.asarray(cv)
-    hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
     keymap = row_keys
+    if return_arrays:
+        # compact valid hits, stable-sort by representative KEY so groups
+        # arrive in ascending-query order (the hits-dict iteration order),
+        # and carry the stage-5 rescore columns alongside each hit row
+        sel = np.nonzero(cv)[0]
+        qk_keys = keymap[cr[sel]].astype(np.int64)
+        order = np.argsort(qk_keys, kind="stable")
+        sel = sel[order]
+        rep_k = keymap[cr[sel]].astype(np.uint32)
+        tgt_k = keymap[ct[sel]].astype(np.uint32)
+        fl = np.asarray(r_fl)[sel]
+        out = _insert_self_hits(db, rep_k, tgt_k, cs[sel].astype(np.int32),
+                                cd[sel])
+        out.pre = (np.asarray(r_score)[sel].astype(np.int64),
+                   (fl >> 16).astype(np.int32),
+                   ((fl & 0xFFFF) ^ 0x8000).astype(np.int32) - 0x8000,
+                   np.asarray(r_idents)[sel].astype(np.float64))
+        out.pre_mode = 3
+        return out
+    hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
     for r, t, s, d in zip(cr[cv].tolist(), ct[cv].tolist(),
                           cs[cv].tolist(), cd[cv].tolist()):
         rk = int(keymap[r])
@@ -476,6 +503,19 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
     ov_h = np.where(dg >= 0, np.minimum(tlen_h, qlen_h - dist),
                     np.minimum(tlen_h - dist, qlen_h))
     ov_h = np.maximum(ov_h, 0)
+
+    # sharded path: hit rows already carry the mesh step's stage-5 rescore
+    # columns — consume them instead of re-dispatching the diagonal scan
+    if isinstance(hits, KmerHits) and hits.pre is not None \
+            and params.rescore_mode == hits.pre_mode:
+        p_sc, p_first, p_last, p_id = hits.pre
+        slots = hits.hit_slots
+        score[slots] = p_sc
+        first[slots] = p_first
+        last[slots] = p_last
+        ov[slots] = ov_h[slots].astype(np.int32)
+        idents[slots] = p_id
+        done[slots] = True
     w = 128
     widths = []
     while w < lmax:

@@ -394,6 +394,19 @@ def parse_memory_limit(s):
 ENTRY_BYTES = 20  # kmer u64 + id u32 + pos i32 + len i32
 
 
+def estimate_kmer_count(db, k, kmers_per_sequence, kmers_per_sequence_scale):
+    """Arithmetic upper bound on the k-mer table size — the reference's
+    computeKmerCount (kmermatcher.cpp:576-586): per sequence
+    min(max(1, L-k+2), kmersPerSequence + scale*L), the +2 covering the
+    whole-sequence hash entry. No extraction pass, just the lengths."""
+    L = db.seq_lens().astype(np.int64)
+    avail = np.maximum(1, L - k + 2)
+    want = (kmers_per_sequence
+            + (np.float32(kmers_per_sequence_scale) * L.astype(np.float32))
+            ).astype(np.int64)
+    return int(np.minimum(avail, want).sum())
+
+
 def compute_hash_splits(db, k, kmers_per_sequence, kmers_per_sequence_scale,
                         hash_shift, ignore_multi_kmer, memory_limit_bytes,
                         seed_mat=None):
@@ -451,14 +464,36 @@ def kmermatcher(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     limit = parse_memory_limit(split_memory_limit)
     if limit <= 0:
         # no explicit limit: budget 90% of system memory minus what's
-        # already resident, exactly like Util::computeMemory
-        # (Util.cpp:640-653) — oversized tables then split automatically
+        # already resident, like Util::computeMemory (Util.cpp:640-653);
+        # when residency already exceeds the budget the reference errors
+        # out instead of degrading into thousands of micro-splits
         from ..utils.progress import current_rss, total_system_memory
-        limit = max(int(total_system_memory() * 0.9) - current_rss(), 1)
+        budget = int(total_system_memory() * 0.9)
+        rss = current_rss()
+        if rss > budget:
+            raise MemoryError(
+                f"current residency {rss / 1e9:.2f} GB already exceeds the "
+                f"90%-of-RAM budget {budget / 1e9:.2f} GB; pass an explicit "
+                f"--split-memory-limit")
+        limit = budget - rss
     if hash_range is None and limit > 0:
-        ranges = compute_hash_splits(
-            db, k, kmers_per_sequence, kmers_per_sequence_scale, hash_shift,
-            ignore_multi_kmer, limit)
+        # arithmetic estimate first (computeKmerCount, kmermatcher.cpp:
+        # 576-586): the exact-histogram pass only runs when the estimate
+        # says the table cannot fit, so the common ample-memory call does
+        # no extra k-mer extraction work
+        est = estimate_kmer_count(db, k, kmers_per_sequence,
+                                  kmers_per_sequence_scale)
+        if est * ENTRY_BYTES <= limit:
+            ranges = [(0, 0xFFFF)]
+            # swap guard: an explicit limit above physical memory would let
+            # a monolithic table thrash (the auto path can't get here —
+            # its limit is already below residual RAM)
+            from ..utils.progress import MemoryTracker
+            MemoryTracker().check(est * ENTRY_BYTES, "k-mer table")
+        else:
+            ranges = compute_hash_splits(
+                db, k, kmers_per_sequence, kmers_per_sequence_scale,
+                hash_shift, ignore_multi_kmer, limit)
     else:
         ranges = [hash_range if hash_range is not None else (0, 0xFFFF)]
     parts = []

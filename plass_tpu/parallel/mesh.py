@@ -142,6 +142,8 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
         overflow = (drop1 + drop2 + drop3).reshape(1)
 
         # ---- stage 5: rescore hits locally against replicated sequences
+        # (first/last ride back packed so the workflow can consume this
+        # rescore directly instead of re-dispatching — the product path)
         qrow = cr.astype(jnp.int32)
         trow = ct.astype(jnp.int32)
         qrev = cs < 0
@@ -149,12 +151,14 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
             codes, chars_arr, all_lengths,
             jnp.where(cv, qrow, 0), jnp.where(cv, trow, 0),
             cd, qrev & cv, sub_flat, comp, c2c, alpha, mode=3)
-        return cr, ct, cs, cd, cv, score, idents, overflow
+        fl = (first.astype(jnp.int32) << 16) | (last.astype(jnp.int32)
+                                                & 0xFFFF)
+        return cr, ct, cs, cd, cv, score, fl, idents, overflow
 
     in_specs = (P(axis), P(axis), P(axis),     # seqs, lengths, keys sharded
                 P(), P(), P(), P(), P(), P(),  # replicated arrays + luts
                 P())
-    out_specs = tuple(P(axis) for _ in range(8))
+    out_specs = tuple(P(axis) for _ in range(9))
     try:
         smap = jax.shard_map
     except AttributeError:  # older jax

@@ -295,11 +295,11 @@ class _Parser:
             if name in _CONSTS:
                 return (lambda x: lambda v: x)(_CONSTS[name])
             if name in _FUNCS1:
-                if not self._match("("):
-                    raise ExprError(f"{name} needs an argument")
-                arg = self._expr()
-                if not self._match(")"):
-                    raise ExprError("missing )")
+                # tinyexpr grammar: <function-1> <power> (tinyexpr.c:360,
+                # 393-400) — the argument needs no parentheses ('sqrt $1',
+                # 'log 100'), and 'sqrt 2+1' means sqrt(2)+1; parenthesized
+                # calls parse unchanged via the paren base rule
+                arg = self._power()
                 return (lambda f, a: lambda v: float(f(a(v))))(
                     _FUNCS1[name], arg)
             if name in _FUNCS2:

@@ -142,8 +142,9 @@ class MemoryTracker:
     "Process needs more than ... main memory" aborts (DBReader.cpp:57-63).
 
     check(n_bytes) logs one warning when the projected footprint crosses
-    90% of the limit and raises MemoryError past the limit itself when
-    strict. The kmermatcher uses this to decide hash-range split counts.
+    the limit and raises MemoryError instead when strict. The kmermatcher
+    runs it before a monolithic table allocation as the swap guard for
+    user-supplied --split-memory-limit values above physical memory.
     """
 
     def __init__(self, limit=None, strict=False):

@@ -124,14 +124,19 @@ def run_nuclassemble(input_files, out_file, tmp_base, params=None,
         if p.backend in ("jax", "sharded"):
             from ..ops.backend import (kmermatcher_jax, kmermatcher_sharded,
                                        rescore_diagonal_jax)
-            matcher = (kmermatcher_sharded if p.backend == "sharded"
-                       else kmermatcher_jax)
-            hits = matcher(
-                current, p.kmer_size, kmers_per_sequence=p.kmers_per_sequence,
+            kw = dict(
+                kmers_per_sequence=p.kmers_per_sequence,
                 kmers_per_sequence_scale=p.kmers_per_sequence_scale,
                 hash_shift=p.hash_shift, ignore_multi_kmer=p.ignore_multi_kmer,
                 include_only_extendable=p.include_only_extendable,
                 cov_thr=p.cov_thr)
+            if p.backend == "sharded":
+                hits = kmermatcher_sharded(current, p.kmer_size, **kw)
+            else:
+                # flat-array fast path: no per-hit Python dict loop between
+                # the matcher, the device rescorer, and the native extender
+                hits = kmermatcher_jax(current, p.kmer_size,
+                                       return_arrays=True, **kw)
         else:
             hits = kmermatcher(
                 current, p.kmer_size, kmers_per_sequence=p.kmers_per_sequence,
@@ -145,7 +150,8 @@ def run_nuclassemble(input_files, out_file, tmp_base, params=None,
                            cov_thr=p.cov_thr, cov_mode=p.cov_mode,
                            eval_thr=p.eval_thr, aln_len_thr=p.min_aln_len)
         if p.backend in ("jax", "sharded"):
-            alns = rescore_diagonal_jax(current, hits, rp, ev)
+            alns = rescore_diagonal_jax(current, hits, rp, ev,
+                                        return_flat=(p.backend == "jax"))
         else:
             alns = rescore_diagonal(current, hits, rp, ev)
 
