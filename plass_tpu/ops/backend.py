@@ -203,11 +203,13 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
     --split-memory-limit path in tests/test_split.py).
     """
     import jax
+    from ..parallel import distributed
     from ..parallel.mesh import make_mesh, sharded_iteration_fn
 
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
     if kmers_per_sequence_scale is None:
         kmers_per_sequence_scale = 0.2 if is_nucl else 0.0
+    multiproc = distributed.is_multiprocess()
     n_devices = n_devices or len(jax.devices())
     codes, lengths, row_keys = db_to_padded(db, "kmer")
     score_codes, _, _ = db_to_padded(db, "score")
@@ -238,12 +240,21 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
         fn = sharded_iteration_fn(mesh, params, bucket_capacity,
                                   hit_capacity, alpha)
         rowids = np.arange(n_pad, dtype=np.uint32)
-        cr, ct, cs, cd, cv, r_score, r_fl, r_idents, overflow = fn(
-            jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(rowids),
-            jnp.asarray(score_codes), jnp.asarray(chars),
-            jnp.asarray(lengths), jnp.asarray(sub_flat), jnp.asarray(comp),
-            jnp.asarray(code2char), jnp.asarray(np.int32(hash_shift)))
-        n_dropped = int(np.asarray(overflow).sum())
+        from jax.sharding import PartitionSpec as P
+        args = [(codes, P("shards")), (lengths, P("shards")),
+                (rowids, P("shards")), (score_codes, P()), (chars, P()),
+                (lengths, P()), (sub_flat, P()), (comp, P()),
+                (code2char, P()), (np.int32(hash_shift), P())]
+        if multiproc:
+            # every process holds the full host arrays (shared-filesystem
+            # contract, like the reference's NFS mmap); each materializes
+            # only its addressable shards of the global arrays
+            ops = [distributed.host_to_global(mesh, np.asarray(a), s)
+                   for a, s in args]
+        else:
+            ops = [jnp.asarray(a) for a, _ in args]
+        cr, ct, cs, cd, cv, r_score, r_fl, r_idents, overflow = fn(*ops)
+        n_dropped = int(distributed.fetch_global(overflow).sum())
         if n_dropped == 0:
             break
         if attempt == max_retries:
@@ -256,11 +267,11 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
             f"sharded exchange overflow ({n_dropped} entries dropped at "
             f"capacity {bucket_capacity}); retrying with doubled capacity")
         bucket_capacity *= 2
-    cr = np.asarray(cr)
-    ct = np.asarray(ct)
-    cs = np.asarray(cs)
-    cd = np.asarray(cd)
-    cv = np.asarray(cv)
+    cr = distributed.fetch_global(cr)
+    ct = distributed.fetch_global(ct)
+    cs = distributed.fetch_global(cs)
+    cd = distributed.fetch_global(cd)
+    cv = distributed.fetch_global(cv)
     keymap = row_keys
     if return_arrays:
         # compact valid hits, stable-sort by representative KEY so groups
@@ -272,13 +283,13 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
         sel = sel[order]
         rep_k = keymap[cr[sel]].astype(np.uint32)
         tgt_k = keymap[ct[sel]].astype(np.uint32)
-        fl = np.asarray(r_fl)[sel]
+        fl = distributed.fetch_global(r_fl)[sel]
         out = _insert_self_hits(db, rep_k, tgt_k, cs[sel].astype(np.int32),
                                 cd[sel])
-        out.pre = (np.asarray(r_score)[sel].astype(np.int64),
+        out.pre = (distributed.fetch_global(r_score)[sel].astype(np.int64),
                    (fl >> 16).astype(np.int32),
                    ((fl & 0xFFFF) ^ 0x8000).astype(np.int32) - 0x8000,
-                   np.asarray(r_idents)[sel].astype(np.float64))
+                   distributed.fetch_global(r_idents)[sel].astype(np.float64))
         out.pre_mode = 3
         return out
     hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}

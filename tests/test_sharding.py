@@ -60,6 +60,59 @@ def test_sharded_matches_single_device(batch, n_devices):
     assert _hit_set(*out[:5]) == single
 
 
+def test_multiprocess_matches_single_process(tmp_path):
+    """Two jax.distributed processes x 4 virtual CPU devices produce
+    exactly the hit set of the single-process 8-device mesh — the
+    cross-process equivalent of the reference's MPI hash-range splits
+    (kmermatcher.cpp:632-658, MMseqsMPI.cpp:10-25)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import __graft_entry__ as g
+    from plass_tpu.ops.backend import kmermatcher_sharded
+
+    # single-process oracle on the in-test 8-device virtual mesh
+    db = g.synthetic_protein_db(n=1024, seed=5, skew_frac=0.2)
+    single = kmermatcher_sharded(db, 14, kmers_per_sequence=8, n_devices=8)
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_json = str(tmp_path / "mp_hits.json")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ,
+                   PYTHONPATH=repo,  # no axon sitecustomize: CPU-only
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   PLASS_COORDINATOR=f"127.0.0.1:{port}",
+                   PLASS_NUM_PROCESSES="2", PLASS_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tests", "mp_worker.py"),
+             out_json], env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    with open(out_json) as f:
+        mp_hits = {int(k): [tuple(x) for x in v]
+                   for k, v in json.load(f).items()}
+    assert mp_hits == {k: sorted(v) for k, v in single.items()}
+
+
 def test_sharded_backend_kmermatcher(merged_reads):
     """kmermatcher_sharded over the virtual mesh returns the same hit sets
     regardless of device count (absorb=False mode)."""
