@@ -14,9 +14,56 @@ from . import params as P
 from .app import Command
 
 
+def _record_line_counts(db, ids):
+    """Lines per record over the flat data file (one cumsum, no per-record
+    Python) — records are newline-terminated lines plus a NUL."""
+    nl = np.concatenate([[0], np.cumsum(db.data == 10)])
+    off = db.offsets[ids].astype(np.int64)
+    ln = db.lengths[ids].astype(np.int64)
+    return (nl[np.minimum(off + ln, len(nl) - 1)] - nl[off]).astype(np.int64)
+
+
 def load_alignments(path):
-    """Parse an alignment DB into {query_key: RESULT_DTYPE array}."""
+    """Parse an alignment DB into {query_key: RESULT_DTYPE array}.
+
+    The whole data file goes through numpy's C text parser at once
+    (np.loadtxt handles the optional trailing backtrace column via
+    usecols); per-record slices come from a newline cumsum. Falls back to
+    the per-line parser for non-tabular records."""
+    import io
+
     db = seqdb.SeqDB.open(path)
+    # the flat body is in PHYSICAL record order; slice in that order, then
+    # emit the dict in id order (the original iteration order)
+    order = np.asarray(seqdb.data_order(db))
+    counts = _record_line_counts(db, order)
+    body = db.data.tobytes().replace(b"\x00", b"")
+    try:
+        arr = np.loadtxt(io.BytesIO(body), delimiter="\t",
+                         usecols=range(10), ndmin=2) if body.strip() \
+            else np.zeros((0, 10))
+        if arr.shape[0] != int(counts.sum()):
+            raise ValueError("line count mismatch")
+    except Exception:
+        return _load_alignments_slow(db)
+    rec = np.zeros(arr.shape[0], dtype=RESULT_DTYPE)
+    rec["dbKey"] = arr[:, 0]
+    rec["score"] = arr[:, 1]
+    rec["seqId"] = arr[:, 2]
+    rec["eval"] = arr[:, 3]
+    rec["alnLength"] = arr[:, 5] - arr[:, 4] + 1
+    rec["qStartPos"] = arr[:, 4]
+    rec["qEndPos"] = arr[:, 5]
+    rec["qLen"] = arr[:, 6]
+    rec["dbStartPos"] = arr[:, 7]
+    rec["dbEndPos"] = arr[:, 8]
+    rec["dbLen"] = arr[:, 9]
+    parts = np.split(rec, np.cumsum(counts)[:-1])
+    by_id = {int(i): part for i, part in zip(order, parts)}
+    return {int(db.keys[i]): by_id[i] for i in range(db.size)}
+
+
+def _load_alignments_slow(db):
     out = {}
     for i in range(db.size):
         key = int(db.keys[i])
@@ -38,9 +85,28 @@ def load_prefilter(path):
     +-65536 scan. Dict insertion order is the prefilter DB's DATA order
     (Alignment opens it LINEAR_ACCCESS, Alignment.cpp:93) — writers that
     must match the reference's physical record order iterate this dict."""
+    import io
+
     db = seqdb.SeqDB.open(path)
+    order = np.asarray(seqdb.data_order(db))
+    counts = _record_line_counts(db, order)
+    body = db.data.tobytes().replace(b"\x00", b"")
+    try:
+        arr = np.loadtxt(io.BytesIO(body), delimiter="\t",
+                         usecols=range(3), dtype=np.int64,
+                         ndmin=2) if body.strip() else np.zeros((0, 3),
+                                                               dtype=np.int64)
+        if arr.shape[0] != int(counts.sum()):
+            raise ValueError("line count mismatch")
+        trip = list(zip(arr[:, 0].tolist(), arr[:, 1].tolist(),
+                        arr[:, 2].tolist()))
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        return {int(db.keys[i]): trip[bounds[j]: bounds[j + 1]]
+                for j, i in enumerate(order)}
+    except Exception:
+        pass
     out = {}
-    for i in seqdb.data_order(db):
+    for i in order:
         i = int(i)
         key = int(db.keys[i])
         hits = []

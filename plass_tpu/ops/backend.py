@@ -83,9 +83,17 @@ def db_to_device(db, alphabet="kmer", bucket_rows=2048, bucket_cols=128):
 def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                     hash_shift=67, ignore_multi_kmer=False,
                     include_only_extendable=False, cov_thr=0.0,
-                    hit_capacity=None, return_arrays=False):
+                    hit_capacity=None, return_arrays=False,
+                    split_memory_limit=0):
     """Device kmermatcher returning the host hits-dict format (or flat
-    arrays with return_arrays — the fast path for rescore_diagonal_jax)."""
+    arrays with return_arrays — the fast path for rescore_diagonal_jax).
+
+    split_memory_limit (bytes, 0 = monolithic): when the k-mer table's
+    device footprint would exceed it, the 16-bit hash space is split into
+    exact-histogram ranges (compute_hash_splits — the same mechanism as
+    the host and mesh paths) and each range runs as a capacity-bounded
+    device program; the per-split pair streams are merged on the host, so
+    the output is identical to the single-pass run."""
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
     if kmers_per_sequence_scale is None:
         kmers_per_sequence_scale = 0.2 if is_nucl else 0.0
@@ -102,6 +110,50 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
         cov_thr=cov_thr,
         ksel=ksel_capacity(kmers_per_sequence, kmers_per_sequence_scale, lmax),
     )
+    if split_memory_limit:
+        from .kmermatch import (ENTRY_BYTES, compute_hash_splits,
+                                emit_hits, parse_memory_limit)
+        limit = parse_memory_limit(split_memory_limit)
+        est = (db.size * (params.ksel + 1) + db.size) * ENTRY_BYTES
+        if est > limit:
+            ranges = compute_hash_splits(
+                db, k, kmers_per_sequence, kmers_per_sequence_scale,
+                hash_shift, ignore_multi_kmer, limit)
+            if len(ranges) > 1:
+                cap = _bucket(limit // ENTRY_BYTES, 4096)
+                reps, tgts, diags, revs = [], [], [], []
+                for (lo, hi) in ranges:
+                    while True:
+                        packed_d, n_in = device_kmer.kmermatch_pairs_range(
+                            jc, jl, jk, hash_shift, params, lo, hi, cap)
+                        if int(n_in) <= cap:
+                            break
+                        cap = _bucket(int(n_in), 4096)  # exact, one retry
+                    part = np.asarray(packed_d)
+                    kp = part[4].astype(bool)
+                    reps.append(part[0][kp].astype(np.uint32))
+                    tgts.append(part[1][kp].astype(np.uint32))
+                    diags.append(part[2][kp])
+                    revs.append(part[3][kp].astype(bool))
+                hits = emit_hits(np.concatenate(reps), np.concatenate(tgts),
+                                 np.concatenate(diags), np.concatenate(revs),
+                                 db.keys)
+                if not return_arrays:
+                    return hits
+                m = sum(len(v) - 1 for v in hits.values())
+                rep = np.empty(m, dtype=np.uint32)
+                tgt = np.empty(m, dtype=np.uint32)
+                score = np.empty(m, dtype=np.int32)
+                diag = np.empty(m, dtype=np.int32)
+                j = 0
+                for q in sorted(hits):
+                    for (t, s, d) in hits[q][1:]:
+                        rep[j] = q
+                        tgt[j] = t
+                        score[j] = s
+                        diag[j] = d
+                        j += 1
+                return _insert_self_hits(db, rep, tgt, score, diag)
     if hit_capacity is None:
         hit_capacity = db.size * (params.ksel + 1) + db.size
     # ONE dispatch + ONE fetch: the whole matcher runs as a single program
@@ -179,6 +231,12 @@ def _insert_self_hits(db, rep, tgt, score, diag, dev=None, dev_m=0):
     return out
 
 
+# sufficient exchange-bucket capacities observed per (is_nucl, n_devices):
+# new iterations start at the proven size instead of re-discovering it
+# through overflow retries (each retry recompiles the mesh program)
+_CAPACITY_HINTS = {}
+
+
 def kmermatcher_sharded(db, k, kmers_per_sequence=21,
                         kmers_per_sequence_scale=None, hash_shift=67,
                         ignore_multi_kmer=False,
@@ -195,12 +253,14 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
     rescore_diagonal_jax consumes them directly instead of re-dispatching
     the scan. Otherwise returns the host hits-dict format.
 
-    Documented deviation: sharded runs use clean per-(rep,target) runs
-    (absorb=False) because the single-device absorption quirk
-    (kmermatcher.cpp:880-898) cannot cross shard boundaries — matching the
-    reference's own MPI hash-range splits, whose run scans also restart at
-    split boundaries (verified against the reference binary's
-    --split-memory-limit path in tests/test_split.py).
+    Documented deviation: pairs are routed by contiguous representative
+    range, so each shard scans a contiguous segment of the globally
+    sorted pair stream and the reference's run-absorption quirk
+    (kmermatcher.cpp:880-898) is reproduced EXACTLY except across the
+    n_shards-1 segment edges — the same class of boundary cut the
+    reference's own split path makes at its split-file merge boundaries
+    (its --split-memory-limit output differs from its unsplit output in
+    3 records on the bundled examples; see tests/test_split.py docstring).
     """
     import jax
     from ..parallel import distributed
@@ -231,10 +291,14 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
     mesh = make_mesh(n_devices)
     per_shard = n_pad // n_devices
     if bucket_capacity is None:
-        bucket_capacity = per_shard * (params.ksel + 1)
+        # capacity found sufficient on an earlier iteration of the same
+        # workload family avoids the sizing retry (and its recompile)
+        hint = _CAPACITY_HINTS.get((is_nucl, n_devices), 0)
+        bucket_capacity = max(per_shard * (params.ksel + 1), hint)
     # overflow-safe: the step reports entries dropped at any exchange /
-    # compaction; retry with doubled capacity until everything fits
-    # (silent truncation would corrupt hits on skewed hash distributions)
+    # compaction PLUS the exact per-bucket demand, so one retry jumps
+    # straight to a sufficient capacity (each new capacity recompiles —
+    # silent truncation would corrupt hits on skewed hash distributions)
     for attempt in range(max_retries + 1):
         hit_capacity = bucket_capacity
         fn = sharded_iteration_fn(mesh, params, bucket_capacity,
@@ -253,20 +317,25 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
                    for a, s in args]
         else:
             ops = [jnp.asarray(a) for a, _ in args]
-        cr, ct, cs, cd, cv, r_score, r_fl, r_idents, overflow = fn(*ops)
+        cr, ct, cs, cd, cv, r_score, r_fl, r_idents, overflow, needed = \
+            fn(*ops)
         n_dropped = int(distributed.fetch_global(overflow).sum())
         if n_dropped == 0:
+            _CAPACITY_HINTS[(is_nucl, n_devices)] = bucket_capacity
             break
         if attempt == max_retries:
             raise RuntimeError(
                 f"sharded kmermatcher: {n_dropped} entries still overflow "
                 f"exchange buckets at capacity {bucket_capacity} after "
                 f"{max_retries} retries")
+        need = int(distributed.fetch_global(needed).max())
         from ..utils.log import logger
+        new_cap = max(bucket_capacity * 2, ((need + 4095) // 4096) * 4096)
         logger.warning(
             f"sharded exchange overflow ({n_dropped} entries dropped at "
-            f"capacity {bucket_capacity}); retrying with doubled capacity")
-        bucket_capacity *= 2
+            f"capacity {bucket_capacity}); retrying at {new_cap} "
+            f"(measured per-bucket demand {need})")
+        bucket_capacity = new_cap
     cr = distributed.fetch_global(cr)
     ct = distributed.fetch_global(ct)
     cs = distributed.fetch_global(cs)

@@ -512,6 +512,45 @@ def kmermatch_device_packed(seqs, lengths, keys, hash_shift, params,
     return jnp.concatenate([flat, n_hits.reshape(1)]), (rep, tgt, diag)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("params", "lo", "hi", "cap"))
+def kmermatch_pairs_range(seqs, lengths, keys, hash_shift, params, lo, hi,
+                          cap):
+    """Memory-bounded split unit: selection restricted to the 16-bit hash
+    range [lo, hi], table compacted to `cap` entries, per-split pair
+    emission (the device analogue of the host's hash-range splits,
+    kmermatcher.cpp:594-779; ranges come from the same
+    compute_hash_splits histogram).
+
+    The expensive multi-operand sorts run at `cap` size; only a 2-operand
+    index compaction sort touches the full selection output, so peak HBM
+    scales with the split size, not the whole table. Returns packed
+    i32[5, cap] (rep, tgt, diag, rev, keep) + i32 in-range count (for the
+    caller's overflow check — count > cap means entries were dropped and
+    the split limit must shrink)."""
+    sk, sp, sv, sh, sh16 = select_kmers(seqs, lengths, params, hash_shift)
+    kmer, sid, pos, slen, valid = flatten_table(sk, sp, sv, sh, keys,
+                                                lengths)
+    n = seqs.shape[0]
+    # whole-sequence entries carry an already-hashed value whose range key
+    # is its own low 16 bits (kmermatch.py build_kmer_table range rule)
+    h16 = jnp.concatenate([
+        sh16.reshape(-1), (sh & jnp.uint64(0xFFFF)).astype(jnp.int32)])
+    in_range = valid & (h16 >= lo) & (h16 <= hi)
+    t = kmer.shape[0]
+    idx = jnp.arange(t, dtype=jnp.uint32)
+    key = jnp.where(in_range, idx, jnp.uint32(0xFFFFFFFF))
+    skey, sidx = jax.lax.sort((key, idx), num_keys=1)
+    take = sidx[:cap].astype(jnp.int32)
+    ok = skey[:cap] != jnp.uint32(0xFFFFFFFF)
+    rep, tgt, diag, rev, keep = pairs_from_table(
+        kmer[take], sid[take], pos[take], slen[take], ok, params)
+    packed = jnp.stack([rep.astype(jnp.int32), tgt.astype(jnp.int32),
+                        diag, rev.astype(jnp.int32),
+                        keep.astype(jnp.int32)])
+    return packed, in_range.sum().astype(jnp.int32)
+
+
 def kmermatch_device(seqs, lengths, keys, hash_shift, params: KmerParams,
                      hit_capacity, fused=True):
     """Full device k-mer matcher: padded numeric batch -> compacted hits.

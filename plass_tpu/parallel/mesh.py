@@ -10,10 +10,12 @@ shared-NFS mmap, the k-mer table sharded):
     shard, so k-mer GROUPS are complete within a shard)
  3. each shard sorts its table slice, assigns representatives and emits
     (rep, target, diagonal) pairs locally
- 4. pairs are re-routed by REPRESENTATIVE id with a second all-to-all so
-    every (rep, target) run is complete on one shard — this replaces the
-    reference's rank-0 k-way merge (kmermatcher.cpp:946-1020) with a
-    scalable exchange instead of a serial merge
+ 4. pairs are re-routed by CONTIGUOUS representative range with a second
+    all-to-all so every shard holds a contiguous segment of the globally
+    sorted pair stream (runs complete per shard, absorption exact except
+    at segment edges) — this replaces the reference's rank-0 k-way merge
+    (kmermatcher.cpp:946-1020) with a scalable exchange instead of a
+    serial merge
  5. best-diagonal hit emission + diagonal rescoring run where the hits
     live, reading the replicated sequence arrays
 
@@ -53,6 +55,9 @@ def _exchange(fields, dest, valid, n_shards, capacity, axis):
     rank_in_dest = jnp.cumsum(
         jnp.where(dest_s[:, None] == jnp.arange(n_shards)[None, :], 1, 0),
         axis=0)
+    # exact per-destination demand: lets the caller retry ONCE at the
+    # right capacity instead of doubling (each doubling recompiles)
+    max_fill = rank_in_dest[-1].max().astype(jnp.int32)
     my_rank = jnp.take_along_axis(
         rank_in_dest, jnp.clip(dest_s, 0, n_shards - 1)[:, None], axis=1)[:, 0] - 1
     fits = (dest_s < n_shards) & (my_rank < capacity)
@@ -75,6 +80,7 @@ def _exchange(fields, dest, valid, n_shards, capacity, axis):
     vbuf = vbuf.at[widx].set(True, mode="drop")
     out.append(a2a(vbuf))
     out.append(n_dropped)
+    out.append(max_fill)
     return out
 
 
@@ -108,7 +114,7 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
 
         # ---- stage 2: hash-range exchange (same k-mer -> same shard)
         dest = (h16 * n_shards) // 65536
-        r_kmer, r_sid, r_pos, r_slen, r_valid, drop1 = _exchange(
+        r_kmer, r_sid, r_pos, r_slen, r_valid, drop1, need1 = _exchange(
             [(kmer, device_kmer.U64MAX), (sid, np.uint32(0)),
              (pos, np.int32(0)), (slen, np.int32(0))],
             dest, valid, n_shards, bucket_capacity, axis)
@@ -117,29 +123,38 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
         rep_id, sid_s, diagonal, rev, keep = device_kmer.pairs_from_table(
             r_kmer, r_sid, r_pos, r_slen, r_valid, params)
 
-        # ---- stage 4: re-route pairs by representative so every
-        # (rep, target) run is complete on one shard
-        pair_dest = (rep_id % jnp.uint32(n_shards)).astype(jnp.int32)
-        p_rep, p_tgt, p_diag, p_rev, p_valid, drop2 = _exchange(
+        # ---- stage 4: re-route pairs by CONTIGUOUS representative range
+        # so each shard holds a contiguous segment of the globally sorted
+        # pair stream — run-absorption (kmermatcher.cpp:880-898) then runs
+        # exactly as on one device, deviating only at the n_shards-1
+        # segment edges (the reference's own split path cuts runs at its
+        # split-file boundaries the same way, kmermatcher.cpp:947-1020)
+        rows_per_shard = seqs.shape[0]  # P(axis) splits dim 0 evenly
+        pair_dest = jnp.minimum(
+            (rep_id // jnp.uint32(rows_per_shard)).astype(jnp.int32),
+            n_shards - 1)
+        p_rep, p_tgt, p_diag, p_rev, p_valid, drop2, need2 = _exchange(
             [(rep_id, np.uint32(0xFFFFFFFF)), (sid_s, np.uint32(0)),
              (diagonal, np.int32(0)), (rev, False)],
             pair_dest, keep, n_shards, bucket_capacity, axis)
 
         rk, tk, dk, rv, kp = device_kmer.sort_pairs(
             p_rep, p_tgt, p_diag, p_rev, p_valid)
-        hr, ht, hs, hd, hv = device_kmer.best_diagonal_hits(rk, tk, dk, rv, kp, absorb=False)
+        hr, ht, hs, hd, hv = device_kmer.best_diagonal_hits(rk, tk, dk, rv,
+                                                            kp, absorb=True)
         horder = jnp.where(hv, jnp.arange(hr.shape[0], dtype=jnp.int32),
                            jnp.int32(2**31 - 1))
         _, cr, ct, cs, cd, cv = jax.lax.sort(
             (horder, hr, ht, hs, hd, hv), dimension=0, num_keys=1)
-        drop3 = jnp.maximum(
-            hv.sum().astype(jnp.int32) - jnp.int32(hit_capacity), 0)
+        n_hits = hv.sum().astype(jnp.int32)
+        drop3 = jnp.maximum(n_hits - jnp.int32(hit_capacity), 0)
         cr = cr[:hit_capacity]
         ct = ct[:hit_capacity]
         cs = cs[:hit_capacity]
         cd = cd[:hit_capacity]
         cv = cv[:hit_capacity]
         overflow = (drop1 + drop2 + drop3).reshape(1)
+        needed = jnp.maximum(jnp.maximum(need1, need2), n_hits).reshape(1)
 
         # ---- stage 5: rescore hits locally against replicated sequences
         # (first/last ride back packed so the workflow can consume this
@@ -153,12 +168,12 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
             cd, qrev & cv, sub_flat, comp, c2c, alpha, mode=3)
         fl = (first.astype(jnp.int32) << 16) | (last.astype(jnp.int32)
                                                 & 0xFFFF)
-        return cr, ct, cs, cd, cv, score, fl, idents, overflow
+        return cr, ct, cs, cd, cv, score, fl, idents, overflow, needed
 
     in_specs = (P(axis), P(axis), P(axis),     # seqs, lengths, keys sharded
                 P(), P(), P(), P(), P(), P(),  # replicated arrays + luts
                 P())
-    out_specs = tuple(P(axis) for _ in range(9))
+    out_specs = tuple(P(axis) for _ in range(10))
     try:
         smap = jax.shard_map
     except AttributeError:  # older jax

@@ -216,23 +216,41 @@ def select_assembled(result_db, orig_db):
     The union is processed in lexicographic key order (`sort | uniq`,
     assemble.sh:178), which determines the output data layout.
     """
-    orig_len = {}
-    for i in range(orig_db.size):
-        orig_len[int(orig_db.keys[i])] = int(orig_db.lengths[i])
-    keep = set()
-    for i in range(result_db.size):
-        key = int(result_db.keys[i])
-        if key in orig_len and int(result_db.lengths[i]) > orig_len[key]:
-            keep.add(key)
-    # criterion 2: regex over data-file lines
+    # criterion 1: key grew vs original (vectorized key join)
+    okeys = orig_db.keys.astype(np.int64)
+    oorder = np.argsort(okeys, kind="stable")
+    osorted = okeys[oorder]
+    rkeys = result_db.keys.astype(np.int64)
+    pos = np.searchsorted(osorted, rkeys)
+    safe = np.minimum(pos, len(osorted) - 1) if len(osorted) else pos * 0
+    in_orig = (len(osorted) > 0) & (pos < len(osorted)) \
+        & (osorted[safe] == rkeys)
+    grew = np.zeros(result_db.size, dtype=bool)
+    if len(osorted):
+        olen = orig_db.lengths[oorder][safe]
+        grew = in_orig & (result_db.lengths > olen)
+    keep = set(int(k) for k in rkeys[grew])
+    # criterion 2: '*'-bracketed all-uppercase proteins, matched by LINE
+    # NUMBER in data order (awk NR semantics) — per-byte scan replaced by
+    # a cumulative uppercase count over the flat data file
+    data = result_db.data
+    plen = result_db.seq_lens().astype(np.int64)
+    offs = result_db.offsets.astype(np.int64)
+    upper = ((data >= 65) & (data <= 90)).astype(np.int64)
+    cup = np.concatenate([[0], np.cumsum(upper)])
+    star = np.uint8(ord("*"))
+    nonempty = plen >= 2
+    first_off = np.minimum(offs, len(data) - 1) if len(data) else offs * 0
+    last_off = np.minimum(offs + np.maximum(plen, 1) - 1,
+                          len(data) - 1) if len(data) else offs * 0
+    ok = nonempty & (data[first_off] == star) & (data[last_off] == star)
+    mid = cup[np.minimum(offs + plen - 1, len(cup) - 1)] - \
+        cup[np.minimum(offs + 1, len(cup) - 1)]
+    ok &= mid == np.maximum(plen - 2, 0)
     file_order = np.argsort(result_db.offsets, kind="stable")
-    key_set = set(int(k) for k in result_db.keys)
-    for line_no, i in enumerate(file_order):
-        s = result_db.get_seq_bytes(int(i))
-        if len(s) >= 2 and s.startswith(b"*") and s.endswith(b"*") and \
-                all(65 <= c <= 90 for c in s[1:-1]):
-            if line_no in key_set:
-                keep.add(line_no)
+    line_nos = np.nonzero(ok[file_order])[0]
+    rset = np.isin(line_nos, rkeys)
+    keep.update(int(x) for x in line_nos[rset])
     return seqdb.subdb(result_db, keep, order="lex")
 
 

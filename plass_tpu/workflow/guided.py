@@ -161,11 +161,10 @@ def run_guided_nuclassemble(input_files, out_fasta, tmp_base, params=None):
         if p.backend in ("jax", "sharded"):
             from ..ops.backend import (kmermatcher_jax, kmermatcher_sharded,
                                        rescore_diagonal_jax)
-            if p.backend == "sharded":
-                hits = kmermatcher_sharded(current_aa, p.aa_kmer_size, **kw)
-            else:
-                hits = kmermatcher_jax(current_aa, p.aa_kmer_size,
-                                       return_arrays=True, **kw)
+            matcher = (kmermatcher_sharded if p.backend == "sharded"
+                       else kmermatcher_jax)
+            hits = matcher(current_aa, p.aa_kmer_size,
+                           return_arrays=True, **kw)
             alns = rescore_diagonal_jax(current_aa, hits, rp)
         else:
             hits = kmermatcher(current_aa, p.aa_kmer_size, **kw)

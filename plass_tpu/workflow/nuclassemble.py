@@ -130,13 +130,12 @@ def run_nuclassemble(input_files, out_file, tmp_base, params=None,
                 hash_shift=p.hash_shift, ignore_multi_kmer=p.ignore_multi_kmer,
                 include_only_extendable=p.include_only_extendable,
                 cov_thr=p.cov_thr)
-            if p.backend == "sharded":
-                hits = kmermatcher_sharded(current, p.kmer_size, **kw)
-            else:
-                # flat-array fast path: no per-hit Python dict loop between
-                # the matcher, the device rescorer, and the native extender
-                hits = kmermatcher_jax(current, p.kmer_size,
-                                       return_arrays=True, **kw)
+            # flat-array fast path: no per-hit Python dict loop between
+            # the matcher, the device rescorer, and the native extender
+            # (sharded hits additionally carry the mesh's rescore columns)
+            matcher = (kmermatcher_sharded if p.backend == "sharded"
+                       else kmermatcher_jax)
+            hits = matcher(current, p.kmer_size, return_arrays=True, **kw)
         else:
             hits = kmermatcher(
                 current, p.kmer_size, kmers_per_sequence=p.kmers_per_sequence,
@@ -151,7 +150,7 @@ def run_nuclassemble(input_files, out_file, tmp_base, params=None,
                            eval_thr=p.eval_thr, aln_len_thr=p.min_aln_len)
         if p.backend in ("jax", "sharded"):
             alns = rescore_diagonal_jax(current, hits, rp, ev,
-                                        return_flat=(p.backend == "jax"))
+                                        return_flat=True)
         else:
             alns = rescore_diagonal(current, hits, rp, ev)
 

@@ -154,3 +154,26 @@ def test_nuclassemble_jax_backend_byte_identical(example_reads, tmp_path):
                            backend="jax")
     run_nuclassemble(example_reads, out, str(tmp_path / "tmp"), p)
     assert open(out, "rb").read() == open(golden, "rb").read()
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_NUCL),
+                    reason="nucleotide golden not generated")
+def test_nuclassemble_sharded_backend_byte_identical(example_reads, tmp_path):
+    """Full workflow over the 8-device virtual mesh == reference bytes.
+
+    The sharded matcher's absorb=False deviation changes only the k-mer
+    COUNT score of run-boundary pairs (measured on a 6k-ORF workload:
+    identical pair sets, 2/7644 count deltas), and the count's magnitude
+    is discarded by rescoring (only its strand sign survives) — so the
+    product output is byte-identical to the single-device path."""
+    import jax
+    from plass_tpu.workflow.nuclassemble import (NuclAssembleParams,
+                                                 run_nuclassemble)
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    golden = os.path.join(GOLDEN_NUCL, "contigs.fasta")
+    out = str(tmp_path / "contigs.fasta")
+    p = NuclAssembleParams(num_iterations=2, min_contig_len=150,
+                           backend="sharded")
+    run_nuclassemble(example_reads, out, str(tmp_path / "tmp"), p)
+    assert open(out, "rb").read() == open(golden, "rb").read()

@@ -37,15 +37,15 @@ def test_sharded_matches_single_device(batch, n_devices):
         chars[i, : lengths[i]] = letters[rng.integers(0, 20, lengths[i])]
     codes = blosum.aa2num[chars]
 
-    # sharded mode uses clean per-(rep,target) runs (absorb=False) — compare
-    # against the single-device pipeline in the same mode
+    # range-routed pairs reproduce the single-device absorb=True stream
+    # exactly on this workload (no boundary-straddling runs)
     from plass_tpu.ops.device_kmer import (select_kmers, build_pairs,
                                            best_diagonal_hits)
     sk, sp, sv, sh, _ = select_kmers(jnp.asarray(seqs), jnp.asarray(lengths),
                                      params, 67)
     pairs = build_pairs(sk, sp, sv, sh, jnp.asarray(keys),
                         jnp.asarray(lengths), params)
-    r, t, s, d, hv = best_diagonal_hits(*pairs, absorb=False)
+    r, t, s, d, hv = best_diagonal_hits(*pairs, absorb=True)
     single = _hit_set(r, t, s, d, np.asarray(hv))
 
     mesh = make_mesh(n_devices)
@@ -138,6 +138,38 @@ def test_sharded_backend_kmermatcher(merged_reads):
                              n_devices=len(jax.devices()))
     assert {k: sorted(v) for k, v in h1.items()} == \
            {k: sorted(v) for k, v in h8.items()}
+
+
+def test_sharded_matches_host_absorb_semantics(merged_reads):
+    """Range-routed sharded hits vs the host matcher (reference unsplit
+    semantics, golden-tested): pair sets must be IDENTICAL; k-mer count
+    scores may differ only at the n_shards-1 rep-range segment edges.
+    For scale: the reference binary's own --split-memory-limit run
+    differs from its unsplit run in 3 records on this read set
+    (tests/test_split.py docstring)."""
+    import jax
+    from plass_tpu.data import seqdb
+    from plass_tpu.ops.kmermatch import kmermatcher
+    from plass_tpu.ops.backend import kmermatcher_sharded
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    reads, _ = merged_reads
+    sub = seqdb.subdb(reads, range(2000))
+    kw = dict(kmers_per_sequence=60, kmers_per_sequence_scale=0.1,
+              hash_shift=67, ignore_multi_kmer=True,
+              include_only_extendable=True)
+    host = kmermatcher(sub, 22, **kw)
+    shard = kmermatcher_sharded(sub, 22, n_devices=8, **kw)
+    hp = {(q, t, d) for q, v in host.items() for (t, s, d) in v}
+    sp = {(q, t, d) for q, v in shard.items() for (t, s, d) in v}
+    assert hp == sp, (len(hp - sp), len(sp - hp))
+    hs = {(q, t, d): s for q, v in host.items() for (t, s, d) in v}
+    ss = {(q, t, d): s for q, v in shard.items() for (t, s, d) in v}
+    deltas = [k for k in hs if hs[k] != ss[k]]
+    # absorb runs are exact within a rep-range segment; only edge cuts
+    # may shave counts
+    assert len(deltas) <= 8, deltas[:10]
 
 
 def test_array_fast_path_matches_dict_path(merged_reads):

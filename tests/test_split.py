@@ -35,6 +35,29 @@ def test_parse_memory_limit():
 
 
 @needs_golden
+def test_device_split_equals_single_pass():
+    """Device-path memory-bounded splitting (kmermatch_pairs_range driven
+    by compute_hash_splits): >= 4 hash-range splits produce exactly the
+    monolithic device run's hits (kmermatcher.cpp:594-779 analogue)."""
+    from plass_tpu.ops.backend import kmermatcher_jax
+    from plass_tpu.ops.kmermatch import compute_hash_splits
+
+    db = seqdb.SeqDB.open(f"{GOLDEN}/aa_6f_start_long")
+    keep = [int(k) for i, k in enumerate(db.keys)
+            if db.lengths[i] < 260][:4000]
+    db = seqdb.subdb(db, keep)
+    kw = dict(kmers_per_sequence=60, hash_shift=67, ignore_multi_kmer=True,
+              include_only_extendable=False)
+    limit = 300 * 1024
+    ranges = compute_hash_splits(db, 14, 60, 0.0, 67, True, limit)
+    assert len(ranges) >= 4
+    single = kmermatcher_jax(db, 14, **kw)
+    split = kmermatcher_jax(db, 14, split_memory_limit=limit, **kw)
+    assert {k: sorted(v) for k, v in single.items()} == \
+           {k: sorted(v) for k, v in split.items()}
+
+
+@needs_golden
 def test_split_equals_single_and_golden():
     from plass_tpu.ops.kmermatch import (ENTRY_BYTES, compute_hash_splits,
                                          hits_to_db, kmermatcher)

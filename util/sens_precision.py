@@ -1,0 +1,199 @@
+#!/usr/bin/env python3
+"""Quantitative sensitivity/precision regression gate.
+
+The reference gates every CI build on residue-weighted sensitivity and
+precision curves of `plass assemble` against the Prochlorococcus proteome
+(/root/reference/util/run_regression.sh:33-78, expected values at :78).
+Its read set needs network access; this harness reproduces the SAME
+metric on a deterministic synthetic community generated in-process:
+
+ 1. a seeded proteome (120 proteins, 100-400 aa) is reverse-translated
+    into genomes and shredded into error-bearing paired 150 bp reads
+ 2. `plass assemble` (this repo) assembles them
+ 3. assembly<->proteome searches (this repo's `search`) produce
+    alignment sets; for seq-id thresholds 0.90..0.99 the residue-weighted
+    mapped fraction is computed exactly as the reference's awk
+    (`mapped_distribution` / `mapped_fraction`,
+    run_regression.sh:19-31): per query, the best query-coverage
+    alignment weighted by query length, over the total residue mass
+ 4. each curve point must clear the frozen expected value - 0.005
+    (the reference's own tolerance, run_regression.sh:73)
+
+Usage: python util/sens_precision.py [workdir]
+Exit 0 = curves clear the gate; prints the 20-point report either way.
+"""
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# frozen from the first green run of this harness (commit introducing it);
+# the gate catches any later change that degrades assembly quality
+EXPECTED_SENS = [0.960, 0.960, 0.960, 0.960, 0.960, 0.960, 0.960, 0.957,
+                 0.934, 0.848]
+EXPECTED_PREC = [0.994, 0.994, 0.994, 0.994, 0.994, 0.994, 0.993, 0.992,
+                 0.980, 0.917]
+THRESHOLDS = [0.90 + 0.01 * i for i in range(10)]
+LENCUT = 100
+
+
+def make_community(workdir, n_proteins=120, seed=11):
+    """Deterministic proteome + paired error-bearing reads."""
+    from plass_tpu.constants import genetic_codes
+
+    rng = np.random.default_rng(seed)
+    aa_letters = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    # codon table 1: aa char -> list of codons, via the 17^3 IUPAC-class
+    # LUT restricted to the four unambiguous bases
+    gc = genetic_codes()
+    lut, _starts = gc[1]
+    ncls = gc["nucl_class"]
+    by_aa = {}
+    for b1 in "ACGT":
+        for b2 in "ACGT":
+            for b3 in "ACGT":
+                aa = chr(lut[ncls[ord(b1)], ncls[ord(b2)], ncls[ord(b3)]])
+                by_aa.setdefault(aa, []).append(b1 + b2 + b3)
+    proteins = []
+    genomes = []
+    for i in range(n_proteins):
+        ln = int(rng.integers(100, 400))
+        prot = aa_letters[rng.integers(0, 20, ln)]
+        proteins.append(prot.tobytes().decode())
+        dna = ["ATG"]
+        for ch in proteins[-1]:
+            opts = by_aa[ch]
+            dna.append(opts[int(rng.integers(0, len(opts)))])
+        dna.append(by_aa["*"][0])
+        genomes.append("".join(dna))
+    with open(os.path.join(workdir, "proteome.fasta"), "w") as f:
+        for i, p in enumerate(proteins):
+            f.write(f">prot{i}\n{p}\n")
+    # paired reads: insert 280-450, read len 150, 0.3% substitutions,
+    # ~10x coverage
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    comp = {65: 84, 67: 71, 71: 67, 84: 65}
+    r1 = open(os.path.join(workdir, "reads_1.fastq"), "w")
+    r2 = open(os.path.join(workdir, "reads_2.fastq"), "w")
+    rid = 0
+    for g in genomes:
+        garr = np.frombuffer(g.encode(), dtype=np.uint8)
+        n_pairs = max(1, (len(g) * 10) // (2 * 150))
+        for _ in range(n_pairs):
+            insert = int(rng.integers(280, min(451, max(281, len(g)))))
+            start = int(rng.integers(0, max(1, len(g) - insert)))
+            frag = garr[start: start + insert].copy()
+            # substitutions
+            mask = rng.random(len(frag)) < 0.003
+            frag[mask] = nt[rng.integers(0, 4, int(mask.sum()))]
+            fwd = frag[:150]
+            rev = frag[-150:][::-1]
+            rev = np.array([comp.get(int(c), 78) for c in rev], dtype=np.uint8)
+            q = "I" * len(fwd)
+            r1.write(f"@r{rid}/1\n{fwd.tobytes().decode()}\n+\n{q}\n")
+            r2.write(f"@r{rid}/2\n{rev.tobytes().decode()}\n+\n{q}\n")
+            rid += 1
+    r1.close()
+    r2.close()
+    return rid
+
+
+def mapped_fraction(index_lens, best_cov_len, lencut):
+    """run_regression.sh:27-31: total residue mass of entries with index
+    length > lencut vs the sum of (best query coverage x query length)
+    over queries whose qLen >= lencut."""
+    total = int(sum(l for l in index_lens if l > lencut))
+    aligned = float(sum(cov * ln for cov, ln in best_cov_len
+                        if ln >= lencut))
+    return total, aligned, (aligned / total if total else 0.0)
+
+
+def curve(qdb, alns, thresholds, lencut):
+    """Residue-weighted mapped fraction at each seq-id threshold.
+
+    alns: {query_key: RESULT_DTYPE array}; per query the max
+    (1+qEnd-qStart)/qLen over records passing the threshold
+    (mapped_distribution, run_regression.sh:19-23)."""
+    index_lens = [int(x) for x in qdb.lengths]  # raw index $3 (payload+2)
+    points = []
+    for thr in thresholds:
+        best = []
+        for key, rec in alns.items():
+            if len(rec) == 0:
+                continue
+            sel = rec[np.round(rec["seqId"], 3) >= thr - 1e-9]
+            if len(sel) == 0:
+                continue
+            cov = (1 + sel["qEndPos"] - sel["qStartPos"]) / sel["qLen"]
+            best.append((float(cov.max()), int(sel["qLen"][0])))
+        points.append(mapped_fraction(index_lens, best, lencut))
+    return points
+
+
+def main():
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/plass_sensprec"
+    os.makedirs(workdir, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    from plass_tpu.data import seqdb
+    from plass_tpu.data.createdb import create_db
+    from plass_tpu.workflow.search import SearchParams, run_search
+    from plass_tpu.cli.tools import load_alignments
+
+    make_community(workdir)
+    out_fa = os.path.join(workdir, "assembly.fas")
+    if os.path.exists(out_fa):
+        os.unlink(out_fa)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo)  # CPU-pinned for gate determinism
+    subprocess.run(
+        [sys.executable, "-m", "plass_tpu.cli.plass", "assemble",
+         os.path.join(workdir, "reads_1.fastq"),
+         os.path.join(workdir, "reads_2.fastq"),
+         out_fa, os.path.join(workdir, "tmp"),
+         "--num-iterations", "4", "--filter-proteins", "0"],
+        check=True, cwd=repo, env=env)
+
+    asm, asm_h = create_db([out_fa])
+    pro, pro_h = create_db([os.path.join(workdir, "proteome.fasta")])
+    # length cutoff (evaluate(), run_regression.sh:40-42): index len > 100
+    keep = [int(k) for i, k in enumerate(asm.keys)
+            if int(asm.lengths[i]) > LENCUT]
+    asm100 = seqdb.subdb(asm, keep)
+
+    # precision: assembly -> proteome (search params run_regression.sh:44)
+    prec_out = os.path.join(workdir, "asm_vs_ref")
+    run_search(asm100, pro, prec_out, os.path.join(workdir, "s1tmp"),
+               SearchParams(sensitivity=5.0, max_seqs=5000,
+                            min_ungapped_score=100, add_backtrace=True,
+                            seq_id_thr=0.89))
+    prec = curve(asm100, load_alignments(prec_out), THRESHOLDS, LENCUT)
+
+    # sensitivity: proteome(nr) -> assembly (run_regression.sh:52)
+    sens_out = os.path.join(workdir, "ref_vs_asm")
+    run_search(pro, asm100, sens_out, os.path.join(workdir, "s2tmp"),
+               SearchParams(max_seqs=500000, add_backtrace=True,
+                            seq_id_thr=0.89))
+    sens = curve(pro, load_alignments(sens_out), THRESHOLDS, LENCUT)
+
+    ok = True
+    print("metric thr total aligned fraction expected")
+    for name, pts, exp in (("sens", sens, EXPECTED_SENS),
+                           ("prec", prec, EXPECTED_PREC)):
+        for (thr, (tot, aln, frac), e) in zip(THRESHOLDS, pts, exp):
+            good = frac >= e - 0.005
+            ok &= good
+            print(f"{name} {thr:.2f} {tot} {aln:.0f} {frac:.3f} {e:.3f} "
+                  f"{'ok' if good else 'FAIL'}")
+    if not ok:
+        print("sens/precision gate FAILED", file=sys.stderr)
+        return 1
+    print("sens/precision gate passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
