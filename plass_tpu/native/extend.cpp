@@ -13,6 +13,8 @@
 #include <string>
 #include <vector>
 
+#include <omp.h>
+
 namespace {
 
 struct Cand {
@@ -97,9 +99,23 @@ int assemble_greedy(
     uint8_t *flags,           // n_seqs, in/out (zeroed by caller)
     uint8_t *out_buf, int64_t out_cap,
     int64_t *out_off, int64_t *out_len, uint8_t *out_is_contig) {
-    int64_t out_pos = 0;
+    // per-thread contig buffers, serially placed afterwards (deterministic
+    // per-query slots); flags ORs are atomic like the reference's
+    // __sync_or_and_fetch (assembleresult.cpp:187)
+    struct TOut {
+        std::string buf;
+        std::vector<int32_t> qpos;
+        std::vector<int64_t> off, len;
+    };
+    int n_threads = omp_get_max_threads();
+    std::vector<TOut> touts((size_t)n_threads);
+
+#pragma omp parallel
+    {
+    TOut &to = touts[(size_t)omp_get_thread_num()];
     std::string query;
     std::vector<Cand> deferred;
+#pragma omp for schedule(dynamic, 16)
     for (int32_t qpos = 0; qpos < n_seqs; ++qpos) {
         out_is_contig[qpos] = 0;
         int64_t rec_lo = aln_off[qpos], rec_hi = aln_off[qpos + 1];
@@ -115,7 +131,9 @@ int assemble_greedy(
             Cand c{a_dbkey[r], a_dbid[r], a_score[r], a_seqid[r], a_alnlen[r],
                    a_qs[r], a_qe[r], a_qlen[r], a_ts[r], a_te[r], a_tlen[r]};
             heap.push(c);
-            if (n_aln > 1) flags[a_dbid[r]] |= WAS_IN_ALIGNMENT;
+            if (n_aln > 1)
+                __atomic_fetch_or(&flags[a_dbid[r]], WAS_IN_ALIGNMENT,
+                                  __ATOMIC_RELAXED);
         }
 
         bool could_extend = false;
@@ -150,7 +168,7 @@ int assemble_greedy(
                 } else if (best.qstart == 0) {
                     if ((int64_t)best.dbstart <= left_off) continue;
                 }
-                flags[tid] |= WAS_CANDIDATE;
+                __atomic_fetch_or(&flags[tid], WAS_CANDIDATE, __ATOMIC_RELAXED);
 
                 if (best.dbstart == 0 && best.qend == orig_qlen - 1) {
                     if (right_off > 0) {
@@ -161,7 +179,7 @@ int assemble_greedy(
                     query.append((const char *)(tseq + best.dbend + 1),
                                  (size_t)frag_len);
                     right_off += frag_len;
-                    flags[tid] |= WAS_CONSUMED;
+                    __atomic_fetch_or(&flags[tid], WAS_CONSUMED, __ATOMIC_RELAXED);
                 } else if (best.qstart == 0 && best.dbend == tlen - 1) {
                     if (left_off > 0) {
                         deferred.push_back(best);
@@ -172,7 +190,7 @@ int assemble_greedy(
                         break;
                     query.insert(0, (const char *)tseq, (size_t)frag_len);
                     left_off += frag_len;
-                    flags[tid] |= WAS_CONSUMED;
+                    __atomic_fetch_or(&flags[tid], WAS_CONSUMED, __ATOMIC_RELAXED);
                 }
             }
             if (left_off > 0 || right_off > 0) could_extend = true;
@@ -216,13 +234,26 @@ int assemble_greedy(
         }
 
         if (could_extend) {
-            flags[qpos] |= IS_CONTIG;
+            __atomic_fetch_or(&flags[qpos], IS_CONTIG, __ATOMIC_RELAXED);
             out_is_contig[qpos] = 1;
-            if (out_pos + (int64_t)query.size() > out_cap) return 1;
-            memcpy(out_buf + out_pos, query.data(), query.size());
-            out_off[qpos] = out_pos;
-            out_len[qpos] = (int64_t)query.size();
-            out_pos += (int64_t)query.size();
+            to.qpos.push_back(qpos);
+            to.off.push_back((int64_t)to.buf.size());
+            to.len.push_back((int64_t)query.size());
+            to.buf.append(query);
+        }
+    }
+    }  // omp parallel
+
+    // deterministic placement: per-query slots, copied serially
+    int64_t out_pos = 0;
+    for (TOut &to : touts) {
+        for (size_t i = 0; i < to.qpos.size(); ++i) {
+            if (out_pos + to.len[i] > out_cap) return 1;
+            memcpy(out_buf + out_pos, to.buf.data() + to.off[i],
+                   (size_t)to.len[i]);
+            out_off[to.qpos[i]] = out_pos;
+            out_len[to.qpos[i]] = to.len[i];
+            out_pos += to.len[i];
         }
     }
     return 0;

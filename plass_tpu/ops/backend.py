@@ -584,6 +584,32 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
                     np.minimum(tlen_h - dist, qlen_h))
     ov_h = np.maximum(ov_h, 0)
 
+    # opt-in Pallas kernel (PLASS_PALLAS=1): score ALL remaining protein
+    # hits in one pallas dispatch over full rows (ops/pallas_rescore.py)
+    from .pallas_rescore import pallas_enabled, rescore_pairs_pallas
+    if (not is_nucl and params.rescore_mode == 3 and pallas_enabled()
+            and not use_dev and not bool(done.all())):
+        idxs = np.nonzero(~done)[0]
+        hb = _round_up(len(idxs))
+        pq = np.zeros(hb, dtype=np.int32)
+        pt = np.zeros(hb, dtype=np.int32)
+        pd = np.zeros(hb, dtype=np.int32)
+        pq[:len(idxs)] = qrow[idxs]
+        pt[:len(idxs)] = trow[idxs]
+        pd[:len(idxs)] = dg[idxs]
+        psc, pf, pl_, _ov_d, _dist_d, pid = rescore_pairs_pallas(
+            jc, jch, jl, jnp.asarray(pq), jnp.asarray(pt),
+            jnp.asarray(pd), jnp.asarray(jsub).reshape(alpha, alpha),
+            alpha, width=int(codes.shape[1]),
+            interpret=jax.default_backend() == "cpu")
+        mb = len(idxs)
+        score[idxs] = np.asarray(psc)[:mb].astype(np.int64)
+        first[idxs] = np.asarray(pf)[:mb]
+        last[idxs] = np.asarray(pl_)[:mb]
+        ov[idxs] = ov_h[idxs].astype(np.int32)
+        idents[idxs] = np.asarray(pid)[:mb].astype(np.float64)
+        done[idxs] = True
+
     # sharded path: hit rows already carry the mesh step's stage-5 rescore
     # columns — consume them instead of re-dispatching the diagonal scan
     if isinstance(hits, KmerHits) and hits.pre is not None \

@@ -1,0 +1,205 @@
+"""Pallas TPU kernel for the END_TO_END ungapped diagonal rescore
+(protein path of ops/device_rescore.rescore_pairs, mode 3,
+has_rev=False; reference: DistanceCalculator.h:115-220).
+
+Each grid step processes one (query, target, diagonal) hit:
+ - the two sequence ROWS are streamed into VMEM by BlockSpec index maps
+   reading scalar-prefetched row ids (the Pallas gather-rows pattern),
+   so the kernel never issues random HBM gathers
+ - the overlap windows are clamped dynamic-start slices re-aligned with
+   a dynamic lane roll (pltpu.roll) — gather-free window extraction
+ - the substitution lookup is a one-hot contraction on the MXU
+   (q_onehot @ sub, masked by t_onehot), exact in int32/f32 and free of
+   vector-table gathers the VPU lacks
+ - the '*'-skip first/last trim and identity counts are masked
+   reductions, bit-identical to the XLA formulation
+
+Used by ops/backend.rescore_diagonal_jax when PLASS_PALLAS=1; outputs
+are asserted equal to the XLA path in tests/test_pallas.py on both CPU
+(interpret mode) and the TPU.
+"""
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+STAR = 42  # ord('*')
+
+
+def _roll_left(vec, d, width, interpret):
+    """vec[(k + d) % width] at position k — dynamic left rotation."""
+    if interpret or pltpu is None:
+        idx = (jax.lax.broadcasted_iota(jnp.int32, vec.shape, 1) + d) % width
+        return jnp.take_along_axis(vec, idx, axis=1)
+    return pltpu.roll(vec, -d, 1)
+
+
+def _kernel(qrow_ref, trow_ref, dq_ref, dt_ref,
+            ov_ref, qcodes_ref, tcodes_ref, qchars_ref, tchars_ref,
+            sub_ref, out_ref, *, width, alpha, interpret):
+    # pallas traces the kernel lazily (outside the caller's context), so
+    # the 32-bit promotion guard must live here
+    with jax.enable_x64(False):
+        _kernel_body(qrow_ref, trow_ref, dq_ref,
+                     dt_ref, ov_ref, qcodes_ref, tcodes_ref, qchars_ref,
+                     tchars_ref, sub_ref, out_ref, width=width,
+                     alpha=alpha, interpret=interpret)
+
+
+def _kernel_body(qrow_ref, trow_ref, dq_ref, dt_ref,
+                 ov_ref, qcodes_ref, tcodes_ref, qchars_ref, tchars_ref,
+                 sub_ref, out_ref, *, width, alpha, interpret):
+    i = pl.program_id(0)
+    dq = dq_ref[i]
+    dt = dt_ref[i]
+    ov = ov_ref[i]
+
+    # dynamic lane-offset slices must be 128-aligned on TPU; load the
+    # full row and bring the window to lane 0 with a dynamic roll instead
+    # (wrapped lanes land at positions >= ov and are masked away)
+    qc = _roll_left(qcodes_ref[0].astype(jnp.int32), dq, width, interpret)
+    qch = _roll_left(qchars_ref[0].astype(jnp.int32), dq, width, interpret)
+    tc = _roll_left(tcodes_ref[0].astype(jnp.int32), dt, width, interpret)
+    tch = _roll_left(tchars_ref[0].astype(jnp.int32), dt, width, interpret)
+
+    a = jax.lax.broadcasted_iota(jnp.int32, (width, alpha), 1)
+    q1h = (qc.reshape(width, 1) == a).astype(jnp.float32)
+    t1h = (tc.reshape(width, 1) == a).astype(jnp.float32)
+    # s[j] = sub[qc[j], tc[j]] — exact in f32 for |sub| < 2^24
+    sm = jax.lax.dot_general(
+        q1h, sub_ref[...].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    s = (sm * t1h).sum(axis=1, dtype=jnp.float32).astype(jnp.int32).reshape(1, width)
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    star_here = ((qch == STAR) | (tch == STAR)).astype(jnp.int32)
+    # scalar bool reductions lower poorly in Mosaic; use int32 maxima
+    has_star0 = jnp.where(j == 0, star_here, jnp.zeros_like(star_here)).max() > 0
+    first0 = jnp.where(has_star0 & (ov > 0), jnp.int32(1), jnp.int32(0))
+    last_idx = jnp.maximum(ov - 1, 0)
+    star_last = jnp.where(j == last_idx, star_here, jnp.zeros_like(star_here)).max() > 0
+    last = last_idx - jnp.where((last_idx > 0) & star_last, jnp.int32(1), jnp.int32(0))
+
+    in_range = (j < ov) & (j >= first0) & (j <= last)
+    # integer sums promote to int64 under the global x64 flag (which
+    # Mosaic cannot lower); f32 sums stay f32 and are exact here
+    score_f = jnp.where(in_range, s, jnp.zeros_like(s)) \
+        .astype(jnp.float32).sum(dtype=jnp.float32)
+    score = jnp.maximum(score_f.astype(jnp.int32), jnp.int32(0))
+    fold = jnp.int32(~0x20 & 0xFF)
+    idents = ((((qch & fold) == (tch & fold)) & in_range)
+              .astype(jnp.float32).sum(dtype=jnp.float32)
+              .astype(jnp.int32))
+    out_ref[...] = jnp.stack(
+        [score, first0.astype(jnp.int32), last.astype(jnp.int32),
+         idents]).reshape(1, 1, 4)
+
+
+# scalar-prefetch operands live in SMEM (~1 MB); 5 i32 arrays cap the
+# per-call hit count
+_CHUNK = 32768
+
+
+def rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag,
+                         sub, alpha, width, interpret=False):
+    """(score, first, last, ov, dist, idents) for protein END_TO_END hits.
+
+    codes/chars: uint8[N, L]; qrow/trow/diag: int32[H]; sub:
+    int32[alpha, alpha]. width must equal codes.shape[1] (full rows).
+    Hits beyond the SMEM budget are processed in chunks."""
+    h = qrow.shape[0]
+    if h <= _CHUNK:
+        return _rescore_chunk(codes, chars, lengths, qrow, trow, diag,
+                              sub, alpha, width, interpret)
+    outs = []
+    for lo in range(0, h, _CHUNK):
+        hi = min(lo + _CHUNK, h)
+        outs.append(_rescore_chunk(codes, chars, lengths, qrow[lo:hi],
+                                   trow[lo:hi], diag[lo:hi], sub, alpha,
+                                   width, interpret))
+    return tuple(jnp.concatenate([o[k] for o in outs]) for k in range(6))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "alpha", "interpret"))
+def _rescore_chunk(codes, chars, lengths, qrow, trow, diag,
+                   sub, alpha, width, interpret=False):
+    # the package enables x64 globally, but Mosaic has no 64-bit types;
+    # trace the whole kernel under 32-bit promotion semantics
+    with jax.enable_x64(False):
+        return _rescore_pairs_pallas(codes, chars, lengths, qrow, trow,
+                                     diag, sub, alpha, width, interpret)
+
+
+def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag,
+                          sub, alpha, width, interpret):
+    h = qrow.shape[0]
+    lengths = lengths.astype(jnp.int32)
+    diag = diag.astype(jnp.int32)
+    qlen = lengths[qrow]
+    tlen = lengths[trow]
+    dist = jnp.abs(diag)
+    pos_ok = jnp.where(diag >= 0, dist < qlen, dist < tlen)
+    ov = jnp.where(diag >= 0,
+                   jnp.minimum(tlen, qlen - dist),
+                   jnp.minimum(tlen - dist, qlen))
+    ov = jnp.where(pos_ok, ov, 0).astype(jnp.int32)
+    lmax = codes.shape[1]
+    qoff = jnp.where(diag >= 0, dist, 0).astype(jnp.int32)
+    toff = jnp.where(diag >= 0, 0, dist).astype(jnp.int32)
+    if width != lmax:
+        raise ValueError("pallas rescore operates on full rows: pass "
+                         "width == codes.shape[1]")
+    dq = qoff
+    dt = toff
+
+    grid = (h,)
+    nsp = 5
+
+    # rows ride as [N, 1, L] so the per-row block (1, 1, L) satisfies the
+    # TPU tiling rule (trailing block dims equal the array dims)
+    def qmap(i, qr, tr, *rest):
+        return (qr[i], 0, 0)
+
+    def tmap(i, qr, tr, *rest):
+        return (tr[i], 0, 0)
+
+    def zmap(i, *rest):
+        return (0, 0)
+
+    def omap(i, *rest):
+        return (i, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, width=width, alpha=alpha,
+                          interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=nsp,
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, 1, lmax), qmap),
+                      pl.BlockSpec((1, 1, lmax), tmap),
+                      pl.BlockSpec((1, 1, lmax), qmap),
+                      pl.BlockSpec((1, 1, lmax), tmap),
+                      pl.BlockSpec((alpha, alpha), zmap)],
+            out_specs=pl.BlockSpec((1, 1, 4), omap)),
+        out_shape=jax.ShapeDtypeStruct((h, 1, 4), jnp.int32),
+        interpret=interpret,
+    )(qrow.astype(jnp.int32), trow.astype(jnp.int32),
+      dq, dt, ov, codes.reshape(-1, 1, lmax), codes.reshape(-1, 1, lmax),
+      chars.reshape(-1, 1, lmax), chars.reshape(-1, 1, lmax), sub)
+    out = out.reshape(h, 4)
+    return (out[:, 0], out[:, 1], out[:, 2], ov,
+            dist.astype(jnp.int32), out[:, 3])
+
+
+def pallas_enabled():
+    return os.environ.get("PLASS_PALLAS", "0") == "1"

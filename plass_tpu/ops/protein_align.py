@@ -320,7 +320,7 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                   max_reject=2**31 - 1, evaluer=None, tdb=None,
                   alignment_mode=2, add_backtrace=False,
                   include_identity=False, seq_id_mode=0, realign=False,
-                  realign_max_seqs=2**31 - 1):
+                  realign_max_seqs=2**31 - 1, device_prefilter=None):
     """`align` for amino-acid DBs (Alignment.cpp:250-470 semantics).
 
     db: query DB; tdb: target DB (None = same DB, enables identity
@@ -328,6 +328,13 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
     ...]}. alignment_mode: 0 auto / 2 score+cov / 3 +real seq.id via
     banded backtrace (forced to 3 by add_backtrace, Alignment.cpp:35-37).
     Returns {query_key: [result dict]} sorted by Matcher::compareHits.
+
+    device_prefilter (None = auto when an accelerator is attached): score
+    every candidate pair with the batched device SW kernel
+    (ops/device_align.py) in ONE dispatch and reject E-value failures
+    without a host ssw call — bit-equivalent, because the kernel computes
+    the exact ssw maximum and E-value rejection depends on the score
+    alone; survivors still run the native path for positions/backtraces.
     """
     mat = constants.blosum62()
     same_db = tdb is None
@@ -360,6 +367,9 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
     aligner = ProteinAligner(mat, comp_bias_corr)
     out = {}
     is_profile_query = db.dbtype == seqdb.HMM_PROFILE
+    pre_scores = _maybe_device_prefilter(
+        db, tdb, hits, mat, comp_bias_corr, gap_open, gap_extend,
+        is_profile_query, include_identity, same_db, device_prefilter)
     for qkey in sorted(hits):
         hlist = hits[qkey]
         if not hlist:
@@ -389,6 +399,15 @@ def align_protein(db, hits, seq_id_thr=0.0, cov_thr=0.0, cov_mode=0,
                 rejected += 1
                 continue
             is_identity = (qkey == tkey) and (include_identity or same_db)
+            if pre_scores is not None and not is_identity:
+                sc = pre_scores.get((qkey, tkey))
+                # the acceptance criterion below requires eval <= eval_thr
+                # (an AND term), so an exact-score E-value failure rejects
+                # without the positions the native pass would compute
+                if sc is not None and \
+                        float(evaluer.evalue(sc, L)) > eval_thr:
+                    rejected += 1
+                    continue
             r = sw_pair(aligner, evaluer, tnum, tkey, is_identity, sw_mode,
                         seq_id_mode, gap_open, gap_extend, eval_thr,
                         cov_mode, cov_thr, mask_len,
@@ -562,6 +581,50 @@ def lca_align_protein(db, hits, tdb=None, alignment_mode=0, cov_thr=0.0,
                                   r["dbKey"]))
         out[qkey] = final
     return out
+
+
+def _maybe_device_prefilter(db, tdb, hits, mat, comp_bias_corr, gap_open,
+                            gap_extend, is_profile_query, include_identity,
+                            same_db, device_prefilter):
+    """Batch-score all non-identity candidate pairs on the device
+    (ops/device_align.py) when worthwhile. Returns {(qkey, tkey): score}
+    or None."""
+    if is_profile_query:
+        return None
+    pairs = []
+    for q, hlist in hits.items():
+        for (t, _s, _d) in hlist:
+            if (q == t) and (include_identity or same_db):
+                continue
+            pairs.append((q, t))
+    if device_prefilter is None:
+        try:
+            import jax
+            accel = jax.default_backend() not in ("cpu",)
+        except Exception:
+            accel = False
+        device_prefilter = accel and len(pairs) >= 512
+    if not device_prefilter or not pairs:
+        return None
+    # shape guard: the kernel scans LQmax x LTmax; punt on long contigs
+    if int(db.seq_lens().max(initial=0)) > 4096 or \
+            int(tdb.seq_lens().max(initial=0)) > 4096:
+        return None
+
+    from .device_align import batch_pair_scores
+
+    def bias_fn(qid):
+        qnum = mat.aa2num[np.asarray(db.get_seq(qid))]
+        if comp_bias_corr:
+            tmp = calc_local_aa_bias(mat.sub.astype(np.int8), mat.pback,
+                                     qnum)
+            comp = np.where(tmp < 0.0, tmp - 0.5, tmp + 0.5).astype(np.int8)
+        else:
+            comp = np.zeros(len(qnum), dtype=np.int8)
+        return qnum, comp.astype(np.int32)
+
+    return batch_pair_scores(db, tdb, list(dict.fromkeys(pairs)), bias_fn,
+                             gap_open, gap_extend)
 
 
 def sw_pair(aligner, evaluer, tnum, tkey, is_identity, sw_mode, seq_id_mode,

@@ -1,0 +1,65 @@
+"""Pallas END_TO_END rescore kernel vs the XLA formulation — exact
+equality on real hits (CPU interpret mode; the TPU path is exercised by
+bench.py / PLASS_PALLAS=1)."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def protein_hits(merged_reads):
+    from plass_tpu.data import seqdb
+    from plass_tpu.ops import orf as orf_mod
+    from plass_tpu.ops import translate as tr
+    from plass_tpu.ops.backend import db_to_padded, _score_tables
+    from plass_tpu.ops.kmermatch import kmermatcher
+
+    reads, _ = merged_reads
+    sub = seqdb.subdb(reads, range(600))
+    odb, ohdb = orf_mod.extract_orfs(sub, min_length=45, max_length=32734,
+                                     max_gaps=0, start_mode=0)
+    aa = tr.translate_nucs(odb, ohdb, 1, add_orf_stop=True)
+    hits = kmermatcher(aa, 14, kmers_per_sequence=60, hash_shift=67,
+                       ignore_multi_kmer=True,
+                       include_only_extendable=True)
+    codes, lengths, _ = db_to_padded(aa, "score")
+    chars, _, _ = db_to_padded(aa, "char")
+    lut = aa.id_lookup_array()
+    qrow, trow, diag = [], [], []
+    for q, v in hits.items():
+        for (t, _s, d) in v:
+            qrow.append(int(lut[q]))
+            trow.append(int(lut[t]))
+            diag.append(d)
+    sub_flat, comp, c2c, alpha = _score_tables(aa)
+    return (codes, chars, lengths, np.array(qrow, np.int32),
+            np.array(trow, np.int32), np.array(diag, np.int32),
+            sub_flat, comp, c2c, alpha)
+
+
+def test_pallas_rescore_matches_xla(protein_hits):
+    import jax.numpy as jnp
+    from plass_tpu.ops.device_rescore import rescore_pairs
+    from plass_tpu.ops.pallas_rescore import rescore_pairs_pallas
+
+    (codes, chars, lengths, qrow, trow, diag, sub_flat, comp, c2c,
+     alpha) = protein_hits
+    assert len(qrow) > 50
+    x = rescore_pairs(jnp.asarray(codes), jnp.asarray(chars),
+                      jnp.asarray(lengths), jnp.asarray(qrow),
+                      jnp.asarray(trow), jnp.asarray(diag),
+                      jnp.zeros(len(qrow), bool), jnp.asarray(sub_flat),
+                      jnp.asarray(comp), jnp.asarray(c2c), alpha,
+                      mode=3, has_rev=False)
+    p = rescore_pairs_pallas(
+        jnp.asarray(codes), jnp.asarray(chars), jnp.asarray(lengths),
+        jnp.asarray(qrow), jnp.asarray(trow), jnp.asarray(diag),
+        jnp.asarray(sub_flat.reshape(alpha, alpha)), alpha,
+        width=codes.shape[1], interpret=True)
+    ov = np.asarray(x[3])
+    valid = ov > 0
+    names = ("score", "first", "last", "ov", "dist", "idents")
+    for name, xa, pa in zip(names, x, p):
+        xa = np.asarray(xa)[valid]
+        pa = np.asarray(pa)[valid]
+        bad = np.nonzero(xa != pa)[0]
+        assert len(bad) == 0, (name, bad[:5], xa[bad[:5]], pa[bad[:5]])

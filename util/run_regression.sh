@@ -89,4 +89,9 @@ echo "== contig counts: protein=$n_aa nucl=$n_nucl guided=$n_guided"
 [ "$n_aa" -gt 0 ] || fail "empty protein assembly"
 [ "$n_nucl" -gt 0 ] || fail "empty nucleotide assembly"
 [ "$n_guided" -gt 0 ] || fail "empty guided assembly"
+
+echo "== residue-weighted sensitivity/precision gate (10-point curves)"
+python3 "$REPO/util/sens_precision.py" "$TMP/sensprec" \
+    || fail "sensitivity/precision curve below the frozen baseline"
+
 echo "REGRESSION PASS"
