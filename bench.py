@@ -243,11 +243,18 @@ def run_nucl_reference_iteration(db, scale):
     return min(times)
 
 
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     sweep = {}
     for scale in SCALES:
+        _log(f"[bench] building workload scale={scale}")
         db = build_workload(scale)
+        _log(f"[bench] device iteration scale={scale} n={db.size}")
         dev_s, stages = run_device_iteration(db)
+        _log(f"[bench] reference baseline scale={scale}")
         ref_s = run_reference_iteration(db, scale)
         sweep[scale] = {
             "n_reads": db.size,
@@ -264,8 +271,11 @@ def main():
     nucl = None
     if BENCH_NUCL:
         nscale = SCALES[0]
+        _log(f"[bench] nucleotide workload scale={nscale}")
         ndb = build_nucl_workload(nscale)
+        _log(f"[bench] nucleotide device iteration n={ndb.size}")
         ndev_s, nstages = run_nucl_device_iteration(ndb)
+        _log("[bench] nucleotide reference baseline")
         nref_s = run_nucl_reference_iteration(ndb, nscale)
         nucl = {
             "scale": nscale,

@@ -20,7 +20,14 @@ from .device_rescore import rescore_pairs
 
 
 def _bucket(x, step):
-    return ((max(x, 1) + step - 1) // step) * step
+    """Bucket a dynamic dimension: fixed steps below 8x the step, then
+    1/8th-of-magnitude geometric steps — contigs GROW every iteration, so
+    fixed-step column buckets would recompile every program each
+    iteration once rows lengthen past the step."""
+    x = max(x, 1)
+    if x > 8 * step:
+        step = max(step, 1 << (int(x - 1).bit_length() - 3))
+    return ((x + step - 1) // step) * step
 
 
 def db_to_padded(db, alphabet="kmer", bucket_rows=2048, bucket_cols=128):
@@ -155,22 +162,26 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                         j += 1
                 return _insert_self_hits(db, rep, tgt, score, diag)
     if hit_capacity is None:
-        hit_capacity = db.size * (params.ksel + 1) + db.size
+        # geometric rounding: db.size changes every workflow iteration and
+        # hit_capacity is a static shape — keep the compiled program reusable
+        hit_capacity = _round_up(db.size * (params.ksel + 1) + db.size)
     # ONE dispatch + ONE fetch: the whole matcher runs as a single program
     # whose output is already the bucketed packed slice + hit count
-    # (each jit call and each fetch is a blocking RPC on tunneled backends)
-    guess = getattr(db, "_kmer_fetch_guess", 16384)
+    # (each jit call and each fetch is a blocking RPC on tunneled backends).
+    # The fetch-slice guess persists across iterations (new DB objects) per
+    # workload family, geometrically bucketed so shifts reuse the compile.
+    guess = _FETCH_GUESSES.get(is_nucl, 16384)
     m = min(guess, hit_capacity)
     packed_dev, dev = device_kmer.kmermatch_device_packed(
         jc, jl, jk, hash_shift, params, hit_capacity, m)
     packed = np.asarray(packed_dev)
     n = int(packed[-1])
     if n > m:  # guess too small: rerun at the true size, raise the guess
-        m = min(_bucket(n, 4096), hit_capacity)
-        db._kmer_fetch_guess = min(m * 2, hit_capacity)
+        m = min(_round_up(n * 2), hit_capacity)
         packed_dev, dev = device_kmer.kmermatch_device_packed(
             jc, jl, jk, hash_shift, params, hit_capacity, m)
         packed = np.asarray(packed_dev)
+    _FETCH_GUESSES[is_nucl] = m
     body = packed[:-1].reshape(4, m)
     rep = body[0][:n].astype(np.uint32)
     tgt = body[1][:n].astype(np.uint32)
@@ -235,6 +246,10 @@ def _insert_self_hits(db, rep, tgt, score, diag, dev=None, dev_m=0):
 # new iterations start at the proven size instead of re-discovering it
 # through overflow retries (each retry recompiles the mesh program)
 _CAPACITY_HINTS = {}
+
+# kmer fetch-slice sizes observed per workload family (is_nucl) — new
+# iterations over fresh DB objects start at the proven slice size
+_FETCH_GUESSES = {}
 
 
 def kmermatcher_sharded(db, k, kmers_per_sequence=21,
@@ -389,6 +404,12 @@ def _score_tables(db):
 
 
 def _round_up(x, step=4096):
+    """Round a dynamic buffer size to a geometric grid: 4096 steps below
+    32k, then 1/8th-of-magnitude steps — bounds the number of DISTINCT
+    compiled shapes logarithmically (each new static size is a full
+    remote recompile, minutes at large-table shapes)."""
+    if x > 32768:
+        step = 1 << (int(x - 1).bit_length() - 3)
     return ((x + step - 1) // step) * step
 
 
