@@ -12,8 +12,11 @@ random substitutions (distinct keys) so the k-mer table grows
 realistically. The baseline is the reference C++ binary (all cores) on
 the same database when a build exists at /tmp/refbuild.
 
-Env knobs: BENCH_SCALES="4,16" (sweep), BENCH_ITERS=3,
-BENCH_NUCL=1 (include the PenguiN iteration), BENCH_CACHE.
+Env knobs: BENCH_SCALES="4" (set "4,16" for the sweep; the 16x
+workload routes through the auto-split device path and pays several
+extra remote compiles), BENCH_ITERS=3, BENCH_NUCL=1 (include the
+PenguiN iteration), BENCH_CACHE. A recorded 4/16 sweep lives in
+BENCH_SWEEP_r03.json.
 """
 import json
 import os
@@ -25,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
-SCALES = [int(s) for s in os.environ.get("BENCH_SCALES", "4,16").split(",")]
+SCALES = [int(s) for s in os.environ.get("BENCH_SCALES", "4").split(",")]
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 CACHE = os.environ.get("BENCH_CACHE", "/tmp/plass_tpu_bench")
 BENCH_NUCL = os.environ.get("BENCH_NUCL", "1") == "1"

@@ -117,9 +117,20 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
         cov_thr=cov_thr,
         ksel=ksel_capacity(kmers_per_sequence, kmers_per_sequence_scale, lmax),
     )
+    from .kmermatch import (ENTRY_BYTES, compute_hash_splits,
+                            emit_hits, parse_memory_limit)
+    if not split_memory_limit:
+        # device budget: tables past this size exceed what the TPU
+        # compiler/HBM handles as ONE program (the 6M-entry monolithic
+        # sort OOMs the remote compiler on v5e) — split automatically,
+        # like the reference splits when RAM runs out
+        # (kmermatcher.cpp:594-779); override with PLASS_DEVICE_TABLE_LIMIT
+        import os
+        ent_limit = int(os.environ.get("PLASS_DEVICE_TABLE_LIMIT",
+                                       str(3 * 1024 * 1024)))
+        if db.size * (params.ksel + 1) + db.size > ent_limit:
+            split_memory_limit = ent_limit * ENTRY_BYTES
     if split_memory_limit:
-        from .kmermatch import (ENTRY_BYTES, compute_hash_splits,
-                                emit_hits, parse_memory_limit)
         limit = parse_memory_limit(split_memory_limit)
         est = (db.size * (params.ksel + 1) + db.size) * ENTRY_BYTES
         if est > limit:
