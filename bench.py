@@ -99,6 +99,7 @@ def run_device_iteration(db):
     stage plus the pure-device dispatch+fetch time of the k-mer matcher
     (the host-vs-device split the reference's phase timers report,
     kmermatcher.cpp:406-436)."""
+    from plass_tpu.ops import backend
     from plass_tpu.ops.backend import kmermatcher_jax, rescore_diagonal_jax
     from plass_tpu.ops.evalue import EvalueComputer
     from plass_tpu.ops.rescore import RescoreParams
@@ -108,6 +109,8 @@ def run_device_iteration(db):
     rp = RescoreParams(rescore_mode=3, seq_id_thr=0.9, eval_thr=1e-5)
 
     def one(shift, stages=None):
+        dt = backend.DEVICE_TIME
+        d0 = dict(dt)
         t0 = time.time()
         hits = kmermatcher_jax(db, 14, kmers_per_sequence=60,
                                hash_shift=shift, ignore_multi_kmer=True,
@@ -123,11 +126,14 @@ def run_device_iteration(db):
             stages["kmermatch"] += t1 - t0
             stages["rescore"] += t2 - t1
             stages["extend"] += t3 - t2
+            for k in ("kmermatch", "rescore"):
+                stages[k + "_device"] += dt.get(k, 0.0) - d0.get(k, 0.0)
         return asm
 
     one(66)  # warm up / compile (two shifts: hit-count-dependent pad
     one(67)  # buckets and overlap-width buckets both need populating)
-    stages = {"kmermatch": 0.0, "rescore": 0.0, "extend": 0.0}
+    stages = {"kmermatch": 0.0, "rescore": 0.0, "extend": 0.0,
+              "kmermatch_device": 0.0, "rescore_device": 0.0}
     t0 = time.time()
     for i in range(ITERS):
         one(68 + i, stages)
@@ -137,6 +143,7 @@ def run_device_iteration(db):
 
 def run_nucl_device_iteration(db):
     """One PenguiN nucleotide iteration (jax backend + native extend)."""
+    from plass_tpu.ops import backend
     from plass_tpu.ops.backend import kmermatcher_jax, rescore_diagonal_jax
     from plass_tpu.ops.evalue import EvalueComputer
     from plass_tpu.ops.rescore import RescoreParams
@@ -147,6 +154,8 @@ def run_nucl_device_iteration(db):
     rp = RescoreParams(rescore_mode=3, seq_id_thr=0.99, eval_thr=1e-5)
 
     def one(shift, stages=None):
+        dt = backend.DEVICE_TIME
+        d0 = dict(dt)
         t0 = time.time()
         hits = kmermatcher_jax(db, 22, kmers_per_sequence=60,
                                kmers_per_sequence_scale=0.1,
@@ -163,11 +172,14 @@ def run_nucl_device_iteration(db):
             stages["kmermatch"] += t1 - t0
             stages["rescore"] += t2 - t1
             stages["extend"] += t3 - t2
+            for k in ("kmermatch", "rescore"):
+                stages[k + "_device"] += dt.get(k, 0.0) - d0.get(k, 0.0)
         return asm
 
     one(66)
     one(67)
-    stages = {"kmermatch": 0.0, "rescore": 0.0, "extend": 0.0}
+    stages = {"kmermatch": 0.0, "rescore": 0.0, "extend": 0.0,
+              "kmermatch_device": 0.0, "rescore_device": 0.0}
     t0 = time.time()
     for i in range(ITERS):
         one(68 + i, stages)

@@ -342,17 +342,14 @@ def _native_output_db(db, keys, seq_data, seq_off, seq_lens, flags, out_buf,
     trips through per-record write() calls."""
     from ..data import seqdb as seqdb_mod
 
+    import ctypes
+    from .. import native
+
     contig_rows = np.nonzero(out_is_contig)[0]
     not_contig = (flags & IS_CONTIG) == 0
     not_consumed = (flags & WAS_CONSUMED) == 0
     keep = not_contig & (not_consumed | keep_target)
     keep_rows = np.nonzero(keep)[0]
-
-    def _payload_positions(dst_off, lens):
-        total = int(lens.sum())
-        cum = np.cumsum(lens) - lens
-        cols = np.arange(total) - np.repeat(cum, lens)
-        return np.repeat(dst_off, lens) + cols, cols
 
     c_len = out_len[contig_rows].astype(np.int64)
     k_len = seq_lens[keep_rows].astype(np.int64)
@@ -362,12 +359,23 @@ def _native_output_db(db, keys, seq_data, seq_off, seq_lens, flags, out_buf,
         np.cumsum(rec_lens[:-1], out=dst_off[1:])
     data = np.empty(int(rec_lens.sum()), dtype=np.uint8)
     nc = len(contig_rows)
+    lib = native.lib()
+
+    def _gather(src, src_off, lens, dst_offs):
+        lib.gather_records(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _native_ptr(np.ascontiguousarray(src_off, dtype=np.int64),
+                        ctypes.c_int64),
+            _native_ptr(np.ascontiguousarray(lens, dtype=np.int64),
+                        ctypes.c_int64),
+            _native_ptr(np.ascontiguousarray(dst_offs, dtype=np.int64),
+                        ctypes.c_int64),
+            np.int64(len(lens)), _native_ptr(data, ctypes.c_uint8))
+
     if nc:
-        dpos, cols = _payload_positions(dst_off[:nc], c_len)
-        data[dpos] = out_buf[np.repeat(out_off[contig_rows], c_len) + cols]
+        _gather(out_buf, out_off[contig_rows], c_len, dst_off[:nc])
     if len(keep_rows):
-        dpos, cols = _payload_positions(dst_off[nc:], k_len)
-        data[dpos] = seq_data[np.repeat(seq_off[keep_rows], k_len) + cols]
+        _gather(seq_data, seq_off[keep_rows], k_len, dst_off[nc:])
     data[dst_off + rec_lens - 2] = np.uint8(ord("\n"))
     data[dst_off + rec_lens - 1] = 0
     out_keys = np.concatenate([keys[contig_rows], keys[keep_rows]])
@@ -381,15 +389,23 @@ def _flat_seqs(db):
     DB instead of once per iteration)."""
     cache = getattr(db, "_flat_idorder", None)
     if cache is None:
+        import ctypes
+        from .. import native
+
         n = db.size
         seq_lens = db.seq_lens().astype(np.int32)
         seq_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(seq_lens, out=seq_off[1:])
         total = int(seq_off[-1])
-        ll = seq_lens.astype(np.int64)
-        cols = np.arange(total) - np.repeat(seq_off[:-1], ll)
-        src = np.repeat(db.offsets, ll) + cols
-        seq_data = np.ascontiguousarray(db.data[src])
+        seq_data = np.empty(total, dtype=np.uint8)
+        src = np.asarray(db.data)
+        native.lib().gather_records(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _native_ptr(np.ascontiguousarray(db.offsets, dtype=np.int64),
+                        ctypes.c_int64),
+            _native_ptr(seq_lens.astype(np.int64), ctypes.c_int64),
+            _native_ptr(seq_off[:-1], ctypes.c_int64),
+            np.int64(n), _native_ptr(seq_data, ctypes.c_uint8))
         cache = db._flat_idorder = (seq_data, seq_off, seq_lens)
     return cache
 

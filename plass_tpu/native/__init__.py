@@ -12,7 +12,8 @@ _LIB = None
 
 
 _SOURCES = ["ssw.cpp", "extend.cpp", "nucl_extend.cpp", "banded.cpp",
-            "tantan.cpp", "pssm.cpp", "ungapped.cpp", "profilestates.cpp"]
+            "tantan.cpp", "pssm.cpp", "ungapped.cpp", "profilestates.cpp",
+            "gather.cpp"]
 
 
 def _build(so_path):
@@ -124,4 +125,8 @@ def lib():
                                              f32p, f32p, ctypes.c_int64, u8p]
         _LIB.pq_map_profile.argtypes = [f32p, f64p, ctypes.c_int64,
                                         ctypes.c_int32, i16p, u32p, i8p]
+        _LIB.gather_records.argtypes = [u8p, i64p, i64p, i64p,
+                                        ctypes.c_int64, u8p]
+        _LIB.pad_records.argtypes = [u8p, i64p, i32p, ctypes.c_int64, u8p,
+                                     u8p, ctypes.c_int64]
         return _LIB

@@ -7,6 +7,7 @@ copies of the padded DB per SeqDB, (b) uploads per-call operands as ONE
 stacked array, and (c) fetches per-call results as ONE stacked array at a
 bucketed static size (exact-size slices would recompile the fetch)."""
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,22 @@ from ..data import seqdb
 from . import device_kmer
 from .device_kmer import KmerParams, ksel_capacity
 from .device_rescore import rescore_pairs
+
+
+# Accumulated seconds of BLOCKING device dispatch+fetch per op family —
+# the device-vs-host wall split the reference's phase timers report
+# (kmermatcher.cpp:406-436).  On a tunneled backend a fetch covers
+# dispatch + compute + transfer + RTT; bench.py snapshots this dict around
+# each stage to emit the *_device components of stages_s.
+DEVICE_TIME = {}
+
+
+def _fetch(x, key):
+    """np.asarray(x) with the blocking time accounted to DEVICE_TIME[key]."""
+    t0 = time.perf_counter()
+    out = np.asarray(x)
+    DEVICE_TIME[key] = DEVICE_TIME.get(key, 0.0) + (time.perf_counter() - t0)
+    return out
 
 
 def _bucket(x, step):
@@ -56,14 +73,26 @@ def db_to_padded(db, alphabet="kmer", bucket_rows=2048, bucket_cols=128):
     fill = mat.alphabet_size - 1 if alphabet != "char" else 0
     out = np.full((n_pad, lmax), fill, dtype=np.uint8)
     if n:
-        # vectorized gather: per-record source ranges into the flat data
-        total = int(raw_lengths.sum())
-        rows = np.repeat(np.arange(n), raw_lengths)
-        cum = np.concatenate([[0], np.cumsum(raw_lengths)[:-1]])
-        cols = np.arange(total) - np.repeat(cum, raw_lengths)
-        src = np.repeat(db.offsets, raw_lengths) + cols
-        flat = db.data[src]
-        out[rows, cols] = flat if alphabet == "char" else mat.aa2num[flat]
+        # native per-record copy with a 256-entry byte LUT (identity for
+        # 'char'): the numpy fancy-index gather paid ~30 bytes of index
+        # traffic per payload byte and dominated cold-start time
+        import ctypes
+        from .. import native
+
+        if alphabet == "char":
+            lut8 = np.arange(256, dtype=np.uint8)
+        else:
+            lut8 = np.ascontiguousarray(mat.aa2num.astype(np.uint8))
+        src = np.asarray(db.data)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        native.lib().pad_records(
+            src.ctypes.data_as(u8p),
+            np.ascontiguousarray(db.offsets, dtype=np.int64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)),
+            np.ascontiguousarray(raw_lengths, dtype=np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
+            np.int64(n), lut8.ctypes.data_as(u8p), out.ctypes.data_as(u8p),
+            np.int64(lmax))
     lengths = np.zeros(n_pad, dtype=np.int32)
     lengths[:n] = raw_lengths
     keys = np.arange(n_pad, dtype=np.uint32) + np.uint32(2**31)
@@ -147,31 +176,52 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                         if int(n_in) <= cap:
                             break
                         cap = _bucket(int(n_in), 4096)  # exact, one retry
-                    part = np.asarray(packed_d)
+                    part = _fetch(packed_d, "kmermatch")
                     kp = part[4].astype(bool)
                     reps.append(part[0][kp].astype(np.uint32))
                     tgts.append(part[1][kp].astype(np.uint32))
                     diags.append(part[2][kp])
                     revs.append(part[3][kp].astype(bool))
-                hits = emit_hits(np.concatenate(reps), np.concatenate(tgts),
-                                 np.concatenate(diags), np.concatenate(revs),
-                                 db.keys)
                 if not return_arrays:
-                    return hits
-                m = sum(len(v) - 1 for v in hits.values())
-                rep = np.empty(m, dtype=np.uint32)
-                tgt = np.empty(m, dtype=np.uint32)
-                score = np.empty(m, dtype=np.int32)
-                diag = np.empty(m, dtype=np.int32)
-                j = 0
-                for q in sorted(hits):
-                    for (t, s, d) in hits[q][1:]:
-                        rep[j] = q
-                        tgt[j] = t
-                        score[j] = s
-                        diag[j] = d
-                        j += 1
-                return _insert_self_hits(db, rep, tgt, score, diag)
+                    return emit_hits(np.concatenate(reps),
+                                     np.concatenate(tgts),
+                                     np.concatenate(diags),
+                                     np.concatenate(revs), db.keys)
+                # device merge: ONE stacked upload of the concatenated
+                # kept pairs, the exact monolithic stage-5 scan, ONE fetch
+                # — no per-hit host loop, and the device-resident hit
+                # arrays survive for the rescore-by-index fast path
+                rep_all = np.concatenate(reps)
+                mtot = len(rep_all)
+                if mtot == 0:
+                    z = np.zeros(0, dtype=np.uint32)
+                    return _insert_self_hits(
+                        db, z, z, np.zeros(0, np.int32), np.zeros(0, np.int32))
+                pad = _round_up(mtot)
+                ops = np.zeros((3, pad), dtype=np.int32)
+                ops[0, :mtot] = rep_all
+                ops[1, :mtot] = np.concatenate(tgts)
+                ops[2, :mtot] = (np.concatenate(diags).astype(np.int32) << 1) \
+                    | np.concatenate(revs)
+                jops = jnp.asarray(ops)
+                guess = _FETCH_GUESSES.get(is_nucl, 16384)
+                m = min(guess, pad)
+                packed_dev, dev = device_kmer.merge_pairs_packed(
+                    jops, jnp.int32(mtot), pad, m)
+                packed = _fetch(packed_dev, "kmermatch")
+                n = int(packed[-1])
+                if n > m:
+                    m = min(_round_up(n * 2), pad)
+                    packed_dev, dev = device_kmer.merge_pairs_packed(
+                        jops, jnp.int32(mtot), pad, m)
+                    packed = _fetch(packed_dev, "kmermatch")
+                _FETCH_GUESSES[is_nucl] = m
+                body = packed[:-1].reshape(4, m)
+                return _insert_self_hits(
+                    db, body[0][:n].astype(np.uint32),
+                    body[1][:n].astype(np.uint32),
+                    body[2][:n].astype(np.int32),
+                    body[3][:n].astype(np.int32), dev=dev, dev_m=m)
     if hit_capacity is None:
         # geometric rounding: db.size changes every workflow iteration and
         # hit_capacity is a static shape — keep the compiled program reusable
@@ -185,13 +235,13 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
     m = min(guess, hit_capacity)
     packed_dev, dev = device_kmer.kmermatch_device_packed(
         jc, jl, jk, hash_shift, params, hit_capacity, m)
-    packed = np.asarray(packed_dev)
+    packed = _fetch(packed_dev, "kmermatch")
     n = int(packed[-1])
     if n > m:  # guess too small: rerun at the true size, raise the guess
         m = min(_round_up(n * 2), hit_capacity)
         packed_dev, dev = device_kmer.kmermatch_device_packed(
             jc, jl, jk, hash_shift, params, hit_capacity, m)
-        packed = np.asarray(packed_dev)
+        packed = _fetch(packed_dev, "kmermatch")
     _FETCH_GUESSES[is_nucl] = m
     body = packed[:-1].reshape(4, m)
     rep = body[0][:n].astype(np.uint32)
@@ -635,7 +685,8 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
             alpha, width=int(codes.shape[1]),
             interpret=jax.default_backend() == "cpu")
         mb = len(idxs)
-        score[idxs] = np.asarray(psc)[:mb].astype(np.int64)
+        psc = _fetch(psc, "rescore")
+        score[idxs] = psc[:mb].astype(np.int64)
         first[idxs] = np.asarray(pf)[:mb]
         last[idxs] = np.asarray(pl_)[:mb]
         ov[idxs] = ov_h[idxs].astype(np.int32)
@@ -687,7 +738,7 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         ops[2, :mb] = (dg[idxs].astype(np.int32) << 1) | qrev[idxs]
         # one stacked upload + one stacked fetch at the padded size
         # (exact-size device slices would recompile the fetch every call)
-        packed = np.asarray(_rescore_packed(
+        packed = _fetch(_rescore_packed(
             jc, jch, jl, jnp.asarray(ops), jsub, jcomp, jc2c, alpha,
             params.rescore_mode, w))
         score[idxs] = packed[0, :mb].astype(np.int64)
@@ -696,7 +747,7 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         ov[idxs] = packed[3, :mb]
         idents[idxs] = packed[4, :mb].astype(np.float64)
     for idxs, mb, out_dev in pending:
-        packed = np.asarray(out_dev)
+        packed = _fetch(out_dev, "rescore")
         score[idxs] = packed[0, :mb].astype(np.int64)
         fl = packed[1, :mb]
         first[idxs] = fl >> 16

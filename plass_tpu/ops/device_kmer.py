@@ -512,6 +512,31 @@ def kmermatch_device_packed(seqs, lengths, keys, hash_shift, params,
     return jnp.concatenate([flat, n_hits.reshape(1)]), (rep, tgt, diag)
 
 
+@functools.partial(jax.jit, static_argnames=("hit_capacity", "fetch_m"))
+def merge_pairs_packed(ops, n_valid, hit_capacity, fetch_m):
+    """Device merge of per-split pair streams (the split analogue of the
+    reference's k-way split-file merge, kmermatcher.cpp:947-1020): ONE
+    (rep, tgt, diag) sort over the concatenated kept pairs + the same
+    stage-5 scan as the monolithic path, so split output == single-pass
+    output (including the absorb quirk) and the device-resident hit arrays
+    survive for the rescore-by-index fast path.
+
+    ops: i32[3, P] stacked (rep, tgt, diag<<1|rev); rows past n_valid are
+    padding. Returns the same packed flat array + device hit arrays as
+    kmermatch_device_packed."""
+    rep = ops[0].astype(jnp.uint32)
+    tgt = ops[1].astype(jnp.uint32)
+    diag = jnp.right_shift(ops[2], 1)  # arithmetic shift keeps the sign
+    rev = (ops[2] & 1).astype(bool)
+    valid = jnp.arange(ops.shape[1], dtype=jnp.int32) < n_valid
+    pairs = sort_pairs(rep, tgt, diag, rev, valid)
+    cr, ct, cs, cd, n_hits = _stage_hits(*pairs, hit_capacity)
+    m = min(fetch_m, cr.shape[0])
+    flat = jnp.stack([cr[:m].astype(jnp.int32), ct[:m].astype(jnp.int32),
+                      cs[:m], cd[:m]]).reshape(-1)
+    return jnp.concatenate([flat, n_hits.reshape(1)]), (cr, ct, cd)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("params", "lo", "hi", "cap"))
 def kmermatch_pairs_range(seqs, lengths, keys, hash_shift, params, lo, hi,

@@ -58,6 +58,40 @@ def test_device_split_equals_single_pass():
 
 
 @needs_golden
+def test_device_auto_split_return_arrays(monkeypatch):
+    """The AUTO device-budget split (PLASS_DEVICE_TABLE_LIMIT) with
+    return_arrays: the device merge program (merge_pairs_packed) must
+    produce exactly the monolithic flat hit arrays, carry live device-
+    resident hit arrays for the rescore fast path, and the auto trigger
+    must fire from the env var alone (no explicit split_memory_limit)."""
+    from plass_tpu.ops import backend
+    from plass_tpu.ops.backend import kmermatcher_jax
+
+    db = seqdb.SeqDB.open(f"{GOLDEN}/aa_6f_start_long")
+    keep = [int(k) for i, k in enumerate(db.keys)
+            if db.lengths[i] < 260][:4000]
+    db = seqdb.subdb(db, keep)
+    kw = dict(kmers_per_sequence=60, hash_shift=67, ignore_multi_kmer=True,
+              include_only_extendable=False, return_arrays=True)
+    single = kmermatcher_jax(db, 14, **kw)
+    # table estimate: n * (ksel + 1) + n entries; force ~4 splits
+    monkeypatch.setenv("PLASS_DEVICE_TABLE_LIMIT", str(70000))
+    backend._FETCH_GUESSES.clear()
+    split = kmermatcher_jax(db, 14, **kw)
+    assert split.dev is not None  # rescore fast path survives the split
+    for a, b in zip(single, split):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(single.group_starts, split.group_starts)
+    np.testing.assert_array_equal(single.hit_slots, split.hit_slots)
+    # the device-resident arrays address the same hits the flat rows carry
+    n_hits = len(split.hit_slots)
+    for col, flat in ((0, split[0]), (1, split[1]), (2, split[3])):
+        dev_col = np.asarray(split.dev[col])[:n_hits]
+        np.testing.assert_array_equal(dev_col.astype(np.int64),
+                                      np.asarray(flat)[split.hit_slots])
+
+
+@needs_golden
 def test_split_equals_single_and_golden():
     from plass_tpu.ops.kmermatch import (ENTRY_BYTES, compute_hash_splits,
                                          hits_to_db, kmermatcher)
