@@ -312,6 +312,12 @@ _CAPACITY_HINTS = {}
 # iterations over fresh DB objects start at the proven slice size
 _FETCH_GUESSES = {}
 
+# retries the most recent kmermatcher_sharded call needed (observability:
+# with the selection-demand probe sizing stage 2 up front, any workload
+# should converge with AT MOST one retry — asserted by dryrun_multichip
+# and tests/test_sharding.py)
+LAST_SHARDED_RETRIES = 0
+
 
 def kmermatcher_sharded(db, k, kmers_per_sequence=21,
                         kmers_per_sequence_scale=None, hash_shift=67,
@@ -340,7 +346,8 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
     """
     import jax
     from ..parallel import distributed
-    from ..parallel.mesh import make_mesh, sharded_iteration_fn
+    from ..parallel.mesh import (make_mesh, selection_demand_fn,
+                                 sharded_iteration_fn)
 
     is_nucl = db.dbtype == seqdb.NUCLEOTIDES
     if kmers_per_sequence_scale is None:
@@ -371,6 +378,33 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
         # workload family avoids the sizing retry (and its recompile)
         hint = _CAPACITY_HINTS.get((is_nucl, n_devices), 0)
         bucket_capacity = max(per_shard * (params.ksel + 1), hint)
+    rowids = np.arange(n_pad, dtype=np.uint32)
+    from jax.sharding import PartitionSpec as P
+    args = [(codes, P("shards")), (lengths, P("shards")),
+            (rowids, P("shards")), (score_codes, P()), (chars, P()),
+            (lengths, P()), (sub_flat, P()), (comp, P()),
+            (code2char, P()), (np.int32(hash_shift), P())]
+    if multiproc:
+        # every process holds the full host arrays (shared-filesystem
+        # contract, like the reference's NFS mmap); each materializes
+        # only its addressable shards of the global arrays
+        ops = [distributed.host_to_global(mesh, np.asarray(a), s)
+               for a, s in args]
+    else:
+        ops = [jnp.asarray(a) for a, _ in args]
+    # size stage 2 EXACTLY before compiling the full step: the probe's
+    # compiled shape is capacity-independent (reused across iterations),
+    # and its per-(src, dst) counts make the initial bucket capacity
+    # sufficient for the selection exchange — the reference computes its
+    # histogram before splitting the same way (kmermatcher.cpp:617-620).
+    # Without it, a skewed hash block costs one overflow retry (= one
+    # multi-minute recompile) per understated exchange stage.
+    probe = selection_demand_fn(mesh, params)
+    sel_counts = distributed.fetch_global(
+        probe(ops[0], ops[1], ops[9]))
+    sel_need = int(sel_counts.max())
+    if sel_need > bucket_capacity:
+        bucket_capacity = _round_up(sel_need)
     # overflow-safe: the step reports entries dropped at any exchange /
     # compaction PLUS the exact per-bucket demand, so one retry jumps
     # straight to a sufficient capacity (each new capacity recompiles —
@@ -379,24 +413,12 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
         hit_capacity = bucket_capacity
         fn = sharded_iteration_fn(mesh, params, bucket_capacity,
                                   hit_capacity, alpha)
-        rowids = np.arange(n_pad, dtype=np.uint32)
-        from jax.sharding import PartitionSpec as P
-        args = [(codes, P("shards")), (lengths, P("shards")),
-                (rowids, P("shards")), (score_codes, P()), (chars, P()),
-                (lengths, P()), (sub_flat, P()), (comp, P()),
-                (code2char, P()), (np.int32(hash_shift), P())]
-        if multiproc:
-            # every process holds the full host arrays (shared-filesystem
-            # contract, like the reference's NFS mmap); each materializes
-            # only its addressable shards of the global arrays
-            ops = [distributed.host_to_global(mesh, np.asarray(a), s)
-                   for a, s in args]
-        else:
-            ops = [jnp.asarray(a) for a, _ in args]
-        cr, ct, cs, cd, cv, r_score, r_fl, r_idents, overflow, needed = \
-            fn(*ops)
+        (cr, ct, cs, cd, cv, r_score, r_first, r_last, r_idents, overflow,
+         needed) = fn(*ops)
         n_dropped = int(distributed.fetch_global(overflow).sum())
         if n_dropped == 0:
+            global LAST_SHARDED_RETRIES
+            LAST_SHARDED_RETRIES = attempt
             _CAPACITY_HINTS[(is_nucl, n_devices)] = bucket_capacity
             break
         if attempt == max_retries:
@@ -428,12 +450,11 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
         sel = sel[order]
         rep_k = keymap[cr[sel]].astype(np.uint32)
         tgt_k = keymap[ct[sel]].astype(np.uint32)
-        fl = distributed.fetch_global(r_fl)[sel]
         out = _insert_self_hits(db, rep_k, tgt_k, cs[sel].astype(np.int32),
                                 cd[sel])
         out.pre = (distributed.fetch_global(r_score)[sel].astype(np.int64),
-                   (fl >> 16).astype(np.int32),
-                   ((fl & 0xFFFF) ^ 0x8000).astype(np.int32) - 0x8000,
+                   distributed.fetch_global(r_first)[sel].astype(np.int32),
+                   distributed.fetch_global(r_last)[sel].astype(np.int32),
                    distributed.fetch_global(r_idents)[sel].astype(np.float64))
         out.pre_mode = 3
         return out
@@ -504,6 +525,28 @@ def _rescore_from_dev(codes, chars, lengths, lut, dev_rep, dev_tgt, dev_diag,
     score, first, last, _ov, _dist, idents = rescore_pairs(
         codes, chars, lengths, qrow, trow, dg, qrev, sub_flat, comp,
         code2char, alpha, mode=mode, width=width, has_rev=has_rev)
+    fl = (first.astype(jnp.int32) << 16) | (last.astype(jnp.int32) & 0xFFFF)
+    return jnp.stack([score.astype(jnp.int32), fl, idents.astype(jnp.int32)])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("alpha", "width", "interpret"))
+def _rescore_from_dev_pallas(codes, chars, lengths, lut, dev_rep, dev_tgt,
+                             dev_diag, idxops, sub2d, alpha, width,
+                             interpret):
+    """_rescore_from_dev with the Pallas kernel as the scoring engine
+    (protein END_TO_END only): hits addressed by index into the k-mer
+    stage's device arrays, rows streamed by the kernel's scalar-prefetch
+    BlockSpecs — same one-word-per-hit upload, same packed i32[3, Hb]
+    fetch (score, first<<16|last, idents)."""
+    from .pallas_rescore import rescore_pairs_pallas
+    sel = idxops >> 1
+    qrow = lut[dev_rep[sel].astype(jnp.int32)]
+    trow = lut[dev_tgt[sel].astype(jnp.int32)]
+    dg = dev_diag[sel]
+    score, first, last, _ov, _dist, idents = rescore_pairs_pallas(
+        codes, chars, lengths, qrow, trow, dg, sub2d, alpha, width=width,
+        interpret=interpret)
     fl = (first.astype(jnp.int32) << 16) | (last.astype(jnp.int32) & 0xFFFF)
     return jnp.stack([score.astype(jnp.int32), fl, idents.astype(jnp.int32)])
 
@@ -666,9 +709,34 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
                     np.minimum(tlen_h - dist, qlen_h))
     ov_h = np.maximum(ov_h, 0)
 
+    # Pallas kernel on the PRODUCT path (device-resident hits): one
+    # dispatch over full rows addressed by hit index. Default per
+    # pallas_on_product() (on-chip measurement; PLASS_PALLAS overrides).
+    from .pallas_rescore import (pallas_enabled, pallas_on_product,
+                                 rescore_pairs_pallas)
+    if (use_dev and not is_nucl and params.rescore_mode == 3
+            and pallas_on_product() and not bool(done.all())):
+        idxs = np.nonzero(~done)[0]
+        mb = len(idxs)
+        hb = _round_up(mb)
+        didx = np.searchsorted(hits.hit_slots, idxs).astype(np.int32)
+        ops1 = np.zeros(hb, dtype=np.int32)
+        ops1[:mb] = didx << 1
+        out_dev = _rescore_from_dev_pallas(
+            jc, jch, jl, jlut, *hits.dev, jnp.asarray(ops1),
+            jsub.reshape(alpha, alpha), alpha, int(codes.shape[1]),
+            jax.default_backend() == "cpu")
+        packed = _fetch(out_dev, "rescore")
+        score[idxs] = packed[0, :mb].astype(np.int64)
+        fl = packed[1, :mb]
+        first[idxs] = fl >> 16
+        last[idxs] = ((fl & 0xFFFF) ^ 0x8000) - 0x8000  # sign-extend i16
+        ov[idxs] = ov_h[idxs].astype(np.int32)
+        idents[idxs] = packed[2, :mb].astype(np.float64)
+        done[idxs] = True
+
     # opt-in Pallas kernel (PLASS_PALLAS=1): score ALL remaining protein
     # hits in one pallas dispatch over full rows (ops/pallas_rescore.py)
-    from .pallas_rescore import pallas_enabled, rescore_pairs_pallas
     if (not is_nucl and params.rescore_mode == 3 and pallas_enabled()
             and not use_dev and not bool(done.all())):
         idxs = np.nonzero(~done)[0]
@@ -740,7 +808,7 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         # (exact-size device slices would recompile the fetch every call)
         packed = _fetch(_rescore_packed(
             jc, jch, jl, jnp.asarray(ops), jsub, jcomp, jc2c, alpha,
-            params.rescore_mode, w))
+            params.rescore_mode, w), "rescore")
         score[idxs] = packed[0, :mb].astype(np.int64)
         first[idxs] = packed[1, :mb]
         last[idxs] = packed[2, :mb]

@@ -88,6 +88,10 @@ def _kernel_body(qrow_ref, trow_ref, dq_ref, dt_ref,
     last_idx = jnp.maximum(ov - 1, 0)
     star_last = jnp.where(j == last_idx, star_here, jnp.zeros_like(star_here)).max() > 0
     last = last_idx - jnp.where((last_idx > 0) & star_last, jnp.int32(1), jnp.int32(0))
+    # degenerate hits (ov <= 0) emit first/last = -1/-1 exactly like the
+    # XLA path / the host e2e_diagonal, so downstream records agree
+    first0 = jnp.where(ov > 0, first0, jnp.int32(-1))
+    last = jnp.where(ov > 0, last, jnp.int32(-1))
 
     in_range = (j < ov) & (j >= first0) & (j <= last)
     # integer sums promote to int64 under the global x64 flag (which
@@ -202,4 +206,24 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag,
 
 
 def pallas_enabled():
+    """Opt-in gate for the HOST-upload path (PLASS_PALLAS=1)."""
     return os.environ.get("PLASS_PALLAS", "0") == "1"
+
+
+# Product-path default on accelerators, decided by an on-chip benchmark
+# (bench.py protein iteration at SCALE=4, PLASS_PALLAS=1 vs 0 on the same
+# 24.5k-ORF workload, v5e via axon, 2026-08-21): the full-row per-hit
+# Pallas grid beat the XLA width-bucketed scan 0.0321 s vs 0.0594 s of
+# device rescore time (iteration 0.137 s vs 0.162 s), so it is the
+# default wherever it applies (protein, END_TO_END, device-resident
+# hits).  PLASS_PALLAS=0/1 always overrides.
+_PRODUCT_DEFAULT = True
+
+
+def pallas_on_product():
+    """Should the device-resident product path use the Pallas kernel?"""
+    env = os.environ.get("PLASS_PALLAS")
+    if env is not None:
+        return env == "1"
+    return (_PRODUCT_DEFAULT and pltpu is not None
+            and jax.default_backend() != "cpu")

@@ -38,6 +38,19 @@ def make_mesh(n_devices=None, axis="shards"):
     return Mesh(np.array(devs), (axis,))
 
 
+# jitted program cache: the builders close fresh python functions, so an
+# unmemoized call would RETRACE (and on remote backends recompile) the
+# whole step every iteration even at identical shapes/capacities
+_FN_CACHE = {}
+
+
+def _cached(key, build):
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = _FN_CACHE[key] = build()
+    return fn
+
+
 def _exchange(fields, dest, valid, n_shards, capacity, axis):
     """Route entries to their destination shard with per-destination buckets.
 
@@ -86,13 +99,20 @@ def _exchange(fields, dest, valid, n_shards, capacity, axis):
 
 def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
                          hit_capacity, alpha, axis="shards"):
-    """Build the jitted multi-chip step.
+    """Build (memoized) the jitted multi-chip step.
 
     Inputs: (seqs, lengths, keys) sharded on the sequence axis;
     (codes, chars, all_lengths) replicated for rescoring; score LUTs;
     hash_shift scalar. Keys must be the renumbered 0..N-1 row ids.
     Outputs are per-shard hit arrays (sharded on axis 0).
     """
+    key = ("step", mesh, params, bucket_capacity, hit_capacity, alpha, axis)
+    return _cached(key, lambda: _build_iteration_fn(
+        mesh, params, bucket_capacity, hit_capacity, alpha, axis))
+
+
+def _build_iteration_fn(mesh, params, bucket_capacity, hit_capacity, alpha,
+                        axis):
     n_shards = mesh.devices.size
 
     def step(seqs, lengths, keys, codes, chars_arr, all_lengths, sub_flat,
@@ -157,8 +177,10 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
         needed = jnp.maximum(jnp.maximum(need1, need2), n_hits).reshape(1)
 
         # ---- stage 5: rescore hits locally against replicated sequences
-        # (first/last ride back packed so the workflow can consume this
-        # rescore directly instead of re-dispatching — the product path)
+        # (first/last ride back as separate i32 columns — packing them into
+        # 16-bit halves silently sign-corrupted overlaps >= 32768 columns,
+        # real at max_seq_len 200000 — so the workflow can consume this
+        # rescore directly instead of re-dispatching: the product path)
         qrow = cr.astype(jnp.int32)
         trow = ct.astype(jnp.int32)
         qrev = cs < 0
@@ -166,22 +188,59 @@ def sharded_iteration_fn(mesh, params: KmerParams, bucket_capacity,
             codes, chars_arr, all_lengths,
             jnp.where(cv, qrow, 0), jnp.where(cv, trow, 0),
             cd, qrev & cv, sub_flat, comp, c2c, alpha, mode=3)
-        fl = (first.astype(jnp.int32) << 16) | (last.astype(jnp.int32)
-                                                & 0xFFFF)
-        return cr, ct, cs, cd, cv, score, fl, idents, overflow, needed
+        return (cr, ct, cs, cd, cv, score, first.astype(jnp.int32),
+                last.astype(jnp.int32), idents, overflow, needed)
 
     in_specs = (P(axis), P(axis), P(axis),     # seqs, lengths, keys sharded
                 P(), P(), P(), P(), P(), P(),  # replicated arrays + luts
                 P())
-    out_specs = tuple(P(axis) for _ in range(10))
+    out_specs = tuple(P(axis) for _ in range(11))
+    mapped = _shard_map(step, mesh, in_specs, out_specs)
+    return jax.jit(mapped)
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
     try:
         smap = jax.shard_map
     except AttributeError:  # older jax
         from jax.experimental.shard_map import shard_map as smap
     try:
-        mapped = smap(step, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_vma=False)
+        return smap(fn, mesh=mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_vma=False)
     except TypeError:
-        mapped = smap(step, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_rep=False)
+        return smap(fn, mesh=mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_rep=False)
+
+
+def selection_demand_fn(mesh, params: KmerParams, axis="shards"):
+    """Capacity-INDEPENDENT probe: stage-1 selection + exact per-(source,
+    destination) entry counts for the stage-2 hash-range exchange.  Its
+    compiled shape depends only on the padded DB shape, so it is compiled
+    once per workload family and lets kmermatcher_sharded size the
+    exchange buckets exactly BEFORE compiling the full step (the
+    reference computes its histogram before splitting the same way,
+    kmermatcher.cpp:617-620) — without it, skewed hash blocks cost one
+    overflow retry per understated stage, each a full recompile."""
+    key = ("probe", mesh, params, axis)
+    return _cached(key, lambda: _build_demand_fn(mesh, params, axis))
+
+
+def _build_demand_fn(mesh, params, axis):
+    n_shards = mesh.devices.size
+
+    def probe(seqs, lengths, hash_shift):
+        sk, sp, sv, sh, sh16 = device_kmer.select_kmers(
+            seqs, lengths, params, hash_shift)
+        n = seqs.shape[0]
+        h16 = jnp.concatenate([
+            sh16.reshape(-1),
+            (sh & jnp.uint64(0xFFFF)).astype(jnp.int32)])
+        valid = jnp.concatenate([sv.reshape(-1), lengths > 0])
+        dest = (h16 * n_shards) // 65536
+        counts = jnp.sum(
+            (dest[:, None] == jnp.arange(n_shards)[None, :]) & valid[:, None],
+            axis=0, dtype=jnp.int32)
+        return counts.reshape(1, n_shards)
+
+    mapped = _shard_map(probe, mesh, (P(axis), P(axis), P()), P(axis))
     return jax.jit(mapped)

@@ -55,11 +55,39 @@ def test_pallas_rescore_matches_xla(protein_hits):
         jnp.asarray(qrow), jnp.asarray(trow), jnp.asarray(diag),
         jnp.asarray(sub_flat.reshape(alpha, alpha)), alpha,
         width=codes.shape[1], interpret=True)
-    ov = np.asarray(x[3])
-    valid = ov > 0
+    # unmasked: degenerate (ov <= 0) hits must agree too (first/last -1/-1)
     names = ("score", "first", "last", "ov", "dist", "idents")
     for name, xa, pa in zip(names, x, p):
-        xa = np.asarray(xa)[valid]
-        pa = np.asarray(pa)[valid]
+        xa = np.asarray(xa)
+        pa = np.asarray(pa)
         bad = np.nonzero(xa != pa)[0]
         assert len(bad) == 0, (name, bad[:5], xa[bad[:5]], pa[bad[:5]])
+
+
+def test_pallas_product_path_matches_xla(merged_reads, monkeypatch):
+    """The PRODUCT path (device-resident hits from kmermatcher_jax
+    return_arrays, rescored by index): PLASS_PALLAS=1 must produce records
+    identical to the XLA width-bucketed scan."""
+    from plass_tpu.data import seqdb
+    from plass_tpu.ops import orf as orf_mod
+    from plass_tpu.ops import translate as tr
+    from plass_tpu.ops.backend import kmermatcher_jax, rescore_diagonal_jax
+    from plass_tpu.ops.rescore import RescoreParams
+
+    reads, _ = merged_reads
+    sub = seqdb.subdb(reads, range(600))
+    odb, ohdb = orf_mod.extract_orfs(sub, min_length=45, max_length=32734,
+                                     max_gaps=0, start_mode=0)
+    aa = tr.translate_nucs(odb, ohdb, 1, add_orf_stop=True)
+    rp = RescoreParams(rescore_mode=3, seq_id_thr=0.9, eval_thr=1e-5)
+    hits = kmermatcher_jax(aa, 14, kmers_per_sequence=60, hash_shift=67,
+                           ignore_multi_kmer=True,
+                           include_only_extendable=True, return_arrays=True)
+    assert hits.dev is not None
+    monkeypatch.setenv("PLASS_PALLAS", "0")
+    xla = rescore_diagonal_jax(aa, hits, rp, return_flat=True)
+    monkeypatch.setenv("PLASS_PALLAS", "1")
+    pal = rescore_diagonal_jax(aa, hits, rp, return_flat=True)
+    np.testing.assert_array_equal(xla["qk"], pal["qk"])
+    assert len(xla["rec"]) > 50
+    np.testing.assert_array_equal(xla["rec"], pal["rec"])

@@ -60,6 +60,29 @@ def test_sharded_matches_single_device(batch, n_devices):
     assert _hit_set(*out[:5]) == single
 
 
+def test_sharded_capacity_converges_in_one_retry():
+    """Skewed workload (identical-sequence block routing to one shard) at a
+    deliberately tight bucket capacity: the selection-demand probe sizes
+    stage 2 before compiling, so the exchange converges with AT MOST one
+    capacity change (the measured stage-4 pair demand) — each avoided
+    retry is a saved full recompile on real hardware."""
+    import jax
+
+    import __graft_entry__ as g
+    from plass_tpu.ops import backend
+    from plass_tpu.ops.backend import kmermatcher_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    db = g.synthetic_protein_db(n=2048, seed=7, skew_frac=0.3)
+    per_shard = -(-db.size // 8)
+    hits = kmermatcher_sharded(db, 14, kmers_per_sequence=8, n_devices=8,
+                               bucket_capacity=per_shard,
+                               return_arrays=True)
+    assert len(hits.hit_slots) > 0
+    assert backend.LAST_SHARDED_RETRIES <= 1, backend.LAST_SHARDED_RETRIES
+
+
 def test_multiprocess_matches_single_process(tmp_path):
     """Two jax.distributed processes x 4 virtual CPU devices produce
     exactly the hit set of the single-process 8-device mesh — the
@@ -115,7 +138,8 @@ def test_multiprocess_matches_single_process(tmp_path):
 
 def test_sharded_backend_kmermatcher(merged_reads):
     """kmermatcher_sharded over the virtual mesh returns the same hit sets
-    regardless of device count (absorb=False mode)."""
+    regardless of device count (pairs routed by contiguous representative
+    range, so run absorption is exact per shard — absorb=True)."""
     import jax
     from plass_tpu.data import seqdb
     from plass_tpu.ops import orf as orf_mod
@@ -235,13 +259,27 @@ def test_exchange_overflow_retries_to_exact_results(merged_reads):
     kw = dict(kmers_per_sequence=60, hash_shift=67, ignore_multi_kmer=True,
               include_only_extendable=False)
     full = kmermatcher_sharded(aa, 14, n_devices=4, **kw)
-    # a capacity far below the k-mer table size forces overflow on the
-    # hash-range exchange; the retry loop must recover the exact hit set
+    # a capacity far below the k-mer table size is repaired up-front for
+    # stage 2 by the selection-demand probe; the stage-4 pair exchange
+    # still overflows and the retry loop must recover the exact hit set
     tiny = kmermatcher_sharded(aa, 14, n_devices=4, bucket_capacity=64,
                                max_retries=10, **kw)
     assert {k: sorted(v) for k, v in full.items()} == \
            {k: sorted(v) for k, v in tiny.items()}
-    # with retries disabled it must raise, not truncate
-    with pytest.raises(RuntimeError, match="overflow"):
-        kmermatcher_sharded(aa, 14, n_devices=4, bucket_capacity=64,
-                            max_retries=0, **kw)
+    # with retries disabled a stage-4 overflow must raise, not truncate.
+    # monkeypatching the probe out reproduces the stage-2 overflow case
+    # (an understated capacity must never silently truncate either stage)
+    from plass_tpu.ops import backend as backend_mod
+    from plass_tpu.parallel import mesh as mesh_mod
+    real_probe = mesh_mod.selection_demand_fn
+    import numpy as np_
+    mesh_mod.selection_demand_fn = lambda *a, **k2: (
+        lambda *ops: np_.zeros((4, 4), dtype=np_.int32))
+    backend_mod.selection_demand_fn = mesh_mod.selection_demand_fn
+    try:
+        with pytest.raises(RuntimeError, match="overflow"):
+            kmermatcher_sharded(aa, 14, n_devices=4, bucket_capacity=64,
+                                max_retries=0, **kw)
+    finally:
+        mesh_mod.selection_demand_fn = real_probe
+        backend_mod.selection_demand_fn = real_probe
