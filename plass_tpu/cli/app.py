@@ -27,6 +27,19 @@ def _levenshtein(a, b):
     return prev[-1]
 
 
+def _shellcompletion(commands, args):
+    """The reference's `shellcompletion` tool (Application.cpp:124-182)."""
+    if not args:
+        print(" ".join(c.name for c in commands if not c.hidden) + " ")
+        return 0
+    for c in commands:
+        if c.name == args[0]:
+            print(" ".join(c.params_fn().flags.keys()) + " ")
+            break
+    print()
+    return 0
+
+
 def run_app(binary_name, commands, argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help", "help"):
@@ -39,6 +52,11 @@ def run_app(binary_name, commands, argv=None):
         from .. import __version__
         print(__version__)
         return 0
+    if argv[0] == "shellcompletion":
+        # Application.cpp:124-182: no operand -> space-separated visible
+        # command names; one operand -> that command's flag names (the
+        # contract util/bash-completion.sh consumes)
+        return _shellcompletion(commands, argv[1:])
     name = argv[0]
     byname = {c.name: c for c in commands}
     if name not in byname:

@@ -515,8 +515,10 @@ def _rescore_from_dev(codes, chars, lengths, lut, dev_rep, dev_tgt, dev_diag,
     """Rescore hits addressed by device-resident index: idxops i32[Hb] =
     (hit index << 1) | qrev selects rows of the kmer stage's device hit
     arrays, so the only upload is one word per hit and the only fetch is
-    the packed i32[3, Hb] result (score, first<<16|last, idents); overlap
-    and distance are host-derivable from lengths + diagonal."""
+    the packed i32[4, Hb] result (score, first, last, idents — separate
+    columns: 16-bit packing sign-corrupts overlaps >= 32768 at
+    max_seq_len 200000); overlap and distance are host-derivable from
+    lengths + diagonal."""
     sel = idxops >> 1
     qrev = (idxops & 1).astype(bool)
     qrow = lut[dev_rep[sel].astype(jnp.int32)]
@@ -525,30 +527,35 @@ def _rescore_from_dev(codes, chars, lengths, lut, dev_rep, dev_tgt, dev_diag,
     score, first, last, _ov, _dist, idents = rescore_pairs(
         codes, chars, lengths, qrow, trow, dg, qrev, sub_flat, comp,
         code2char, alpha, mode=mode, width=width, has_rev=has_rev)
-    fl = (first.astype(jnp.int32) << 16) | (last.astype(jnp.int32) & 0xFFFF)
-    return jnp.stack([score.astype(jnp.int32), fl, idents.astype(jnp.int32)])
+    return jnp.stack([score.astype(jnp.int32), first.astype(jnp.int32),
+                      last.astype(jnp.int32), idents.astype(jnp.int32)])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("alpha", "width", "interpret"))
+                   static_argnames=("alpha", "width", "interpret",
+                                    "has_rev"))
 def _rescore_from_dev_pallas(codes, chars, lengths, lut, dev_rep, dev_tgt,
-                             dev_diag, idxops, sub2d, alpha, width,
-                             interpret):
+                             dev_diag, idxops, sub2d, comp, code2char,
+                             alpha, width, interpret, has_rev):
     """_rescore_from_dev with the Pallas kernel as the scoring engine
-    (protein END_TO_END only): hits addressed by index into the k-mer
-    stage's device arrays, rows streamed by the kernel's scalar-prefetch
-    BlockSpecs — same one-word-per-hit upload, same packed i32[3, Hb]
-    fetch (score, first<<16|last, idents)."""
+    (END_TO_END; has_rev enables the nucleotide reverse-strand path):
+    hits addressed by index into the k-mer stage's device arrays, rows
+    streamed by the kernel's scalar-prefetch BlockSpecs — same
+    one-word-per-hit upload, same packed i32[4, Hb] fetch."""
     from .pallas_rescore import rescore_pairs_pallas
     sel = idxops >> 1
+    qrev = idxops & 1
     qrow = lut[dev_rep[sel].astype(jnp.int32)]
     trow = lut[dev_tgt[sel].astype(jnp.int32)]
     dg = dev_diag[sel]
     score, first, last, _ov, _dist, idents = rescore_pairs_pallas(
         codes, chars, lengths, qrow, trow, dg, sub2d, alpha, width=width,
-        interpret=interpret)
-    fl = (first.astype(jnp.int32) << 16) | (last.astype(jnp.int32) & 0xFFFF)
-    return jnp.stack([score.astype(jnp.int32), fl, idents.astype(jnp.int32)])
+        interpret=interpret,
+        qrev=qrev if has_rev else None,
+        comp_perm=comp if has_rev else None,
+        code2char=code2char if has_rev else None)
+    return jnp.stack([score.astype(jnp.int32), first.astype(jnp.int32),
+                      last.astype(jnp.int32), idents.astype(jnp.int32)])
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "alpha", "width"))
@@ -714,25 +721,24 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
     # pallas_on_product() (on-chip measurement; PLASS_PALLAS overrides).
     from .pallas_rescore import (pallas_enabled, pallas_on_product,
                                  rescore_pairs_pallas)
-    if (use_dev and not is_nucl and params.rescore_mode == 3
+    if (use_dev and params.rescore_mode == 3
             and pallas_on_product() and not bool(done.all())):
         idxs = np.nonzero(~done)[0]
         mb = len(idxs)
         hb = _round_up(mb)
         didx = np.searchsorted(hits.hit_slots, idxs).astype(np.int32)
         ops1 = np.zeros(hb, dtype=np.int32)
-        ops1[:mb] = didx << 1
+        ops1[:mb] = (didx << 1) | qrev[idxs]
         out_dev = _rescore_from_dev_pallas(
             jc, jch, jl, jlut, *hits.dev, jnp.asarray(ops1),
-            jsub.reshape(alpha, alpha), alpha, int(codes.shape[1]),
-            jax.default_backend() == "cpu")
+            jsub.reshape(alpha, alpha), jcomp, jc2c, alpha,
+            int(codes.shape[1]), jax.default_backend() == "cpu", is_nucl)
         packed = _fetch(out_dev, "rescore")
         score[idxs] = packed[0, :mb].astype(np.int64)
-        fl = packed[1, :mb]
-        first[idxs] = fl >> 16
-        last[idxs] = ((fl & 0xFFFF) ^ 0x8000) - 0x8000  # sign-extend i16
+        first[idxs] = packed[1, :mb]
+        last[idxs] = packed[2, :mb]
         ov[idxs] = ov_h[idxs].astype(np.int32)
-        idents[idxs] = packed[2, :mb].astype(np.float64)
+        idents[idxs] = packed[3, :mb].astype(np.float64)
         done[idxs] = True
 
     # opt-in Pallas kernel (PLASS_PALLAS=1): score ALL remaining protein
@@ -817,11 +823,10 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
     for idxs, mb, out_dev in pending:
         packed = _fetch(out_dev, "rescore")
         score[idxs] = packed[0, :mb].astype(np.int64)
-        fl = packed[1, :mb]
-        first[idxs] = fl >> 16
-        last[idxs] = ((fl & 0xFFFF) ^ 0x8000) - 0x8000  # sign-extend i16
+        first[idxs] = packed[1, :mb]
+        last[idxs] = packed[2, :mb]
         ov[idxs] = ov_h[idxs].astype(np.int32)
-        idents[idxs] = packed[2, :mb].astype(np.float64)
+        idents[idxs] = packed[3, :mb].astype(np.float64)
     return _rescore_finish(db, params, evaluer, qk, tk, pref, dg, m,
                            lengths, qrow, trow, qrev, score, first, last,
                            ov, dist, idents, return_flat)

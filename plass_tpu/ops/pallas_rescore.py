@@ -1,11 +1,12 @@
 """Pallas TPU kernel for the END_TO_END ungapped diagonal rescore
-(protein path of ops/device_rescore.rescore_pairs, mode 3,
-has_rev=False; reference: DistanceCalculator.h:115-220).
+(ops/device_rescore.rescore_pairs, mode 3; reference:
+DistanceCalculator.h:115-220).
 
 Each grid step processes one (query, target, diagonal) hit:
  - the two sequence ROWS are streamed into VMEM by BlockSpec index maps
    reading scalar-prefetched row ids (the Pallas gather-rows pattern),
-   so the kernel never issues random HBM gathers
+   so the kernel never issues random HBM gathers (the per-hit [H, W]
+   random gather is the dominant cost of the XLA formulation)
  - the overlap windows are clamped dynamic-start slices re-aligned with
    a dynamic lane roll (pltpu.roll) — gather-free window extraction
  - the substitution lookup is a one-hot contraction on the MXU
@@ -13,10 +14,16 @@ Each grid step processes one (query, target, diagonal) hit:
    vector-table gathers the VPU lacks
  - the '*'-skip first/last trim and identity counts are masked
    reductions, bit-identical to the XLA formulation
+ - reverse-strand hits (nucleotide, has_rev=True) read the query row
+   FLIPPED with an adjusted roll (index qlen-1-(qoff+j) ==
+   flip(row)[lmax-qlen+qoff+j]), score through the PRE-COMPLEMENTED
+   substitution matrix (sub[comp[q], t] == sub_comp[q, t]), and derive
+   canonical chars from the numeric codes via a one-hot contraction with
+   code2char[comp] — exactly rescorediagonal.cpp:173-179
 
-Used by ops/backend.rescore_diagonal_jax when PLASS_PALLAS=1; outputs
-are asserted equal to the XLA path in tests/test_pallas.py on both CPU
-(interpret mode) and the TPU.
+Used by ops/backend.rescore_diagonal_jax on the device-resident product
+path; outputs are asserted equal to the XLA path in tests/test_pallas.py
+on both CPU (interpret mode) and the TPU.
 """
 import functools
 import os
@@ -43,42 +50,65 @@ def _roll_left(vec, d, width, interpret):
     return pltpu.roll(vec, -d, 1)
 
 
-def _kernel(qrow_ref, trow_ref, dq_ref, dt_ref,
-            ov_ref, qcodes_ref, tcodes_ref, qchars_ref, tchars_ref,
-            sub_ref, out_ref, *, width, alpha, interpret):
+def _kernel(*refs, width, alpha, interpret, has_rev):
     # pallas traces the kernel lazily (outside the caller's context), so
     # the 32-bit promotion guard must live here
     with jax.enable_x64(False):
-        _kernel_body(qrow_ref, trow_ref, dq_ref,
-                     dt_ref, ov_ref, qcodes_ref, tcodes_ref, qchars_ref,
-                     tchars_ref, sub_ref, out_ref, width=width,
-                     alpha=alpha, interpret=interpret)
+        _kernel_body(*refs, width=width, alpha=alpha, interpret=interpret,
+                     has_rev=has_rev)
 
 
-def _kernel_body(qrow_ref, trow_ref, dq_ref, dt_ref,
-                 ov_ref, qcodes_ref, tcodes_ref, qchars_ref, tchars_ref,
-                 sub_ref, out_ref, *, width, alpha, interpret):
+def _kernel_body(qrow_ref, trow_ref, dq_ref, dt_ref, ov_ref, rev_ref,
+                 qcodes_ref, tcodes_ref, qchars_ref, tchars_ref,
+                 sub_ref, subc_ref, c2cc_ref, out_ref, *, width, alpha,
+                 interpret, has_rev):
     i = pl.program_id(0)
-    dq = dq_ref[i]
+    dq = dq_ref[i]          # effective roll: qoff fwd, lmax-qlen+qoff rev
     dt = dt_ref[i]
     ov = ov_ref[i]
+    rev = rev_ref[i] if has_rev else 0
 
     # dynamic lane-offset slices must be 128-aligned on TPU; load the
     # full row and bring the window to lane 0 with a dynamic roll instead
     # (wrapped lanes land at positions >= ov and are masked away)
-    qc = _roll_left(qcodes_ref[0].astype(jnp.int32), dq, width, interpret)
-    qch = _roll_left(qchars_ref[0].astype(jnp.int32), dq, width, interpret)
+    qc_row = qcodes_ref[0].astype(jnp.int32)
+    qch_row = qchars_ref[0].astype(jnp.int32)
+    if has_rev:
+        # blend fwd/flipped with integer arithmetic (scalar-cond vector
+        # selects lower poorly in Mosaic)
+        r = rev  # 0 or 1
+        qc_row = r * jnp.flip(qc_row, axis=1) + (1 - r) * qc_row
+        qch_row = r * jnp.flip(qch_row, axis=1) + (1 - r) * qch_row
+    qc = _roll_left(qc_row, dq, width, interpret)
+    qch_raw = _roll_left(qch_row, dq, width, interpret)
     tc = _roll_left(tcodes_ref[0].astype(jnp.int32), dt, width, interpret)
     tch = _roll_left(tchars_ref[0].astype(jnp.int32), dt, width, interpret)
 
     a = jax.lax.broadcasted_iota(jnp.int32, (width, alpha), 1)
     q1h = (qc.reshape(width, 1) == a).astype(jnp.float32)
     t1h = (tc.reshape(width, 1) == a).astype(jnp.float32)
-    # s[j] = sub[qc[j], tc[j]] — exact in f32 for |sub| < 2^24
+    # s[j] = sub[qc'[j], tc[j]] with qc' = comp[qc] on reverse hits: the
+    # complement is folded into the matrix choice, blended by rev
+    if has_rev:
+        rf = rev.astype(jnp.float32)
+        sub_sel = (rf * subc_ref[...].astype(jnp.float32)
+                   + (1.0 - rf) * sub_ref[...].astype(jnp.float32))
+        # canonical char of the complemented code (code2char[comp[qc]]),
+        # exact in f32 (chars < 256)
+        qch_canon = jax.lax.dot_general(
+            q1h, c2cc_ref[...].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(1, width) \
+            .astype(jnp.int32)
+        qch = rev * qch_canon + (1 - rev) * qch_raw
+    else:
+        sub_sel = sub_ref[...].astype(jnp.float32)
+        qch = qch_raw
     sm = jax.lax.dot_general(
-        q1h, sub_ref[...].astype(jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    s = (sm * t1h).sum(axis=1, dtype=jnp.float32).astype(jnp.int32).reshape(1, width)
+        q1h, sub_sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = (sm * t1h).sum(axis=1, dtype=jnp.float32).astype(jnp.int32) \
+        .reshape(1, width)
 
     j = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
     star_here = ((qch == STAR) | (tch == STAR)).astype(jnp.int32)
@@ -108,44 +138,55 @@ def _kernel_body(qrow_ref, trow_ref, dq_ref, dt_ref,
          idents]).reshape(1, 1, 4)
 
 
-# scalar-prefetch operands live in SMEM (~1 MB); 5 i32 arrays cap the
+# scalar-prefetch operands live in SMEM (~1 MB); 6 i32 arrays cap the
 # per-call hit count
 _CHUNK = 32768
 
 
 def rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag,
-                         sub, alpha, width, interpret=False):
-    """(score, first, last, ov, dist, idents) for protein END_TO_END hits.
+                         sub, alpha, width, interpret=False,
+                         qrev=None, comp_perm=None, code2char=None):
+    """(score, first, last, ov, dist, idents) for END_TO_END hits.
 
     codes/chars: uint8[N, L]; qrow/trow/diag: int32[H]; sub:
     int32[alpha, alpha]. width must equal codes.shape[1] (full rows).
+    qrev/comp_perm/code2char enable the nucleotide reverse-strand path.
     Hits beyond the SMEM budget are processed in chunks."""
     h = qrow.shape[0]
+    has_rev = qrev is not None
+    if qrev is None:
+        qrev = jnp.zeros(h, dtype=jnp.int32)
     if h <= _CHUNK:
         return _rescore_chunk(codes, chars, lengths, qrow, trow, diag,
-                              sub, alpha, width, interpret)
+                              qrev, sub, comp_perm, code2char, alpha,
+                              width, interpret, has_rev)
     outs = []
     for lo in range(0, h, _CHUNK):
         hi = min(lo + _CHUNK, h)
         outs.append(_rescore_chunk(codes, chars, lengths, qrow[lo:hi],
-                                   trow[lo:hi], diag[lo:hi], sub, alpha,
-                                   width, interpret))
+                                   trow[lo:hi], diag[lo:hi], qrev[lo:hi],
+                                   sub, comp_perm, code2char, alpha,
+                                   width, interpret, has_rev))
     return tuple(jnp.concatenate([o[k] for o in outs]) for k in range(6))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "alpha", "interpret"))
-def _rescore_chunk(codes, chars, lengths, qrow, trow, diag,
-                   sub, alpha, width, interpret=False):
+                   static_argnames=("width", "alpha", "interpret",
+                                    "has_rev"))
+def _rescore_chunk(codes, chars, lengths, qrow, trow, diag, qrev,
+                   sub, comp_perm, code2char, alpha, width,
+                   interpret=False, has_rev=False):
     # the package enables x64 globally, but Mosaic has no 64-bit types;
     # trace the whole kernel under 32-bit promotion semantics
     with jax.enable_x64(False):
         return _rescore_pairs_pallas(codes, chars, lengths, qrow, trow,
-                                     diag, sub, alpha, width, interpret)
+                                     diag, qrev, sub, comp_perm, code2char,
+                                     alpha, width, interpret, has_rev)
 
 
-def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag,
-                          sub, alpha, width, interpret):
+def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag, qrev,
+                          sub, comp_perm, code2char, alpha, width,
+                          interpret, has_rev):
     h = qrow.shape[0]
     lengths = lengths.astype(jnp.int32)
     diag = diag.astype(jnp.int32)
@@ -163,11 +204,21 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag,
     if width != lmax:
         raise ValueError("pallas rescore operates on full rows: pass "
                          "width == codes.shape[1]")
-    dq = qoff
+    rev = qrev.astype(jnp.int32)
+    if has_rev:
+        # reverse window read: row[qlen-1-(qoff+j)] == flip(row)[dq_eff+j]
+        dq = jnp.where(rev > 0, lmax - qlen + qoff, qoff).astype(jnp.int32)
+        sub_comp = sub[comp_perm.astype(jnp.int32), :]
+        c2c_comp = code2char[comp_perm.astype(jnp.int32)] \
+            .astype(jnp.int32).reshape(alpha, 1)
+    else:
+        dq = qoff
+        sub_comp = sub
+        c2c_comp = jnp.zeros((alpha, 1), dtype=jnp.int32)
     dt = toff
 
     grid = (h,)
-    nsp = 5
+    nsp = 6
 
     # rows ride as [N, 1, L] so the per-row block (1, 1, L) satisfies the
     # TPU tiling rule (trailing block dims equal the array dims)
@@ -185,7 +236,7 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag,
 
     out = pl.pallas_call(
         functools.partial(_kernel, width=width, alpha=alpha,
-                          interpret=interpret),
+                          interpret=interpret, has_rev=has_rev),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=nsp,
             grid=grid,
@@ -193,13 +244,17 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag,
                       pl.BlockSpec((1, 1, lmax), tmap),
                       pl.BlockSpec((1, 1, lmax), qmap),
                       pl.BlockSpec((1, 1, lmax), tmap),
-                      pl.BlockSpec((alpha, alpha), zmap)],
+                      pl.BlockSpec((alpha, alpha), zmap),
+                      pl.BlockSpec((alpha, alpha), zmap),
+                      pl.BlockSpec((alpha, 1), zmap)],
             out_specs=pl.BlockSpec((1, 1, 4), omap)),
         out_shape=jax.ShapeDtypeStruct((h, 1, 4), jnp.int32),
         interpret=interpret,
     )(qrow.astype(jnp.int32), trow.astype(jnp.int32),
-      dq, dt, ov, codes.reshape(-1, 1, lmax), codes.reshape(-1, 1, lmax),
-      chars.reshape(-1, 1, lmax), chars.reshape(-1, 1, lmax), sub)
+      dq, dt, ov, rev,
+      codes.reshape(-1, 1, lmax), codes.reshape(-1, 1, lmax),
+      chars.reshape(-1, 1, lmax), chars.reshape(-1, 1, lmax),
+      sub, sub_comp, c2c_comp)
     out = out.reshape(h, 4)
     return (out[:, 0], out[:, 1], out[:, 2], ov,
             dist.astype(jnp.int32), out[:, 3])
@@ -215,8 +270,8 @@ def pallas_enabled():
 # 24.5k-ORF workload, v5e via axon, 2026-08-21): the full-row per-hit
 # Pallas grid beat the XLA width-bucketed scan 0.0321 s vs 0.0594 s of
 # device rescore time (iteration 0.137 s vs 0.162 s), so it is the
-# default wherever it applies (protein, END_TO_END, device-resident
-# hits).  PLASS_PALLAS=0/1 always overrides.
+# default wherever it applies (END_TO_END, device-resident hits).
+# PLASS_PALLAS=0/1 always overrides.
 _PRODUCT_DEFAULT = True
 
 

@@ -12,7 +12,8 @@ jax.config.update("jax_platform_name", "cpu")
 
 import pytest  # noqa: E402
 
-REF_EXAMPLES = "/root/reference/examples"
+REF_EXAMPLES = os.environ.get("READS_DIR",
+                              "/root/reference/examples")
 
 
 @pytest.fixture(scope="session")

@@ -7,6 +7,8 @@ import subprocess
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from plass_tpu.data import seqdb
 from plass_tpu.utils.expr import ExprError, Expression
 

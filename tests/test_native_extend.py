@@ -7,6 +7,8 @@ requiring the reference binaries."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from plass_tpu.data import seqdb
 
 

@@ -4,6 +4,8 @@ bench.py / PLASS_PALLAS=1)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def protein_hits(merged_reads):
@@ -64,6 +66,61 @@ def test_pallas_rescore_matches_xla(protein_hits):
         assert len(bad) == 0, (name, bad[:5], xa[bad[:5]], pa[bad[:5]])
 
 
+def test_pallas_nucl_rev_matches_xla(merged_reads):
+    """Nucleotide reverse-strand path (flip + pre-complemented matrix +
+    canonical chars): exact equality with the XLA formulation on real
+    canonical-k-mer hits, both strands."""
+    import jax.numpy as jnp
+    from plass_tpu.data import seqdb
+    from plass_tpu.ops.backend import db_to_padded, _score_tables
+    from plass_tpu.ops.device_rescore import rescore_pairs
+    from plass_tpu.ops.kmermatch import kmermatcher
+    from plass_tpu.ops.pallas_rescore import rescore_pairs_pallas
+
+    reads, _ = merged_reads
+    nucl = seqdb.subdb(reads, range(500))
+    hits = kmermatcher(nucl, 22, kmers_per_sequence=60,
+                       kmers_per_sequence_scale=0.1, hash_shift=67,
+                       ignore_multi_kmer=True,
+                       include_only_extendable=True)
+    codes, lengths, _ = db_to_padded(nucl, "score")
+    chars, _, _ = db_to_padded(nucl, "char")
+    lut = nucl.id_lookup_array()
+    qrow, trow, diag, qrev = [], [], [], []
+    for q, v in hits.items():
+        for (t, s, d) in v:
+            qrow.append(int(lut[q]))
+            trow.append(int(lut[t]))
+            diag.append(d)
+            qrev.append(1 if s < 0 else 0)
+    qrev = np.array(qrev, np.int32)
+    assert qrev.sum() > 5, "need reverse-strand hits to exercise the path"
+    sub_flat, comp, c2c, alpha = _score_tables(nucl)
+    x = rescore_pairs(jnp.asarray(codes), jnp.asarray(chars),
+                      jnp.asarray(lengths),
+                      jnp.asarray(np.array(qrow, np.int32)),
+                      jnp.asarray(np.array(trow, np.int32)),
+                      jnp.asarray(np.array(diag, np.int32)),
+                      jnp.asarray(qrev.astype(bool)),
+                      jnp.asarray(sub_flat), jnp.asarray(comp),
+                      jnp.asarray(c2c), alpha, mode=3, has_rev=True)
+    p = rescore_pairs_pallas(
+        jnp.asarray(codes), jnp.asarray(chars), jnp.asarray(lengths),
+        jnp.asarray(np.array(qrow, np.int32)),
+        jnp.asarray(np.array(trow, np.int32)),
+        jnp.asarray(np.array(diag, np.int32)),
+        jnp.asarray(sub_flat.reshape(alpha, alpha)), alpha,
+        width=codes.shape[1], interpret=True, qrev=jnp.asarray(qrev),
+        comp_perm=jnp.asarray(comp), code2char=jnp.asarray(c2c))
+    names = ("score", "first", "last", "ov", "dist", "idents")
+    for name, xa, pa in zip(names, x, p):
+        xa = np.asarray(xa)
+        pa = np.asarray(pa)
+        bad = np.nonzero(xa != pa)[0]
+        assert len(bad) == 0, (name, bad[:5], xa[bad[:5]], pa[bad[:5]],
+                               qrev[bad[:5]])
+
+
 def test_pallas_product_path_matches_xla(merged_reads, monkeypatch):
     """The PRODUCT path (device-resident hits from kmermatcher_jax
     return_arrays, rescored by index): PLASS_PALLAS=1 must produce records
@@ -91,3 +148,20 @@ def test_pallas_product_path_matches_xla(merged_reads, monkeypatch):
     np.testing.assert_array_equal(xla["qk"], pal["qk"])
     assert len(xla["rec"]) > 50
     np.testing.assert_array_equal(xla["rec"], pal["rec"])
+
+    # nucleotide product path (reverse-strand hits through the kernel)
+    nucl = seqdb.subdb(reads, range(600))
+    nrp = RescoreParams(rescore_mode=3, seq_id_thr=0.99, eval_thr=1e-5)
+    nhits = kmermatcher_jax(nucl, 22, kmers_per_sequence=60,
+                            kmers_per_sequence_scale=0.1, hash_shift=67,
+                            ignore_multi_kmer=True,
+                            include_only_extendable=True,
+                            return_arrays=True)
+    assert nhits.dev is not None
+    monkeypatch.setenv("PLASS_PALLAS", "0")
+    nx = rescore_diagonal_jax(nucl, nhits, nrp, return_flat=True)
+    monkeypatch.setenv("PLASS_PALLAS", "1")
+    npal = rescore_diagonal_jax(nucl, nhits, nrp, return_flat=True)
+    np.testing.assert_array_equal(nx["qk"], npal["qk"])
+    assert len(nx["rec"]) > 50
+    np.testing.assert_array_equal(nx["rec"], npal["rec"])

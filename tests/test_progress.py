@@ -3,6 +3,8 @@ import io
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from plass_tpu.utils.progress import (MemoryTracker, Progress, _item_string,
                                       current_rss, total_system_memory)
 

@@ -8,8 +8,9 @@
 
 REF_PLASS="${1:-/tmp/refbuild/src/plass}"
 REF_PENGUIN="${2:-/tmp/refbuild/src/penguin}"
-READS1=/root/reference/examples/reads_1.fastq.gz
-READS2=/root/reference/examples/reads_2.fastq.gz
+READS_DIR="${READS_DIR:-/root/reference/examples}"
+READS1="$READS_DIR/reads_1.fastq.gz"
+READS2="$READS_DIR/reads_2.fastq.gz"
 
 [ -x "$REF_PLASS" ] || { echo "missing $REF_PLASS (build the reference first)"; exit 1; }
 

@@ -19,8 +19,10 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 REF_PLASS="${1:-/tmp/refbuild/src/plass}"
 REF_PENGUIN="${2:-/tmp/refbuild/src/penguin}"
 TMP="${3:-$(mktemp -d /tmp/plass_regression.XXXXXX)}"
-READS1=/root/reference/examples/reads_1.fastq.gz
-READS2=/root/reference/examples/reads_2.fastq.gz
+READS_DIR="${READS_DIR:-/root/reference/examples}"
+READS1="$READS_DIR/reads_1.fastq.gz"
+READS2="$READS_DIR/reads_2.fastq.gz"
+[ -f "$READS1" ] || fail "example reads not found under $READS_DIR (set READS_DIR)"
 PLASS="$REPO/bin/plass"
 PENGUIN="$REPO/bin/penguin"
 export PYTHONPATH="$REPO:/root/.axon_site:${PYTHONPATH:-}"

@@ -16,11 +16,16 @@ metric on a deterministic synthetic community generated in-process:
     (`mapped_distribution` / `mapped_fraction`,
     run_regression.sh:19-31): per query, the best query-coverage
     alignment weighted by query length, over the total residue mass
- 4. each curve point must clear the frozen expected value - 0.005
-    (the reference's own tolerance, run_regression.sh:73)
+ 4. when the reference binary exists (REF_PLASS, default
+    /tmp/refbuild/src/plass), the SAME community is assembled with the
+    reference `plass assemble` and both assemblies' curves are computed
+    with the same comparator — the gate then anchors each point to the
+    REFERENCE curve - 0.005 (the reference's own tolerance,
+    run_regression.sh:73).  Without the binary, the frozen expected
+    values below are the fallback gate.
 
 Usage: python util/sens_precision.py [workdir]
-Exit 0 = curves clear the gate; prints the 20-point report either way.
+Exit 0 = curves clear the gate; prints all curves either way.
 """
 import os
 import subprocess
@@ -137,15 +142,43 @@ def curve(qdb, alns, thresholds, lencut):
     return points
 
 
-def main():
-    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/plass_sensprec"
-    os.makedirs(workdir, exist_ok=True)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
+def assembly_curves(workdir, out_fa, tag):
+    """Curves for one assembly FASTA via this repo's search machinery —
+    the shared comparator, so reference and repo assemblies are measured
+    identically."""
     from plass_tpu.data import seqdb
     from plass_tpu.data.createdb import create_db
     from plass_tpu.workflow.search import SearchParams, run_search
     from plass_tpu.cli.tools import load_alignments
+
+    asm, _asm_h = create_db([out_fa])
+    pro, _pro_h = create_db([os.path.join(workdir, "proteome.fasta")])
+    # length cutoff (evaluate(), run_regression.sh:40-42): index len > 100
+    keep = [int(k) for i, k in enumerate(asm.keys)
+            if int(asm.lengths[i]) > LENCUT]
+    asm100 = seqdb.subdb(asm, keep)
+
+    # precision: assembly -> proteome (search params run_regression.sh:44)
+    prec_out = os.path.join(workdir, f"asm_vs_ref_{tag}")
+    run_search(asm100, pro, prec_out, os.path.join(workdir, f"s1tmp_{tag}"),
+               SearchParams(sensitivity=5.0, max_seqs=5000,
+                            min_ungapped_score=100, add_backtrace=True,
+                            seq_id_thr=0.89))
+    prec = curve(asm100, load_alignments(prec_out), THRESHOLDS, LENCUT)
+
+    # sensitivity: proteome(nr) -> assembly (run_regression.sh:52)
+    sens_out = os.path.join(workdir, f"ref_vs_asm_{tag}")
+    run_search(pro, asm100, sens_out, os.path.join(workdir, f"s2tmp_{tag}"),
+               SearchParams(max_seqs=500000, add_backtrace=True,
+                            seq_id_thr=0.89))
+    sens = curve(pro, load_alignments(sens_out), THRESHOLDS, LENCUT)
+    return sens, prec
+
+
+def main():
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/plass_sensprec"
+    os.makedirs(workdir, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     make_community(workdir)
     out_fa = os.path.join(workdir, "assembly.fas")
@@ -160,42 +193,48 @@ def main():
          out_fa, os.path.join(workdir, "tmp"),
          "--num-iterations", "4", "--filter-proteins", "0"],
         check=True, cwd=repo, env=env)
+    sens, prec = assembly_curves(workdir, out_fa, "repo")
 
-    asm, asm_h = create_db([out_fa])
-    pro, pro_h = create_db([os.path.join(workdir, "proteome.fasta")])
-    # length cutoff (evaluate(), run_regression.sh:40-42): index len > 100
-    keep = [int(k) for i, k in enumerate(asm.keys)
-            if int(asm.lengths[i]) > LENCUT]
-    asm100 = seqdb.subdb(asm, keep)
-
-    # precision: assembly -> proteome (search params run_regression.sh:44)
-    prec_out = os.path.join(workdir, "asm_vs_ref")
-    run_search(asm100, pro, prec_out, os.path.join(workdir, "s1tmp"),
-               SearchParams(sensitivity=5.0, max_seqs=5000,
-                            min_ungapped_score=100, add_backtrace=True,
-                            seq_id_thr=0.89))
-    prec = curve(asm100, load_alignments(prec_out), THRESHOLDS, LENCUT)
-
-    # sensitivity: proteome(nr) -> assembly (run_regression.sh:52)
-    sens_out = os.path.join(workdir, "ref_vs_asm")
-    run_search(pro, asm100, sens_out, os.path.join(workdir, "s2tmp"),
-               SearchParams(max_seqs=500000, add_backtrace=True,
-                            seq_id_thr=0.89))
-    sens = curve(pro, load_alignments(sens_out), THRESHOLDS, LENCUT)
+    # anchor: same community through the reference binary, same comparator
+    ref_plass = os.environ.get("REF_PLASS", "/tmp/refbuild/src/plass")
+    ref_sens = ref_prec = None
+    if os.path.exists(ref_plass):
+        ref_fa = os.path.join(workdir, "assembly_refbin.fas")
+        if os.path.exists(ref_fa):
+            os.unlink(ref_fa)
+        subprocess.run(
+            [ref_plass, "assemble",
+             os.path.join(workdir, "reads_1.fastq"),
+             os.path.join(workdir, "reads_2.fastq"),
+             ref_fa, os.path.join(workdir, "reftmp"),
+             "--num-iterations", "4", "--filter-proteins", "0",
+             "--threads", "1", "-v", "1"], check=True)
+        ref_sens, ref_prec = assembly_curves(workdir, ref_fa, "refbin")
+        import filecmp
+        if filecmp.cmp(out_fa, ref_fa, shallow=False):
+            print("repo assembly is BYTE-IDENTICAL to the reference "
+                  "binary's on this community")
 
     ok = True
-    print("metric thr total aligned fraction expected")
-    for name, pts, exp in (("sens", sens, EXPECTED_SENS),
-                           ("prec", prec, EXPECTED_PREC)):
-        for (thr, (tot, aln, frac), e) in zip(THRESHOLDS, pts, exp):
+    print("metric thr total aligned fraction expected source")
+    for name, pts, frozen, ref in (("sens", sens, EXPECTED_SENS, ref_sens),
+                                   ("prec", prec, EXPECTED_PREC, ref_prec)):
+        for i, (thr, (tot, aln, frac), e) in enumerate(
+                zip(THRESHOLDS, pts, frozen)):
+            if ref is not None:
+                e, src = ref[i][2], "refbin"
+            else:
+                src = "frozen"
             good = frac >= e - 0.005
             ok &= good
             print(f"{name} {thr:.2f} {tot} {aln:.0f} {frac:.3f} {e:.3f} "
-                  f"{'ok' if good else 'FAIL'}")
+                  f"{src} {'ok' if good else 'FAIL'}")
     if not ok:
         print("sens/precision gate FAILED", file=sys.stderr)
         return 1
-    print("sens/precision gate passed")
+    print("sens/precision gate passed"
+          + (" (anchored to the reference binary)" if ref_sens else
+             " (frozen fallback curve)"))
     return 0
 
 
