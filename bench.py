@@ -12,11 +12,16 @@ random substitutions (distinct keys) so the k-mer table grows
 realistically. The baseline is the reference C++ binary (all cores) on
 the same database when a build exists at /tmp/refbuild.
 
-Env knobs: BENCH_SCALES="4" (set "4,16" for the sweep; the 16x
-workload routes through the auto-split device path and pays several
+stages_s carries both the wall split per stage and the *_device
+components (blocking device dispatch+fetch time, from
+plass_tpu.ops.backend.DEVICE_TIME) so device time is separable from
+host/RTT in every recorded artifact.
+
+Env knobs: BENCH_SCALES="4" (set "4,16,64" for the sweep; the 16x/64x
+workloads route through the auto-split device path and pay several
 extra remote compiles), BENCH_ITERS=3, BENCH_NUCL=1 (include the
-PenguiN iteration), BENCH_CACHE. A recorded 4/16 sweep lives in
-BENCH_SWEEP_r03.json.
+PenguiN iteration), BENCH_CACHE. A recorded 4/16/64 sweep lives in
+BENCH_SWEEP_r04.json.
 """
 import json
 import os

@@ -169,10 +169,14 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
             if len(ranges) > 1:
                 cap = _bucket(limit // ENTRY_BYTES, 4096)
                 reps, tgts, diags, revs = [], [], [], []
+                # selection runs ONCE into a resident table; each range
+                # program only compacts its hash slice + emits pairs
+                table = device_kmer.select_table_h16(jc, jl, jk,
+                                                     hash_shift, params)
                 for (lo, hi) in ranges:
                     while True:
-                        packed_d, n_in = device_kmer.kmermatch_pairs_range(
-                            jc, jl, jk, hash_shift, params, lo, hi, cap)
+                        packed_d, n_in = device_kmer.pairs_for_range(
+                            *table, params, lo, hi, cap)
                         if int(n_in) <= cap:
                             break
                         cap = _bucket(int(n_in), 4096)  # exact, one retry

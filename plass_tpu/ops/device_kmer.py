@@ -537,30 +537,38 @@ def merge_pairs_packed(ops, n_valid, hit_capacity, fetch_m):
     return jnp.concatenate([flat, n_hits.reshape(1)]), (cr, ct, cd)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def select_table_h16(seqs, lengths, keys, hash_shift, params):
+    """Selection + flat table + per-entry 16-bit range key, as ONE
+    device-resident program shared by all hash-range splits — re-running
+    the selection per split (the old structure) multiplied its cost by
+    the split count on exactly the largest workloads.
+
+    The whole-sequence entries carry an already-hashed value whose range
+    key is its own low 16 bits (kmermatch.py build_kmer_table rule)."""
+    sk, sp, sv, sh, sh16 = select_kmers(seqs, lengths, params, hash_shift)
+    kmer, sid, pos, slen, valid = flatten_table(sk, sp, sv, sh, keys,
+                                                lengths)
+    h16 = jnp.concatenate([
+        sh16.reshape(-1), (sh & jnp.uint64(0xFFFF)).astype(jnp.int32)])
+    return kmer, sid, pos, slen, valid, h16
+
+
 @functools.partial(jax.jit,
                    static_argnames=("params", "lo", "hi", "cap"))
-def kmermatch_pairs_range(seqs, lengths, keys, hash_shift, params, lo, hi,
-                          cap):
-    """Memory-bounded split unit: selection restricted to the 16-bit hash
-    range [lo, hi], table compacted to `cap` entries, per-split pair
-    emission (the device analogue of the host's hash-range splits,
-    kmermatcher.cpp:594-779; ranges come from the same
+def pairs_for_range(kmer, sid, pos, slen, valid, h16, params, lo, hi, cap):
+    """Memory-bounded split unit over the resident table: entries in the
+    16-bit hash range [lo, hi] are compacted to `cap` slots and run
+    through pair emission (the device analogue of the host's hash-range
+    splits, kmermatcher.cpp:594-779; ranges come from the same
     compute_hash_splits histogram).
 
-    The expensive multi-operand sorts run at `cap` size; only a 2-operand
-    index compaction sort touches the full selection output, so peak HBM
+    The expensive multi-operand sorts run at `cap` size; only a
+    2-operand index compaction sort touches the full table, so peak HBM
     scales with the split size, not the whole table. Returns packed
     i32[5, cap] (rep, tgt, diag, rev, keep) + i32 in-range count (for the
     caller's overflow check — count > cap means entries were dropped and
     the split limit must shrink)."""
-    sk, sp, sv, sh, sh16 = select_kmers(seqs, lengths, params, hash_shift)
-    kmer, sid, pos, slen, valid = flatten_table(sk, sp, sv, sh, keys,
-                                                lengths)
-    n = seqs.shape[0]
-    # whole-sequence entries carry an already-hashed value whose range key
-    # is its own low 16 bits (kmermatch.py build_kmer_table range rule)
-    h16 = jnp.concatenate([
-        sh16.reshape(-1), (sh & jnp.uint64(0xFFFF)).astype(jnp.int32)])
     in_range = valid & (h16 >= lo) & (h16 <= hi)
     t = kmer.shape[0]
     idx = jnp.arange(t, dtype=jnp.uint32)
@@ -574,6 +582,14 @@ def kmermatch_pairs_range(seqs, lengths, keys, hash_shift, params, lo, hi,
                         diag, rev.astype(jnp.int32),
                         keep.astype(jnp.int32)])
     return packed, in_range.sum().astype(jnp.int32)
+
+
+def kmermatch_pairs_range(seqs, lengths, keys, hash_shift, params, lo, hi,
+                          cap):
+    """select_table_h16 + pairs_for_range in one call (compat wrapper;
+    callers iterating several ranges should hoist select_table_h16)."""
+    table = select_table_h16(seqs, lengths, keys, hash_shift, params)
+    return pairs_for_range(*table, params, lo, hi, cap)
 
 
 def kmermatch_device(seqs, lengths, keys, hash_shift, params: KmerParams,
