@@ -150,13 +150,14 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                             emit_hits, parse_memory_limit)
     if not split_memory_limit:
         # device budget: tables past this size exceed what the TPU
-        # compiler/HBM handles as ONE program (the 6M-entry monolithic
-        # sort OOMs the remote compiler on v5e) — split automatically,
-        # like the reference splits when RAM runs out
+        # compiler handles as ONE program in reasonable time (the
+        # 6M-entry monolithic sort OOMs the remote compiler on v5e, and
+        # a 3M-entry 5-operand sort compile ran >15 min) — split
+        # automatically, like the reference splits when RAM runs out
         # (kmermatcher.cpp:594-779); override with PLASS_DEVICE_TABLE_LIMIT
         import os
         ent_limit = int(os.environ.get("PLASS_DEVICE_TABLE_LIMIT",
-                                       str(3 * 1024 * 1024)))
+                                       str(2 * 1024 * 1024)))
         if db.size * (params.ksel + 1) + db.size > ent_limit:
             split_memory_limit = ent_limit * ENTRY_BYTES
     if split_memory_limit:
@@ -169,17 +170,29 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
             if len(ranges) > 1:
                 cap = _bucket(limit // ENTRY_BYTES, 4096)
                 reps, tgts, diags, revs = [], [], [], []
-                # selection runs ONCE into a resident table; each range
-                # program only compacts its hash slice + emits pairs
+                # selection runs ONCE into a resident table; each range's
+                # compacted entry indices are computed ON HOST from one
+                # fetched range-key array (a full-table device compaction
+                # sort was a pathologically slow remote compile at
+                # scale>=16), and the range program only gathers + emits
                 table = device_kmer.select_table_h16(jc, jl, jk,
                                                      hash_shift, params)
-                for (lo, hi) in ranges:
-                    while True:
-                        packed_d, n_in = device_kmer.pairs_for_range(
-                            *table, params, lo, hi, cap)
-                        if int(n_in) <= cap:
-                            break
-                        cap = _bucket(int(n_in), 4096)  # exact, one retry
+                rk = _fetch(device_kmer.table_range_keys(
+                    table[4], table[5]), "kmermatch")
+                # one bucket pass instead of a >=-and-<= scan per range
+                order = np.argsort(rk, kind="stable")
+                bounds = np.searchsorted(rk[order],
+                                         [r[0] for r in ranges] + [0x10000])
+                cap = max(cap, _bucket(int(np.diff(bounds).max()), 4096))
+                for i, (lo, hi) in enumerate(ranges):
+                    idx = np.sort(order[bounds[i]:bounds[i + 1]]) \
+                        .astype(np.int32)
+                    n_in = len(idx)
+                    take = np.zeros(cap, dtype=np.int32)
+                    take[:n_in] = idx
+                    packed_d = device_kmer.pairs_for_take(
+                        table[0], table[1], table[2], table[3],
+                        jnp.asarray(take), jnp.int32(n_in), params, cap)
                     part = _fetch(packed_d, "kmermatch")
                     kp = part[4].astype(bool)
                     reps.append(part[0][kp].astype(np.uint32))

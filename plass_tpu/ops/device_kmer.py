@@ -554,42 +554,49 @@ def select_table_h16(seqs, lengths, keys, hash_shift, params):
     return kmer, sid, pos, slen, valid, h16
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("params", "lo", "hi", "cap"))
-def pairs_for_range(kmer, sid, pos, slen, valid, h16, params, lo, hi, cap):
-    """Memory-bounded split unit over the resident table: entries in the
-    16-bit hash range [lo, hi] are compacted to `cap` slots and run
-    through pair emission (the device analogue of the host's hash-range
-    splits, kmermatcher.cpp:594-779; ranges come from the same
-    compute_hash_splits histogram).
+@functools.partial(jax.jit, static_argnames=("params", "cap"))
+def pairs_for_take(kmer, sid, pos, slen, take, n_take, params, cap):
+    """Memory-bounded split unit over the resident table: the caller
+    (ops/backend.py) computes each hash range's compacted entry indices
+    ON THE HOST from one fetched range-key array, so NO full-table sort
+    ever compiles — a 6M-entry (scale 16) / 24M-entry (scale 64)
+    device compaction sort was a pathologically slow remote compile, the
+    reason no scale>4 benchmark ever completed before round 4.  The
+    expensive multi-operand sorts run at `cap` (split) size only.
 
-    The expensive multi-operand sorts run at `cap` size; only a
-    2-operand index compaction sort touches the full table, so peak HBM
-    scales with the split size, not the whole table. Returns packed
-    i32[5, cap] (rep, tgt, diag, rev, keep) + i32 in-range count (for the
-    caller's overflow check — count > cap means entries were dropped and
-    the split limit must shrink)."""
-    in_range = valid & (h16 >= lo) & (h16 <= hi)
-    t = kmer.shape[0]
-    idx = jnp.arange(t, dtype=jnp.uint32)
-    key = jnp.where(in_range, idx, jnp.uint32(0xFFFFFFFF))
-    skey, sidx = jax.lax.sort((key, idx), num_keys=1)
-    take = sidx[:cap].astype(jnp.int32)
-    ok = skey[:cap] != jnp.uint32(0xFFFFFFFF)
+    take: int32[cap] entry indices ascending (host order == the old
+    device compaction's stable index sort); rows past n_take are
+    padding. Returns packed i32[5, cap] (rep, tgt, diag, rev, keep)."""
+    ok = jnp.arange(cap, dtype=jnp.int32) < n_take
     rep, tgt, diag, rev, keep = pairs_from_table(
         kmer[take], sid[take], pos[take], slen[take], ok, params)
     packed = jnp.stack([rep.astype(jnp.int32), tgt.astype(jnp.int32),
                         diag, rev.astype(jnp.int32),
                         keep.astype(jnp.int32)])
-    return packed, in_range.sum().astype(jnp.int32)
+    return packed
+
+
+@functools.partial(jax.jit,)
+def table_range_keys(valid, h16):
+    """i32[T] per-entry 16-bit range key with invalid entries sentineled
+    — ONE small fetch lets the host compact every split's indices."""
+    return jnp.where(valid, h16, jnp.int32(0x7FFFFFFF))
 
 
 def kmermatch_pairs_range(seqs, lengths, keys, hash_shift, params, lo, hi,
                           cap):
-    """select_table_h16 + pairs_for_range in one call (compat wrapper;
-    callers iterating several ranges should hoist select_table_h16)."""
+    """select_table_h16 + host compaction + pairs_for_take in one call
+    (compat path for single-range callers/tests)."""
     table = select_table_h16(seqs, lengths, keys, hash_shift, params)
-    return pairs_for_range(*table, params, lo, hi, cap)
+    rk = np.asarray(table_range_keys(table[4], table[5]))
+    idx = np.nonzero((rk >= lo) & (rk <= hi))[0]
+    n_in = len(idx)
+    take = np.zeros(cap, dtype=np.int32)
+    take[:min(n_in, cap)] = idx[:cap]
+    packed = pairs_for_take(table[0], table[1], table[2], table[3],
+                            jnp.asarray(take), jnp.int32(min(n_in, cap)),
+                            params, cap)
+    return packed, n_in
 
 
 def kmermatch_device(seqs, lengths, keys, hash_shift, params: KmerParams,
