@@ -512,6 +512,31 @@ def _round_up(x, step=4096):
     return ((x + step - 1) // step) * step
 
 
+def _pallas_rows(db):
+    """Device-resident 'score' + 'char' rows padded to a power-of-two
+    column count, cached per SeqDB — the Pallas kernel's dynamic
+    pltpu.roll silently corrupts lanes at non-pow2 widths (the column
+    bucketing produces 384/640/...), so the kernel always runs on these
+    copies. Pad values match db_to_padded's fill and are masked by the
+    overlap window either way."""
+    cache = getattr(db, "_device_cache", None)
+    if cache is None:
+        cache = db._device_cache = {}
+    if "pallas_rows" not in cache:
+        jc, _, _ = db_to_device(db, "score")
+        jch, _, _ = db_to_device(db, "char")
+        lmax = jc.shape[1]
+        w = 1 << (lmax - 1).bit_length()
+        if w != lmax:
+            is_nucl = db.dbtype == seqdb.NUCLEOTIDES
+            mat = constants.nucleotide() if is_nucl else constants.blosum62()
+            jc = jnp.pad(jc, ((0, 0), (0, w - lmax)),
+                         constant_values=mat.alphabet_size - 1)
+            jch = jnp.pad(jch, ((0, 0), (0, w - lmax)))
+        cache["pallas_rows"] = (jc, jch, w)
+    return cache["pallas_rows"]
+
+
 def _score_tables_device(db):
     """Device-resident copies of the scoring tables, cached per SeqDB."""
     cache = getattr(db, "_device_cache", None)
@@ -746,10 +771,11 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         didx = np.searchsorted(hits.hit_slots, idxs).astype(np.int32)
         ops1 = np.zeros(hb, dtype=np.int32)
         ops1[:mb] = (didx << 1) | qrev[idxs]
+        pjc, pjch, pw = _pallas_rows(db)
         out_dev = _rescore_from_dev_pallas(
-            jc, jch, jl, jlut, *hits.dev, jnp.asarray(ops1),
+            pjc, pjch, jl, jlut, *hits.dev, jnp.asarray(ops1),
             jsub.reshape(alpha, alpha), jcomp, jc2c, alpha,
-            int(codes.shape[1]), jax.default_backend() == "cpu", is_nucl)
+            pw, jax.default_backend() == "cpu", is_nucl)
         packed = _fetch(out_dev, "rescore")
         score[idxs] = packed[0, :mb].astype(np.int64)
         first[idxs] = packed[1, :mb]
@@ -770,10 +796,11 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         pq[:len(idxs)] = qrow[idxs]
         pt[:len(idxs)] = trow[idxs]
         pd[:len(idxs)] = dg[idxs]
+        pjc, pjch, pw = _pallas_rows(db)
         psc, pf, pl_, _ov_d, _dist_d, pid = rescore_pairs_pallas(
-            jc, jch, jl, jnp.asarray(pq), jnp.asarray(pt),
+            pjc, pjch, jl, jnp.asarray(pq), jnp.asarray(pt),
             jnp.asarray(pd), jnp.asarray(jsub).reshape(alpha, alpha),
-            alpha, width=int(codes.shape[1]),
+            alpha, width=pw,
             interpret=jax.default_backend() == "cpu")
         mb = len(idxs)
         psc = _fetch(psc, "rescore")

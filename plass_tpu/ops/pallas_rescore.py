@@ -70,15 +70,13 @@ def _kernel_body(qrow_ref, trow_ref, dq_ref, dt_ref, ov_ref, rev_ref,
 
     # dynamic lane-offset slices must be 128-aligned on TPU; load the
     # full row and bring the window to lane 0 with a dynamic roll instead
-    # (wrapped lanes land at positions >= ov and are masked away)
+    # (wrapped lanes land at positions >= ov and are masked away).
+    # Reverse-strand hits need NO in-kernel flip: lax.rev has no Mosaic
+    # lowering, so the caller stacks [rows; flipped rows] in HBM and the
+    # BlockSpec index map streams row (qrow + rev*N) — the right variant
+    # arrives already flipped.
     qc_row = qcodes_ref[0].astype(jnp.int32)
     qch_row = qchars_ref[0].astype(jnp.int32)
-    if has_rev:
-        # blend fwd/flipped with integer arithmetic (scalar-cond vector
-        # selects lower poorly in Mosaic)
-        r = rev  # 0 or 1
-        qc_row = r * jnp.flip(qc_row, axis=1) + (1 - r) * qc_row
-        qch_row = r * jnp.flip(qch_row, axis=1) + (1 - r) * qch_row
     qc = _roll_left(qc_row, dq, width, interpret)
     qch_raw = _roll_left(qch_row, dq, width, interpret)
     tc = _roll_left(tcodes_ref[0].astype(jnp.int32), dt, width, interpret)
@@ -204,6 +202,13 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag, qrev,
     if width != lmax:
         raise ValueError("pallas rescore operates on full rows: pass "
                          "width == codes.shape[1]")
+    if width & (width - 1):
+        # pltpu.roll with a DYNAMIC shift silently produces wrong lanes
+        # for non-power-of-two widths (chip-diagnosed at 384: every
+        # rolled window read garbage while 512 was exact) — callers must
+        # pad rows to a power of two (backend._pallas_rows does)
+        raise ValueError(f"pallas rescore width must be a power of two "
+                         f"(dynamic pltpu.roll constraint), got {width}")
     rev = qrev.astype(jnp.int32)
     if has_rev:
         # reverse window read: row[qlen-1-(qoff+j)] == flip(row)[dq_eff+j]
@@ -219,9 +224,23 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag, qrev,
 
     grid = (h,)
     nsp = 6
+    n_rows = codes.shape[0]
 
     # rows ride as [N, 1, L] so the per-row block (1, 1, L) satisfies the
-    # TPU tiling rule (trailing block dims equal the array dims)
+    # TPU tiling rule (trailing block dims equal the array dims).
+    # has_rev: the query arrays are [rows; flipped rows] stacked (lax.rev
+    # has no Mosaic lowering, so the flip happens in XLA outside the
+    # kernel) and the index map streams the flipped copy for rev hits.
+    if has_rev:
+        qcodes = jnp.concatenate([codes, jnp.flip(codes, axis=1)], axis=0)
+        qchars = jnp.concatenate([chars, jnp.flip(chars, axis=1)], axis=0)
+        # effective row id computed in XLA: rev hits stream the flipped
+        # copy; the index map itself stays a plain prefetch read
+        qrow = qrow.astype(jnp.int32) + rev * n_rows
+    else:
+        qcodes = codes
+        qchars = chars
+
     def qmap(i, qr, tr, *rest):
         return (qr[i], 0, 0)
 
@@ -252,8 +271,8 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag, qrev,
         interpret=interpret,
     )(qrow.astype(jnp.int32), trow.astype(jnp.int32),
       dq, dt, ov, rev,
-      codes.reshape(-1, 1, lmax), codes.reshape(-1, 1, lmax),
-      chars.reshape(-1, 1, lmax), chars.reshape(-1, 1, lmax),
+      qcodes.reshape(-1, 1, lmax), codes.reshape(-1, 1, lmax),
+      qchars.reshape(-1, 1, lmax), chars.reshape(-1, 1, lmax),
       sub, sub_comp, c2c_comp)
     out = out.reshape(h, 4)
     return (out[:, 0], out[:, 1], out[:, 2], ov,

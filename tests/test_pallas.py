@@ -7,6 +7,18 @@ import pytest
 pytestmark = pytest.mark.smoke
 
 
+def _pow2_rows(codes, chars, alpha):
+    """Pad row arrays to a power-of-two width (the kernel's dynamic
+    pltpu.roll constraint; backend._pallas_rows does this on device)."""
+    lmax = codes.shape[1]
+    w = 1 << (lmax - 1).bit_length()
+    if w != lmax:
+        codes = np.pad(codes, ((0, 0), (0, w - lmax)),
+                       constant_values=alpha - 1)
+        chars = np.pad(chars, ((0, 0), (0, w - lmax)))
+    return codes, chars, w
+
+
 @pytest.fixture(scope="module")
 def protein_hits(merged_reads):
     from plass_tpu.data import seqdb
@@ -52,11 +64,12 @@ def test_pallas_rescore_matches_xla(protein_hits):
                       jnp.zeros(len(qrow), bool), jnp.asarray(sub_flat),
                       jnp.asarray(comp), jnp.asarray(c2c), alpha,
                       mode=3, has_rev=False)
+    codes_p, chars_p, w = _pow2_rows(codes, chars, alpha)
     p = rescore_pairs_pallas(
-        jnp.asarray(codes), jnp.asarray(chars), jnp.asarray(lengths),
+        jnp.asarray(codes_p), jnp.asarray(chars_p), jnp.asarray(lengths),
         jnp.asarray(qrow), jnp.asarray(trow), jnp.asarray(diag),
         jnp.asarray(sub_flat.reshape(alpha, alpha)), alpha,
-        width=codes.shape[1], interpret=True)
+        width=w, interpret=True)
     # unmasked: degenerate (ov <= 0) hits must agree too (first/last -1/-1)
     names = ("score", "first", "last", "ov", "dist", "idents")
     for name, xa, pa in zip(names, x, p):
@@ -104,13 +117,14 @@ def test_pallas_nucl_rev_matches_xla(merged_reads):
                       jnp.asarray(qrev.astype(bool)),
                       jnp.asarray(sub_flat), jnp.asarray(comp),
                       jnp.asarray(c2c), alpha, mode=3, has_rev=True)
+    codes_p, chars_p, w = _pow2_rows(codes, chars, alpha)
     p = rescore_pairs_pallas(
-        jnp.asarray(codes), jnp.asarray(chars), jnp.asarray(lengths),
+        jnp.asarray(codes_p), jnp.asarray(chars_p), jnp.asarray(lengths),
         jnp.asarray(np.array(qrow, np.int32)),
         jnp.asarray(np.array(trow, np.int32)),
         jnp.asarray(np.array(diag, np.int32)),
         jnp.asarray(sub_flat.reshape(alpha, alpha)), alpha,
-        width=codes.shape[1], interpret=True, qrev=jnp.asarray(qrev),
+        width=w, interpret=True, qrev=jnp.asarray(qrev),
         comp_perm=jnp.asarray(comp), code2char=jnp.asarray(c2c))
     names = ("score", "first", "last", "ov", "dist", "idents")
     for name, xa, pa in zip(names, x, p):
