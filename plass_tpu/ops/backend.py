@@ -157,88 +157,112 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
         # (kmermatcher.cpp:594-779); override with PLASS_DEVICE_TABLE_LIMIT
         import os
         ent_limit = int(os.environ.get("PLASS_DEVICE_TABLE_LIMIT",
-                                       str(2 * 1024 * 1024)))
+                                       str(3 * 1024 * 1024)))
         if db.size * (params.ksel + 1) + db.size > ent_limit:
             split_memory_limit = ent_limit * ENTRY_BYTES
     if split_memory_limit:
         limit = parse_memory_limit(split_memory_limit)
         est = (db.size * (params.ksel + 1) + db.size) * ENTRY_BYTES
         if est > limit:
-            ranges = compute_hash_splits(
-                db, k, kmers_per_sequence, kmers_per_sequence_scale,
-                hash_shift, ignore_multi_kmer, limit)
+            # sorted-table split: selection runs ONCE, the table is
+            # 1-key-sorted by 16-bit range key on device (1-key
+            # comparators compile fine at any size; the old per-range
+            # full-table compaction + 5-key sort programs took >15 min
+            # to compile past ~2M entries), the exact per-bin histogram
+            # comes back as a 256 KB boundary fetch (the reference's
+            # pre-split histogram, kmermatcher.cpp:617-620), and each
+            # range is a dynamic SLICE — no index uploads, no full-table
+            # fetches.  Per-range kept pairs stay DEVICE-RESIDENT and
+            # merge through the exact monolithic stage-5 scan.
+            # per-range budget: the 5-key pair sort's compile time is
+            # the constraint (pathological past ~2M entries), tighter
+            # than the monolithic trigger above
+            budget = min(limit // ENTRY_BYTES, 2 * 1024 * 1024)
+            table = device_kmer.select_table_h16(jc, jl, jk, hash_shift,
+                                                 params)
+            sorted6, bounds_d = device_kmer.sort_table_by_range(*table)
+            bounds = _fetch(bounds_d, "kmermatch")
+            hist = np.diff(bounds)  # per-h16-bin valid-entry counts
+            if int(hist.sum()) > budget:
+                ranges = []
+                lo = 0
+                acc = 0
+                for h in range(65536):
+                    if acc + int(hist[h]) > budget and acc > 0:
+                        ranges.append((lo, h - 1))
+                        lo = h
+                        acc = 0
+                    acc += int(hist[h])
+                ranges.append((lo, 0xFFFF))
+            else:
+                ranges = [(0, 0xFFFF)]
             if len(ranges) > 1:
-                cap = _bucket(limit // ENTRY_BYTES, 4096)
-                reps, tgts, diags, revs = [], [], [], []
-                # selection runs ONCE into a resident table; each range's
-                # compacted entry indices are computed ON HOST from one
-                # fetched range-key array (a full-table device compaction
-                # sort was a pathologically slow remote compile at
-                # scale>=16), and the range program only gathers + emits
-                table = device_kmer.select_table_h16(jc, jl, jk,
-                                                     hash_shift, params)
-                rk = _fetch(device_kmer.table_range_keys(
-                    table[4], table[5]), "kmermatch")
-                # one bucket pass instead of a >=-and-<= scan per range
-                order = np.argsort(rk, kind="stable")
-                bounds = np.searchsorted(rk[order],
-                                         [r[0] for r in ranges] + [0x10000])
-                cap = max(cap, _bucket(int(np.diff(bounds).max()), 4096))
-                for i, (lo, hi) in enumerate(ranges):
-                    idx = np.sort(order[bounds[i]:bounds[i + 1]]) \
-                        .astype(np.int32)
-                    n_in = len(idx)
-                    take = np.zeros(cap, dtype=np.int32)
-                    take[:n_in] = idx
-                    packed_d = device_kmer.pairs_for_take(
-                        table[0], table[1], table[2], table[3],
-                        jnp.asarray(take), jnp.int32(n_in), params, cap)
-                    part = _fetch(packed_d, "kmermatch")
-                    kp = part[4].astype(bool)
-                    reps.append(part[0][kp].astype(np.uint32))
-                    tgts.append(part[1][kp].astype(np.uint32))
-                    diags.append(part[2][kp])
-                    revs.append(part[3][kp].astype(bool))
-                if not return_arrays:
-                    return emit_hits(np.concatenate(reps),
-                                     np.concatenate(tgts),
-                                     np.concatenate(diags),
-                                     np.concatenate(revs), db.keys)
-                # device merge: ONE stacked upload of the concatenated
-                # kept pairs, the exact monolithic stage-5 scan, ONE fetch
-                # — no per-hit host loop, and the device-resident hit
-                # arrays survive for the rescore-by-index fast path
-                rep_all = np.concatenate(reps)
-                mtot = len(rep_all)
+                t = int(table[0].shape[0])
+                counts = np.array([int(bounds[hi + 1] - bounds[lo])
+                                   for (lo, hi) in ranges])
+                # cap pinned to the constant budget (not the workload's
+                # max range count): the expensive 5-key pair sort then
+                # compiles ONCE per (params, kcap) and every workload,
+                # scale and iteration reuses it
+                cap = min(_bucket(budget, 4096), t)
+                kcap = min(cap, max(
+                    _FETCH_GUESSES.get(("kcap", is_nucl), 16384),
+                    _round_up(int(counts.max()) // 8)))
+                while True:
+                    parts = []
+                    ndev = []
+                    for (lo, hi) in ranges:
+                        start = int(bounds[lo])
+                        n_take = int(bounds[hi + 1] - bounds[lo])
+                        start_eff = max(0, min(start, t - cap))
+                        lo_off = start - start_eff
+                        pk, n_keep = device_kmer.pairs_slice_compact(
+                            *sorted6, jnp.int32(start_eff),
+                            jnp.int32(lo_off), jnp.int32(n_take),
+                            params, cap, kcap)
+                        parts.append(pk)
+                        ndev.append(n_keep)
+                    kept = _fetch(jnp.stack(ndev), "kmermatch")
+                    if int(kept.max()) <= kcap:
+                        break
+                    kcap = min(cap, _round_up(int(kept.max())))
+                _FETCH_GUESSES[("kcap", is_nucl)] = kcap
+                mtot = int(kept.sum())
                 if mtot == 0:
                     z = np.zeros(0, dtype=np.uint32)
-                    return _insert_self_hits(
-                        db, z, z, np.zeros(0, np.int32), np.zeros(0, np.int32))
-                pad = _round_up(mtot)
-                ops = np.zeros((3, pad), dtype=np.int32)
-                ops[0, :mtot] = rep_all
-                ops[1, :mtot] = np.concatenate(tgts)
-                ops[2, :mtot] = (np.concatenate(diags).astype(np.int32) << 1) \
-                    | np.concatenate(revs)
-                jops = jnp.asarray(ops)
+                    hits_z = _insert_self_hits(
+                        db, z, z, np.zeros(0, np.int32),
+                        np.zeros(0, np.int32))
+                    if return_arrays:
+                        return hits_z
+                    return {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
+                stacked = jnp.stack(parts)
+                hit_cap = _round_up(mtot)
                 guess = _FETCH_GUESSES.get(is_nucl, 16384)
-                m = min(guess, pad)
-                packed_dev, dev = device_kmer.merge_pairs_packed(
-                    jops, jnp.int32(mtot), pad, m)
+                m = min(guess, hit_cap)
+                packed_dev, dev = device_kmer.merge_parts_packed(
+                    stacked, jnp.stack(ndev), hit_cap, m)
                 packed = _fetch(packed_dev, "kmermatch")
                 n = int(packed[-1])
                 if n > m:
-                    m = min(_round_up(n * 2), pad)
-                    packed_dev, dev = device_kmer.merge_pairs_packed(
-                        jops, jnp.int32(mtot), pad, m)
+                    m = min(_round_up(n * 2), hit_cap)
+                    packed_dev, dev = device_kmer.merge_parts_packed(
+                        stacked, jnp.stack(ndev), hit_cap, m)
                     packed = _fetch(packed_dev, "kmermatch")
                 _FETCH_GUESSES[is_nucl] = m
                 body = packed[:-1].reshape(4, m)
-                return _insert_self_hits(
-                    db, body[0][:n].astype(np.uint32),
-                    body[1][:n].astype(np.uint32),
-                    body[2][:n].astype(np.int32),
-                    body[3][:n].astype(np.int32), dev=dev, dev_m=m)
+                rep = body[0][:n].astype(np.uint32)
+                tgt = body[1][:n].astype(np.uint32)
+                score = body[2][:n].astype(np.int32)
+                diag = body[3][:n].astype(np.int32)
+                if return_arrays:
+                    return _insert_self_hits(db, rep, tgt, score, diag,
+                                             dev=dev, dev_m=m)
+                hits = {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
+                for r0, t0, s0, d0 in zip(rep.tolist(), tgt.tolist(),
+                                          score.tolist(), diag.tolist()):
+                    hits[r0].append((t0, s0, d0))
+                return hits
     if hit_capacity is None:
         # geometric rounding: db.size changes every workflow iteration and
         # hit_capacity is a static shape — keep the compiled program reusable

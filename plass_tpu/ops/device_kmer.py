@@ -554,6 +554,78 @@ def select_table_h16(seqs, lengths, keys, hash_shift, params):
     return kmer, sid, pos, slen, valid, h16
 
 
+@functools.partial(jax.jit,)
+def sort_table_by_range(kmer, sid, pos, slen, valid, h16):
+    """ONE-key sort of the resident table by 16-bit range key (invalid
+    entries sink past 0xFFFF), payloads riding along — the split path's
+    ranges then become dynamic SLICES of the sorted table: no index
+    uploads, no full-table fetches, no multi-key sort at table size
+    (1-key comparators compile fine at 24M entries; the 5-key ones are
+    minutes-pathological past ~2M).  Also returns the per-bin boundary
+    array (searchsorted over all 65536 bins, 256 KB) — the device
+    equivalent of the reference's exact histogram
+    (kmermatcher.cpp:617-620)."""
+    key = jnp.where(valid, h16, jnp.int32(0x10000))
+    mk_hi = (kmer >> jnp.uint64(32)).astype(jnp.uint32)
+    mk_lo = kmer.astype(jnp.uint32)
+    s = jax.lax.sort(
+        (key, mk_hi, mk_lo, sid, pos, slen.astype(jnp.int32),
+         valid.astype(jnp.int32)), dimension=0, num_keys=1)
+    skey, s_hi, s_lo, s_sid, s_pos, s_slen, s_valid = s
+    skmer = (s_hi.astype(jnp.uint64) << jnp.uint64(32)) | \
+        s_lo.astype(jnp.uint64)
+    bounds = jnp.searchsorted(skey, jnp.arange(0x10001, dtype=jnp.int32))
+    return (skmer, s_sid, s_pos, s_slen, s_valid.astype(bool)), bounds
+
+
+@functools.partial(jax.jit, static_argnames=("params", "cap", "kcap"))
+def pairs_slice_compact(skmer, s_sid, s_pos, s_slen, s_valid, start,
+                        lo_off, n_take, params, cap, kcap):
+    """Pair emission for ONE hash range of the sorted resident table:
+    dynamic slice [start, start+cap), pair emission, keep-compaction to
+    kcap slots (1-key order sort).  Nothing is fetched — the compacted
+    parts stay device-resident for merge_parts_packed, and the kept
+    count rides back as a device scalar.
+
+    lo_off: the caller pre-clamps start to t-cap near the table end
+    (dynamic_slice would silently clamp and shift the window) and passes
+    the shift here so the ok-window re-targets the range's entries."""
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, cap)
+    idx0 = jnp.arange(cap, dtype=jnp.int32)
+    ok = (idx0 >= lo_off) & (idx0 < lo_off + n_take) & sl(s_valid)
+    rep, tgt, diag, rev, keep = pairs_from_table(
+        sl(skmer), sl(s_sid), sl(s_pos), sl(s_slen), ok, params)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    order = jnp.where(keep, idx, jnp.int32(2**31 - 1))
+    _, cr, ct, cd, cv = jax.lax.sort(
+        (order, rep, tgt, diag, rev.astype(jnp.int32)),
+        dimension=0, num_keys=1)
+    packed = jnp.stack([cr[:kcap].astype(jnp.int32),
+                        ct[:kcap].astype(jnp.int32),
+                        cd[:kcap], cv[:kcap]])
+    return packed, keep.sum().astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("hit_capacity", "fetch_m"))
+def merge_parts_packed(parts, counts, hit_capacity, fetch_m):
+    """Device merge of the per-range compacted pair parts: parts
+    i32[R, 4, kcap] (rep, tgt, diag, rev), counts i32[R] kept per part.
+    Same stage-5 scan + packed output as merge_pairs_packed."""
+    r, _, kcap = parts.shape
+    rep = parts[:, 0, :].reshape(-1).astype(jnp.uint32)
+    tgt = parts[:, 1, :].reshape(-1).astype(jnp.uint32)
+    diag = parts[:, 2, :].reshape(-1)
+    rev = parts[:, 3, :].reshape(-1).astype(bool)
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (r, kcap), 1)
+             < counts[:, None]).reshape(-1)
+    pairs = sort_pairs(rep, tgt, diag, rev, valid)
+    cr, ct, cs, cd, n_hits = _stage_hits(*pairs, hit_capacity)
+    m = min(fetch_m, cr.shape[0])
+    flat = jnp.stack([cr[:m].astype(jnp.int32), ct[:m].astype(jnp.int32),
+                      cs[:m], cd[:m]]).reshape(-1)
+    return jnp.concatenate([flat, n_hits.reshape(1)]), (cr, ct, cd)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "cap"))
 def pairs_for_take(kmer, sid, pos, slen, take, n_take, params, cap):
     """Memory-bounded split unit over the resident table: the caller
