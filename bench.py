@@ -19,10 +19,14 @@ host/RTT in every recorded artifact.
 
 Env knobs: BENCH_SCALES="4" (set "4,16,64" for the sweep; the 16x/64x
 workloads route through the auto-split device path and pay several
-extra remote compiles), BENCH_ITERS=3, BENCH_NUCL=1 (include the
-PenguiN iteration), BENCH_CACHE. A recorded 4/16/64 sweep lives in
-BENCH_SWEEP_r04.json.
+extra remote compiles), BENCH_NUCL_SCALES (defaults to the first
+protein scale; set "4,16" to sweep the PenguiN iteration too),
+BENCH_ITERS=3, BENCH_NUCL=1 (include the PenguiN iteration),
+BENCH_PROFILE=<dir> (capture a jax.profiler trace of one timed
+iteration per workload — the MFU/roofline view), BENCH_CACHE. A
+recorded 4/16/64 sweep lives in BENCH_SWEEP_r04.json.
 """
+import contextlib
 import json
 import os
 import subprocess
@@ -34,9 +38,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 SCALES = [int(s) for s in os.environ.get("BENCH_SCALES", "4").split(",")]
+NUCL_SCALES = [int(s) for s in
+               os.environ.get("BENCH_NUCL_SCALES", str(SCALES[0])).split(",")]
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 CACHE = os.environ.get("BENCH_CACHE", "/tmp/plass_tpu_bench")
 BENCH_NUCL = os.environ.get("BENCH_NUCL", "1") == "1"
+PROFILE_DIR = os.environ.get("BENCH_PROFILE")
+
+
+@contextlib.contextmanager
+def _maybe_trace(name):
+    """jax.profiler trace of one timed iteration (BENCH_PROFILE=<dir>):
+    the per-op device timeline TensorBoard renders — the reference's
+    equivalent observability is its per-phase timers
+    (kmermatcher.cpp:406-436); this is the roofline/MFU view on top."""
+    if not PROFILE_DIR:
+        yield
+        return
+    import jax
+    with jax.profiler.trace(os.path.join(PROFILE_DIR, name)):
+        yield
 REF_PLASS = "/tmp/refbuild/src/plass"
 REF_PENGUIN = "/tmp/refbuild/src/penguin"
 READS = ["/root/reference/examples/reads_1.fastq.gz",
@@ -97,7 +118,7 @@ def build_nucl_workload(scale):
     return _replicate(reads, scale, letters, seqdb.NUCLEOTIDES, path)
 
 
-def run_device_iteration(db):
+def run_device_iteration(db, name="protein"):
     """One full protein iteration (jax backend + native extend).
 
     Returns (seconds, stages) where stages carries the wall split per
@@ -141,12 +162,13 @@ def run_device_iteration(db):
               "kmermatch_device": 0.0, "rescore_device": 0.0}
     t0 = time.time()
     for i in range(ITERS):
-        one(68 + i, stages)
+        with _maybe_trace(name) if i == 0 else contextlib.nullcontext():
+            one(68 + i, stages)
     total = (time.time() - t0) / ITERS
     return total, {k: round(v / ITERS, 4) for k, v in stages.items()}
 
 
-def run_nucl_device_iteration(db):
+def run_nucl_device_iteration(db, name="nucl"):
     """One PenguiN nucleotide iteration (jax backend + native extend)."""
     from plass_tpu.ops import backend
     from plass_tpu.ops.backend import kmermatcher_jax, rescore_diagonal_jax
@@ -187,7 +209,8 @@ def run_nucl_device_iteration(db):
               "kmermatch_device": 0.0, "rescore_device": 0.0}
     t0 = time.time()
     for i in range(ITERS):
-        one(68 + i, stages)
+        with _maybe_trace(name) if i == 0 else contextlib.nullcontext():
+            one(68 + i, stages)
     total = (time.time() - t0) / ITERS
     return total, {k: round(v / ITERS, 4) for k, v in stages.items()}
 
@@ -273,7 +296,7 @@ def main():
         _log(f"[bench] building workload scale={scale}")
         db = build_workload(scale)
         _log(f"[bench] device iteration scale={scale} n={db.size}")
-        dev_s, stages = run_device_iteration(db)
+        dev_s, stages = run_device_iteration(db, name=f"protein_s{scale}")
         _log(f"[bench] reference baseline scale={scale}")
         ref_s = run_reference_iteration(db, scale)
         sweep[scale] = {
@@ -289,24 +312,30 @@ def main():
     head = sweep[head_scale]
 
     nucl = None
+    nucl_sweep = {}
     if BENCH_NUCL:
-        nscale = SCALES[0]
-        _log(f"[bench] nucleotide workload scale={nscale}")
-        ndb = build_nucl_workload(nscale)
-        _log(f"[bench] nucleotide device iteration n={ndb.size}")
-        ndev_s, nstages = run_nucl_device_iteration(ndb)
-        _log("[bench] nucleotide reference baseline")
-        nref_s = run_nucl_reference_iteration(ndb, nscale)
-        nucl = {
-            "scale": nscale,
-            "n_reads": ndb.size,
-            "iteration_s": round(ndev_s, 4),
-            "reads_per_s": round(ndb.size / ndev_s, 1),
-            "stages_s": nstages,
-            "baseline_reads_per_s": (round(ndb.size / nref_s, 1)
-                                     if nref_s else None),
-            "vs_baseline": (round(nref_s / ndev_s, 3) if nref_s else None),
-        }
+        for nscale in NUCL_SCALES:
+            _log(f"[bench] nucleotide workload scale={nscale}")
+            ndb = build_nucl_workload(nscale)
+            _log(f"[bench] nucleotide device iteration n={ndb.size}")
+            ndev_s, nstages = run_nucl_device_iteration(
+                ndb, name=f"nucl_s{nscale}")
+            _log("[bench] nucleotide reference baseline")
+            nref_s = run_nucl_reference_iteration(ndb, nscale)
+            nucl_sweep[nscale] = {
+                "scale": nscale,
+                "n_reads": ndb.size,
+                "iteration_s": round(ndev_s, 4),
+                "reads_per_s": round(ndb.size / ndev_s, 1),
+                "stages_s": nstages,
+                "baseline_reads_per_s": (round(ndb.size / nref_s, 1)
+                                         if nref_s else None),
+                "vs_baseline": (round(nref_s / ndev_s, 3)
+                                if nref_s else None),
+            }
+        nucl = dict(nucl_sweep[NUCL_SCALES[-1]])
+        if len(NUCL_SCALES) > 1:
+            nucl["sweep"] = nucl_sweep
 
     print(json.dumps({
         "metric": "iteration_reads_per_s_per_chip",

@@ -226,7 +226,7 @@ class _Parser:
             if c == "!" and self._peek(2) != "!=":
                 logical = -1 if logical == 0 else -logical
                 self.pos += 1
-            elif c in "+-":
+            elif c and c in "+-":  # c == "" at EOF ("" in "+-" is True!)
                 if c == "-":
                     # the second loop still folds signs (tinyexpr keeps
                     # accepting +/- but ignores them for the sign; it only

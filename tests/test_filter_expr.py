@@ -97,8 +97,11 @@ def resultdb(tmp_path):
 def test_filter_expression_parity(resultdb, tmp_path, expr):
     ref_out = str(tmp_path / "ref")
     our_out = str(tmp_path / "ours")
+    # --threads 1: with >1 threads the reference leaves unmerged .0/.1
+    # shards on tiny DBs, and byte parity presumes single-writer order
     subprocess.run([REF, "filterdb", resultdb, ref_out,
-                    "--filter-expression", expr, "-v", "0"],
+                    "--filter-expression", expr, "-v", "0",
+                    "--threads", "1"],
                    check=True, capture_output=True)
     subprocess.run([OURS, "filterdb", resultdb, our_out,
                     "--filter-expression", expr],
