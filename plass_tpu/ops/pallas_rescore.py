@@ -136,6 +136,182 @@ def _kernel_body(qrow_ref, trow_ref, dq_ref, dt_ref, ov_ref, rev_ref,
          idents]).reshape(1, 1, 4)
 
 
+def _kernel_blocked(*refs, width, alpha, block, interpret, has_rev):
+    with jax.enable_x64(False):
+        _kernel_blocked_body(*refs, width=width, alpha=alpha, block=block,
+                             interpret=interpret, has_rev=has_rev)
+
+
+def _kernel_blocked_body(qrow_ref, trow_ref, dq_ref, dt_ref, ov_ref,
+                         rev_ref, *rest, width, alpha, block, interpret,
+                         has_rev):
+    """BLOCK hits per grid step: the per-hit grid's ~2us fixed step cost
+    (DMA issues + grid bookkeeping + (1, W) vector ops that use one
+    sublane of eight) dominated the rescore at scale (183k hits = 0.35s
+    device time at scale 64), so hits ride in blocks — `block` comb rows
+    per side stream per step via per-hit BlockSpecs, the compute is
+    vectorized over (block, W) and the one-hot substitution contraction
+    becomes a single (block*W, alpha) MXU matmul. Codes and chars ride
+    PACKED as one i32 (code<<8 | char) per residue, halving per-hit DMA
+    issues."""
+    qrefs = rest[:block]
+    trefs = rest[block:2 * block]
+    sub_ref, subc_ref, c2cc_ref, out_ref = rest[2 * block:]
+    base = pl.program_id(0) * block
+
+    # per-hit: roll + one-hot substitution matmul ((1, W) -> (W, 1) is
+    # the one reshape Mosaic lowers; (B, W) -> (B*W, 1) is not), then
+    # every mask/trim/reduction runs BATCHED on (B, W)
+    s_rows = []
+    qch_rows = []
+    tch_rows = []
+    for jj in range(block):
+        qcomb_j = _roll_left(qrefs[jj][0].astype(jnp.int32),
+                             dq_ref[base + jj], width, interpret)
+        tcomb_j = _roll_left(trefs[jj][0].astype(jnp.int32),
+                             dt_ref[base + jj], width, interpret)
+        qc_j = qcomb_j >> 8
+        qch_j = qcomb_j & 0xFF
+        tc_j = tcomb_j >> 8
+        tch_j = tcomb_j & 0xFF
+        a = jax.lax.broadcasted_iota(jnp.int32, (width, alpha), 1)
+        q1h_j = (qc_j.reshape(width, 1) == a).astype(jnp.float32)
+        t1h_j = (tc_j.reshape(width, 1) == a).astype(jnp.float32)
+        if has_rev:
+            rf = rev_ref[base + jj].astype(jnp.float32)
+            sub_sel = (rf * subc_ref[...].astype(jnp.float32)
+                       + (1.0 - rf) * sub_ref[...].astype(jnp.float32))
+            qch_canon = jax.lax.dot_general(
+                q1h_j, c2cc_ref[...].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).reshape(1, width) \
+                .astype(jnp.int32)
+            rv = rev_ref[base + jj]
+            qch_j = rv * qch_canon + (1 - rv) * qch_j
+        else:
+            sub_sel = sub_ref[...].astype(jnp.float32)
+        sm_j = jax.lax.dot_general(
+            q1h_j, sub_sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_rows.append((sm_j * t1h_j).sum(axis=1, dtype=jnp.float32)
+                      .astype(jnp.int32).reshape(1, width))
+        qch_rows.append(qch_j)
+        tch_rows.append(tch_j)
+    s = jnp.concatenate(s_rows, axis=0)          # (B, W)
+    qch = jnp.concatenate(qch_rows, axis=0)
+    tch = jnp.concatenate(tch_rows, axis=0)
+    ov = jnp.concatenate(
+        [ov_ref[base + jj].reshape(1, 1) for jj in range(block)], axis=0)
+    _reduce_windows(s, qch, tch, ov, out_ref, width=width, block=block)
+
+
+def _kernel_gathered(*refs, width, alpha, block, interpret, has_rev):
+    with jax.enable_x64(False):
+        _kernel_gathered_body(*refs, width=width, alpha=alpha, block=block,
+                              interpret=interpret, has_rev=has_rev)
+
+
+def _kernel_gathered_body(dq_ref, dt_ref, ov_ref, rev_ref, qrows_ref,
+                          trows_ref, sub_ref, subc_ref, c2cc_ref, out_ref,
+                          *, width, alpha, block, interpret, has_rev):
+    """Gathered-rows variant: the caller row-gathers the packed comb rows
+    in XLA (contiguous row gather — fast, unlike the per-element window
+    gather of the XLA scan), so each grid step streams ONE contiguous
+    (block, W) block per side instead of `block` scattered per-hit row
+    DMAs — the measured floor of the streamed kernels was the per-hit
+    DMA issue rate (~0.6us per issue on v5e), not compute."""
+    base = pl.program_id(0) * block
+    s_rows = []
+    qch_rows = []
+    tch_rows = []
+    for jj in range(block):
+        qcomb_j = _roll_left(qrows_ref[0, jj:jj + 1, :].astype(jnp.int32),
+                             dq_ref[base + jj], width, interpret)
+        tcomb_j = _roll_left(trows_ref[0, jj:jj + 1, :].astype(jnp.int32),
+                             dt_ref[base + jj], width, interpret)
+        qc_j = qcomb_j >> 8
+        qch_j = qcomb_j & 0xFF
+        tc_j = tcomb_j >> 8
+        tch_j = tcomb_j & 0xFF
+        a = jax.lax.broadcasted_iota(jnp.int32, (width, alpha), 1)
+        q1h_j = (qc_j.reshape(width, 1) == a).astype(jnp.float32)
+        t1h_j = (tc_j.reshape(width, 1) == a).astype(jnp.float32)
+        if has_rev:
+            rf = rev_ref[base + jj].astype(jnp.float32)
+            sub_sel = (rf * subc_ref[...].astype(jnp.float32)
+                       + (1.0 - rf) * sub_ref[...].astype(jnp.float32))
+            qch_canon = jax.lax.dot_general(
+                q1h_j, c2cc_ref[...].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).reshape(1, width) \
+                .astype(jnp.int32)
+            rv = rev_ref[base + jj]
+            qch_j = rv * qch_canon + (1 - rv) * qch_j
+        else:
+            sub_sel = sub_ref[...].astype(jnp.float32)
+        sm_j = jax.lax.dot_general(
+            q1h_j, sub_sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_rows.append((sm_j * t1h_j).sum(axis=1, dtype=jnp.float32)
+                      .astype(jnp.int32).reshape(1, width))
+        qch_rows.append(qch_j)
+        tch_rows.append(tch_j)
+    s = jnp.concatenate(s_rows, axis=0)
+    qch = jnp.concatenate(qch_rows, axis=0)
+    tch = jnp.concatenate(tch_rows, axis=0)
+    ov = jnp.concatenate(
+        [ov_ref[base + jj].reshape(1, 1) for jj in range(block)], axis=0)
+    _reduce_windows(s, qch, tch, ov, out_ref, width=width, block=block)
+
+
+def _reduce_windows(s, qch, tch, ov, out_ref, *, width, block):
+    """Batched (block, W) END_TO_END window reductions shared by the
+    blocked kernels: '*'-trim, score clip, identity count."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (block, width), 1)
+    star_here = ((qch == STAR) | (tch == STAR)).astype(jnp.int32)
+    star0 = jnp.where(j == 0, star_here, jnp.zeros_like(star_here)) \
+        .max(axis=1, keepdims=True)
+    first0 = jnp.where((star0 > 0) & (ov > 0), jnp.int32(1), jnp.int32(0))
+    last_idx = jnp.maximum(ov - 1, 0)
+    star_last = jnp.where(j == last_idx, star_here,
+                          jnp.zeros_like(star_here)) \
+        .max(axis=1, keepdims=True)
+    last = last_idx - jnp.where((last_idx > 0) & (star_last > 0),
+                                jnp.int32(1), jnp.int32(0))
+    first0 = jnp.where(ov > 0, first0, jnp.int32(-1))
+    last = jnp.where(ov > 0, last, jnp.int32(-1))
+
+    in_range = (j < ov) & (j >= first0) & (j <= last)
+    score_f = jnp.where(in_range, s, jnp.zeros_like(s)) \
+        .astype(jnp.float32).sum(axis=1, dtype=jnp.float32)
+    score = jnp.maximum(score_f.astype(jnp.int32), jnp.int32(0)) \
+        .reshape(block, 1)
+    fold = jnp.int32(~0x20 & 0xFF)
+    idents = ((((qch & fold) == (tch & fold)) & in_range)
+              .astype(jnp.float32).sum(axis=1, dtype=jnp.float32)
+              .astype(jnp.int32)).reshape(block, 1)
+    out_ref[...] = jnp.concatenate(
+        [score, first0, last, idents], axis=1).reshape(1, block, 4)
+
+
+# hits per grid step of the blocked kernels (PLASS_PALLAS_BLOCK=0 falls
+# back to the per-hit kernel; any other integer overrides the block
+# size). PLASS_PALLAS_GATHER=0 disables the XLA row pre-gather variant
+# (scalar-prefetch streamed rows instead).
+_BLOCK = 8
+
+
+def _block_size():
+    v = os.environ.get("PLASS_PALLAS_BLOCK")
+    if v is None:
+        return _BLOCK
+    return int(v)
+
+
+def _gather_rows():
+    return os.environ.get("PLASS_PALLAS_GATHER", "1") == "1"
+
+
 # scalar-prefetch operands live in SMEM (~1 MB); 6 i32 arrays cap the
 # per-call hit count
 _CHUNK = 32768
@@ -222,9 +398,105 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag, qrev,
         c2c_comp = jnp.zeros((alpha, 1), dtype=jnp.int32)
     dt = toff
 
-    grid = (h,)
     nsp = 6
     n_rows = codes.shape[0]
+    block = _block_size()
+
+    if block > 1:
+        # BLOCKED kernel: `block` hits per grid step, packed comb rows
+        comb = ((codes.astype(jnp.int32) << 8) |
+                chars.astype(jnp.int32))
+        if has_rev:
+            qcomb = jnp.concatenate([comb, jnp.flip(comb, axis=1)], axis=0)
+            qrow = qrow.astype(jnp.int32) + rev * n_rows
+        else:
+            qcomb = comb
+        hp = ((h + block - 1) // block) * block
+        pad = hp - h
+
+        def p(x):
+            return jnp.pad(x.astype(jnp.int32), (0, pad)) if pad else \
+                x.astype(jnp.int32)
+
+        grid = (hp // block,)
+
+        if _gather_rows():
+            # XLA row pre-gather: contiguous (1, B, W) blocks stream per
+            # step — no per-hit scattered DMAs (their issue rate was the
+            # measured floor of the streamed variants)
+            qrows = jnp.take(qcomb, p(qrow), axis=0) \
+                .reshape(hp // block, block, lmax)
+            trows = jnp.take(comb, p(trow), axis=0) \
+                .reshape(hp // block, block, lmax)
+
+            def bmap(i, *rest):
+                return (i, 0, 0)
+
+            def zmap2(i, *rest):
+                return (0, 0)
+
+            out = pl.pallas_call(
+                functools.partial(_kernel_gathered, width=width,
+                                  alpha=alpha, block=block,
+                                  interpret=interpret, has_rev=has_rev),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=4,
+                    grid=grid,
+                    in_specs=[pl.BlockSpec((1, block, lmax), bmap),
+                              pl.BlockSpec((1, block, lmax), bmap),
+                              pl.BlockSpec((alpha, alpha), zmap2),
+                              pl.BlockSpec((alpha, alpha), zmap2),
+                              pl.BlockSpec((alpha, 1), zmap2)],
+                    out_specs=pl.BlockSpec((1, block, 4), bmap)),
+                out_shape=jax.ShapeDtypeStruct((hp // block, block, 4),
+                                               jnp.int32),
+                interpret=interpret,
+            )(p(dq), p(dt), p(ov), p(rev), qrows, trows,
+              sub, sub_comp, c2c_comp)
+            out = out.reshape(hp, 4)[:h]
+            return (out[:, 0], out[:, 1], out[:, 2], ov,
+                    dist.astype(jnp.int32), out[:, 3])
+
+        def mkmap(which, jj):
+            if which == 0:
+                return lambda i, qr, tr, *rest: (qr[i * block + jj], 0, 0)
+            return lambda i, qr, tr, *rest: (tr[i * block + jj], 0, 0)
+
+        def zmap(i, *rest):
+            return (0, 0)
+
+        def omap(i, *rest):
+            return (i, 0, 0)
+
+        in_specs = ([pl.BlockSpec((1, 1, lmax), mkmap(0, jj))
+                     for jj in range(block)] +
+                    [pl.BlockSpec((1, 1, lmax), mkmap(1, jj))
+                     for jj in range(block)] +
+                    [pl.BlockSpec((alpha, alpha), zmap),
+                     pl.BlockSpec((alpha, alpha), zmap),
+                     pl.BlockSpec((alpha, 1), zmap)])
+        qcomb3 = qcomb.reshape(-1, 1, lmax)
+        tcomb3 = comb.reshape(-1, 1, lmax)
+        out = pl.pallas_call(
+            functools.partial(_kernel_blocked, width=width, alpha=alpha,
+                              block=block, interpret=interpret,
+                              has_rev=has_rev),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=nsp,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, block, 4), omap)),
+            out_shape=jax.ShapeDtypeStruct((hp // block, block, 4),
+                                           jnp.int32),
+            interpret=interpret,
+        )(p(qrow), p(trow), p(dq), p(dt), p(ov), p(rev),
+          *([qcomb3] * block), *([tcomb3] * block),
+          sub, sub_comp, c2c_comp)
+        out = out.reshape(hp, 4)[:h]
+        return (out[:, 0], out[:, 1], out[:, 2], ov,
+                dist.astype(jnp.int32), out[:, 3])
+
+    grid = (h,)
 
     # rows ride as [N, 1, L] so the per-row block (1, 1, L) satisfies the
     # TPU tiling rule (trailing block dims equal the array dims).

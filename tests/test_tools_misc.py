@@ -220,7 +220,6 @@ def test_extractdomains(tmp_path):
 def test_extractdomains_ca3m(aa_db, tmp_path):
     """--msa-type 0: the MSA DB is a compressed-A3M ffindex triple decoded
     through CompressedA3M::extractA3M (extractdomains.cpp:219-233,273-277)."""
-    import shutil
     from plass_tpu.data import seqdb
     aln = str(tmp_path / "aln")
     run_ref("kmermatcher", aa_db, tmp_path / "pref", "-k", 6,
@@ -230,7 +229,12 @@ def test_extractdomains_ca3m(aa_db, tmp_path):
     ca = str(tmp_path / "ca3m")
     run_ref("result2msa", aa_db, aa_db, aln, ca, "--msa-format-mode", "1",
             "--threads", "1")
-    shutil.copy(ca + "_ca3m.ffdata.dbtype", ca + ".dbtype")
+    # the CLI path's dbtype must read MSA (11) to pass the reference's
+    # input validator even in --msa-type 0 (ca3m) mode — the ca3m triple
+    # itself is located via the _ca3m/_sequence/_header suffixes
+    import struct
+    with open(ca + ".dbtype", "wb") as f:
+        f.write(struct.pack("<i", seqdb.MSA_DB))
     w = seqdb.DBWriter(seqdb.ALIGNMENT_RES)
     w.write(0, (b"0\tP001\t2\t35\t42\t0\t33\t40\t1e-20\n"
                 b"0\tP003\t10\t40\t42\t0\t30\t35\t1e-08\n"),
