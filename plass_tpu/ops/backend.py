@@ -208,6 +208,14 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                 kcap = min(cap, max(
                     _FETCH_GUESSES.get(("kcap", is_nucl), 16384),
                     _round_up(int(counts.max()) // 8)))
+                nr = len(ranges)
+                # hit capacity bounds hits by total kept pairs (nr*kcap):
+                # _stage_hits' sorts run at nr*kcap regardless, so the
+                # bound costs nothing and needs no pre-fetch of the
+                # exact total — the merge is dispatched IMMEDIATELY
+                # after the range programs and its single fetch carries
+                # the hits AND the per-range kept counts (the old
+                # structure blocked on a separate kept fetch first)
                 while True:
                     parts = []
                     ndev = []
@@ -222,13 +230,20 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                             params, cap, kcap)
                         parts.append(pk)
                         ndev.append(n_keep)
-                    kept = _fetch(jnp.stack(ndev), "kmermatch")
+                    stacked = jnp.stack(parts)
+                    nstack = jnp.stack(ndev)
+                    hit_cap = _round_up(nr * kcap)
+                    guess = _FETCH_GUESSES.get(is_nucl, 16384)
+                    m = min(guess, hit_cap)
+                    packed_dev, dev = device_kmer.merge_parts_packed(
+                        stacked, nstack, hit_cap, m)
+                    packed = _fetch(packed_dev, "kmermatch")
+                    kept = packed[4 * m + 1:]
                     if int(kept.max()) <= kcap:
                         break
                     kcap = min(cap, _round_up(int(kept.max())))
                 _FETCH_GUESSES[("kcap", is_nucl)] = kcap
-                mtot = int(kept.sum())
-                if mtot == 0:
+                if int(kept.sum()) == 0:
                     z = np.zeros(0, dtype=np.uint32)
                     hits_z = _insert_self_hits(
                         db, z, z, np.zeros(0, np.int32),
@@ -236,21 +251,14 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                     if return_arrays:
                         return hits_z
                     return {int(kk): [(int(kk), 0, 0)] for kk in db.keys}
-                stacked = jnp.stack(parts)
-                hit_cap = _round_up(mtot)
-                guess = _FETCH_GUESSES.get(is_nucl, 16384)
-                m = min(guess, hit_cap)
-                packed_dev, dev = device_kmer.merge_parts_packed(
-                    stacked, jnp.stack(ndev), hit_cap, m)
-                packed = _fetch(packed_dev, "kmermatch")
-                n = int(packed[-1])
+                n = int(packed[4 * m])
                 if n > m:
                     m = min(_round_up(n * 2), hit_cap)
                     packed_dev, dev = device_kmer.merge_parts_packed(
-                        stacked, jnp.stack(ndev), hit_cap, m)
+                        stacked, nstack, hit_cap, m)
                     packed = _fetch(packed_dev, "kmermatch")
                 _FETCH_GUESSES[is_nucl] = m
-                body = packed[:-1].reshape(4, m)
+                body = packed[:4 * m].reshape(4, m)
                 rep = body[0][:n].astype(np.uint32)
                 tgt = body[1][:n].astype(np.uint32)
                 score = body[2][:n].astype(np.int32)

@@ -610,7 +610,13 @@ def pairs_slice_compact(skmer, s_sid, s_pos, s_slen, s_valid, start,
 def merge_parts_packed(parts, counts, hit_capacity, fetch_m):
     """Device merge of the per-range compacted pair parts: parts
     i32[R, 4, kcap] (rep, tgt, diag, rev), counts i32[R] kept per part.
-    Same stage-5 scan + packed output as merge_pairs_packed."""
+    Same stage-5 scan + packed output as merge_pairs_packed.
+
+    The packed tail is [n_hits, counts[0..R-1]]: the per-range kept
+    counts ride ALONG with the merged result, so the host validates the
+    per-range kcap in the same blocking fetch that returns the hits —
+    one device round trip per iteration instead of two (each fetch on a
+    tunneled backend blocks on dispatch + compute + RTT)."""
     r, _, kcap = parts.shape
     rep = parts[:, 0, :].reshape(-1).astype(jnp.uint32)
     tgt = parts[:, 1, :].reshape(-1).astype(jnp.uint32)
@@ -623,7 +629,9 @@ def merge_parts_packed(parts, counts, hit_capacity, fetch_m):
     m = min(fetch_m, cr.shape[0])
     flat = jnp.stack([cr[:m].astype(jnp.int32), ct[:m].astype(jnp.int32),
                       cs[:m], cd[:m]]).reshape(-1)
-    return jnp.concatenate([flat, n_hits.reshape(1)]), (cr, ct, cd)
+    return (jnp.concatenate([flat, n_hits.reshape(1),
+                             counts.astype(jnp.int32).reshape(-1)]),
+            (cr, ct, cd))
 
 
 @functools.partial(jax.jit, static_argnames=("params", "cap"))
