@@ -158,12 +158,14 @@ def run_device_iteration(db, name="protein"):
 
     one(66)  # warm up / compile (two shifts: hit-count-dependent pad
     one(67)  # buckets and overlap-width buckets both need populating)
+    if PROFILE_DIR:  # traced iteration OUTSIDE the timed loop so trace
+        with _maybe_trace(name):  # overhead never skews the artifact
+            one(65)
     stages = {"kmermatch": 0.0, "rescore": 0.0, "extend": 0.0,
               "kmermatch_device": 0.0, "rescore_device": 0.0}
     t0 = time.time()
     for i in range(ITERS):
-        with _maybe_trace(name) if i == 0 else contextlib.nullcontext():
-            one(68 + i, stages)
+        one(68 + i, stages)
     total = (time.time() - t0) / ITERS
     return total, {k: round(v / ITERS, 4) for k, v in stages.items()}
 
@@ -205,12 +207,14 @@ def run_nucl_device_iteration(db, name="nucl"):
 
     one(66)
     one(67)
+    if PROFILE_DIR:
+        with _maybe_trace(name):
+            one(65)
     stages = {"kmermatch": 0.0, "rescore": 0.0, "extend": 0.0,
               "kmermatch_device": 0.0, "rescore_device": 0.0}
     t0 = time.time()
     for i in range(ITERS):
-        with _maybe_trace(name) if i == 0 else contextlib.nullcontext():
-            one(68 + i, stages)
+        one(68 + i, stages)
     total = (time.time() - t0) / ITERS
     return total, {k: round(v / ITERS, 4) for k, v in stages.items()}
 
@@ -222,68 +226,85 @@ def _clean(paths):
                 os.unlink(p + suf)
 
 
+BASELINE_REPS = int(os.environ.get("BENCH_BASELINE_REPS", "3"))
+NPROC = str(os.cpu_count() or 1)
+
+
 def run_reference_iteration(db, scale):
-    """Reference plass on the same DB (all cores). Returns seconds."""
+    """Reference plass on the same DB, --threads pinned to all cores,
+    BASELINE_REPS repetitions per hash shift, best-of (favoring the
+    reference — the reference's own regression pins its workload for
+    the same reason, run_regression.sh:8-10).
+
+    Returns (best_seconds, all_run_seconds) or (None, [])."""
     if not os.path.exists(REF_PLASS):
-        return None
+        return None, []
     base = os.path.join(CACHE, f"refdb_{scale}")
     if not os.path.exists(base + ".dbtype"):
         db.save(base)
     times = []
-    for i, shift in enumerate((68, 69)):
-        pref = os.path.join(CACHE, f"ref_pref{i}")
-        aln = os.path.join(CACHE, f"ref_aln{i}")
-        asm = os.path.join(CACHE, f"ref_asm{i}")
-        _clean([pref, aln, asm])
-        t0 = time.time()
-        subprocess.run([REF_PLASS, "kmermatcher", base, pref,
-                        "--kmer-per-seq", "60", "-k", "14", "--alph-size",
-                        "13", "--hash-shift", str(shift),
-                        "--ignore-multi-kmer", "1",
-                        "--include-only-extendable", "1", "--mask", "0",
-                        "--spaced-kmer-mode", "0", "--cov-mode", "0", "-c",
-                        "0", "-v", "0"], check=True, capture_output=True)
-        subprocess.run([REF_PLASS, "rescorediagonal", base, base, pref, aln,
-                        "--rescore-mode", "3", "--min-seq-id", "0.9", "-e",
-                        "1e-5", "-c", "0", "-v", "0"],
-                       check=True, capture_output=True)
-        subprocess.run([REF_PLASS, "assembleresults", base, aln, asm,
-                        "--min-seq-id", "0.9", "-v", "0"],
-                       check=True, capture_output=True)
-        times.append(time.time() - t0)
-    return min(times)
+    for rep in range(BASELINE_REPS):
+        for i, shift in enumerate((68, 69)):
+            pref = os.path.join(CACHE, f"ref_pref{i}")
+            aln = os.path.join(CACHE, f"ref_aln{i}")
+            asm = os.path.join(CACHE, f"ref_asm{i}")
+            _clean([pref, aln, asm])
+            t0 = time.time()
+            subprocess.run([REF_PLASS, "kmermatcher", base, pref,
+                            "--kmer-per-seq", "60", "-k", "14",
+                            "--alph-size", "13", "--hash-shift", str(shift),
+                            "--ignore-multi-kmer", "1",
+                            "--include-only-extendable", "1", "--mask", "0",
+                            "--spaced-kmer-mode", "0", "--cov-mode", "0",
+                            "-c", "0", "--threads", NPROC, "-v", "0"],
+                           check=True, capture_output=True)
+            subprocess.run([REF_PLASS, "rescorediagonal", base, base, pref,
+                            aln, "--rescore-mode", "3", "--min-seq-id",
+                            "0.9", "-e", "1e-5", "-c", "0", "--threads",
+                            NPROC, "-v", "0"],
+                           check=True, capture_output=True)
+            subprocess.run([REF_PLASS, "assembleresults", base, aln, asm,
+                            "--min-seq-id", "0.9", "--threads", NPROC,
+                            "-v", "0"], check=True, capture_output=True)
+            times.append(round(time.time() - t0, 4))
+    return min(times), times
 
 
 def run_nucl_reference_iteration(db, scale):
-    """Reference penguin nucleotide iteration. Returns seconds."""
+    """Reference penguin nucleotide iteration, same best-of protocol.
+
+    Returns (best_seconds, all_run_seconds) or (None, [])."""
     if not os.path.exists(REF_PENGUIN):
-        return None
+        return None, []
     base = os.path.join(CACHE, f"refnucl_{scale}")
     if not os.path.exists(base + ".dbtype"):
         db.save(base)
     times = []
-    for i, shift in enumerate((68, 69)):
-        pref = os.path.join(CACHE, f"refn_pref{i}")
-        aln = os.path.join(CACHE, f"refn_aln{i}")
-        asm = os.path.join(CACHE, f"refn_asm{i}")
-        _clean([pref, aln, asm])
-        t0 = time.time()
-        subprocess.run([REF_PENGUIN, "kmermatcher", base, pref,
-                        "--kmer-per-seq", "60", "-k", "22",
-                        "--kmer-per-seq-scale", "0.1", "--hash-shift",
-                        str(shift), "--ignore-multi-kmer", "1",
-                        "--include-only-extendable", "1", "--mask", "0",
-                        "--spaced-kmer-mode", "0", "--cov-mode", "0", "-c",
-                        "0", "-v", "0"], check=True, capture_output=True)
-        subprocess.run([REF_PENGUIN, "rescorediagonal", base, base, pref,
-                        aln, "--rescore-mode", "3", "--min-seq-id", "0.99",
-                        "-e", "1e-5", "-c", "0", "-v", "0"],
-                       check=True, capture_output=True)
-        subprocess.run([REF_PENGUIN, "nuclassembleresults", base, aln, asm,
-                        "--min-seq-id", "0.99", "-v", "0"],
-                       check=True, capture_output=True)
-        times.append(time.time() - t0)
-    return min(times)
+    for rep in range(BASELINE_REPS):
+        for i, shift in enumerate((68, 69)):
+            pref = os.path.join(CACHE, f"refn_pref{i}")
+            aln = os.path.join(CACHE, f"refn_aln{i}")
+            asm = os.path.join(CACHE, f"refn_asm{i}")
+            _clean([pref, aln, asm])
+            t0 = time.time()
+            subprocess.run([REF_PENGUIN, "kmermatcher", base, pref,
+                            "--kmer-per-seq", "60", "-k", "22",
+                            "--kmer-per-seq-scale", "0.1", "--hash-shift",
+                            str(shift), "--ignore-multi-kmer", "1",
+                            "--include-only-extendable", "1", "--mask", "0",
+                            "--spaced-kmer-mode", "0", "--cov-mode", "0",
+                            "-c", "0", "--threads", NPROC, "-v", "0"],
+                           check=True, capture_output=True)
+            subprocess.run([REF_PENGUIN, "rescorediagonal", base, base,
+                            pref, aln, "--rescore-mode", "3",
+                            "--min-seq-id", "0.99", "-e", "1e-5", "-c", "0",
+                            "--threads", NPROC, "-v", "0"],
+                           check=True, capture_output=True)
+            subprocess.run([REF_PENGUIN, "nuclassembleresults", base, aln,
+                            asm, "--min-seq-id", "0.99", "--threads", NPROC,
+                            "-v", "0"], check=True, capture_output=True)
+            times.append(round(time.time() - t0, 4))
+    return min(times), times
 
 
 def _log(msg):
@@ -298,7 +319,7 @@ def main():
         _log(f"[bench] device iteration scale={scale} n={db.size}")
         dev_s, stages = run_device_iteration(db, name=f"protein_s{scale}")
         _log(f"[bench] reference baseline scale={scale}")
-        ref_s = run_reference_iteration(db, scale)
+        ref_s, ref_runs = run_reference_iteration(db, scale)
         sweep[scale] = {
             "n_reads": db.size,
             "iteration_s": round(dev_s, 4),
@@ -306,6 +327,7 @@ def main():
             "stages_s": stages,
             "baseline_reads_per_s": (round(db.size / ref_s, 1)
                                      if ref_s else None),
+            "baseline_runs_s": ref_runs,
             "vs_baseline": (round(ref_s / dev_s, 3) if ref_s else None),
         }
     head_scale = SCALES[-1]
@@ -321,7 +343,7 @@ def main():
             ndev_s, nstages = run_nucl_device_iteration(
                 ndb, name=f"nucl_s{nscale}")
             _log("[bench] nucleotide reference baseline")
-            nref_s = run_nucl_reference_iteration(ndb, nscale)
+            nref_s, nref_runs = run_nucl_reference_iteration(ndb, nscale)
             nucl_sweep[nscale] = {
                 "scale": nscale,
                 "n_reads": ndb.size,
@@ -330,10 +352,14 @@ def main():
                 "stages_s": nstages,
                 "baseline_reads_per_s": (round(ndb.size / nref_s, 1)
                                          if nref_s else None),
+                "baseline_runs_s": nref_runs,
                 "vs_baseline": (round(nref_s / ndev_s, 3)
                                 if nref_s else None),
             }
+        # headline = LARGEST swept scale (same convention as protein);
+        # per-scale records always live in nucl["sweep"]
         nucl = dict(nucl_sweep[NUCL_SCALES[-1]])
+        nucl["headline_scale"] = NUCL_SCALES[-1]
         if len(NUCL_SCALES) > 1:
             nucl["sweep"] = nucl_sweep
 

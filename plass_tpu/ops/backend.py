@@ -232,7 +232,12 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
                         ndev.append(n_keep)
                     stacked = jnp.stack(parts)
                     nstack = jnp.stack(ndev)
-                    hit_cap = _round_up(nr * kcap)
+                    # NOT _round_up: merge_parts_packed clamps its
+                    # internal fetch slice to min(hit_cap, nr*kcap), so
+                    # any host fetch size above nr*kcap would parse the
+                    # packed buffer with the wrong stride. nr and kcap
+                    # are already bucketed, so compile reuse is kept.
+                    hit_cap = nr * kcap
                     guess = _FETCH_GUESSES.get(is_nucl, 16384)
                     m = min(guess, hit_cap)
                     packed_dev, dev = device_kmer.merge_parts_packed(
