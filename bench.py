@@ -267,6 +267,8 @@ def run_reference_iteration(db, scale):
                             "--min-seq-id", "0.9", "--threads", NPROC,
                             "-v", "0"], check=True, capture_output=True)
             times.append(round(time.time() - t0, 4))
+    if not times:  # BENCH_BASELINE_REPS=0: device-only (profiling) run
+        return None, []
     return min(times), times
 
 
@@ -304,6 +306,8 @@ def run_nucl_reference_iteration(db, scale):
                             asm, "--min-seq-id", "0.99", "--threads", NPROC,
                             "-v", "0"], check=True, capture_output=True)
             times.append(round(time.time() - t0, 4))
+    if not times:
+        return None, []
     return min(times), times
 
 

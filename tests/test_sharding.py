@@ -192,6 +192,62 @@ def test_multiprocess_nuclassemble_byte_identical(tmp_path):
         assert got == want, f"process {pid} output differs from golden"
 
 
+@pytest.mark.slow
+def test_multiprocess_assemble_byte_identical(tmp_path):
+    """Protein twin of the nuclassemble cross-process test: 2
+    jax.distributed processes x 4 virtual CPU devices run the FULL
+    protein assemble workflow with the sharded backend; every process's
+    output FASTA must be byte-identical to the reference golden (the
+    reference's $RUNNER wraps the protein pipeline's heavy steps too,
+    data/assemble.sh:92,103)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    golden = "/tmp/golden2/assembly.fas"
+    if not os.path.exists(golden):
+        pytest.skip("protein golden not generated")
+    reads1 = "/root/reference/examples/reads_1.fastq.gz"
+    reads2 = "/root/reference/examples/reads_2.fastq.gz"
+    if not os.path.exists(reads1):
+        pytest.skip("example reads unavailable")
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ,
+                   PYTHONPATH=repo,  # no axon sitecustomize: CPU-only
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   PLASS_COORDINATOR=f"127.0.0.1:{port}",
+                   PLASS_NUM_PROCESSES="2", PLASS_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(repo, "tests", "mp_workflow_worker.py"),
+             reads1, reads2, str(tmp_path), "protein"], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=570)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    want = open(golden, "rb").read()
+    for pid in range(2):
+        got = open(str(tmp_path / f"assembly_p{pid}.fas"), "rb").read()
+        assert got == want, f"process {pid} output differs from golden"
+
+
 def test_sharded_backend_kmermatcher(merged_reads):
     """kmermatcher_sharded over the virtual mesh returns the same hit sets
     regardless of device count (pairs routed by contiguous representative
