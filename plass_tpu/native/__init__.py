@@ -13,7 +13,7 @@ _LIB = None
 
 _SOURCES = ["ssw.cpp", "extend.cpp", "nucl_extend.cpp", "banded.cpp",
             "tantan.cpp", "pssm.cpp", "ungapped.cpp", "profilestates.cpp",
-            "gather.cpp"]
+            "gather.cpp", "finish.cpp"]
 
 
 def _build(so_path):
@@ -129,4 +129,8 @@ def lib():
                                         ctypes.c_int64, u8p]
         _LIB.pad_records.argtypes = [u8p, i64p, i32p, ctypes.c_int64, u8p,
                                      u8p, ctypes.c_int64]
+        _LIB.rescore_finish.argtypes = [
+            ctypes.c_int64, i64p, i32p, i32p, i32p, i32p, u8p, i64p, i32p,
+            i32p, i32p, i64p, f64p, f64p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, u8p, u8p]
         return _LIB

@@ -7,6 +7,7 @@ copies of the padded DB per SeqDB, (b) uploads per-call operands as ONE
 stacked array, and (c) fetches per-call results as ONE stacked array at a
 bucketed static size (exact-size slices would recompile the fetch)."""
 import functools
+import os
 import time
 
 import jax
@@ -180,7 +181,12 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
             budget = min(limit // ENTRY_BYTES, 2 * 1024 * 1024)
             table = device_kmer.select_table_h16(jc, jl, jk, hash_shift,
                                                  params)
-            sorted6, bounds_d = device_kmer.sort_table_by_range(*table)
+            # 5-operand packed range sort needs slen < 2^18 (reference
+            # max-seq-len cap is 200000); wide 7-operand fallback beyond
+            sort_fn = (device_kmer.sort_table_by_range
+                       if int(db.seq_lens().max(initial=0)) < (1 << 18)
+                       else device_kmer.sort_table_by_range_wide)
+            sorted6, bounds_d = sort_fn(*table)
             bounds = _fetch(bounds_d, "kmermatch")
             hist = np.diff(bounds)  # per-h16-bin valid-entry counts
             if int(hist.sum()) > budget:
@@ -917,8 +923,23 @@ def _rescore_finish(db, params, evaluer, qk, tk, pref, dg, m, lengths,
                     qrow, trow, qrev, score, first, last, ov, dist, idents,
                     return_flat):
     """Host post-processing shared by the fused and bucketed device paths:
-    E-values, coordinates, coverage/seqId filters, record assembly."""
+    E-values, coordinates, coverage/seqId filters, record assembly.
+
+    Default engine is the OpenMP kernel (native/finish.cpp, one parallel
+    pass); PLASS_NATIVE_FINISH=0 selects this numpy reference path (~40
+    single-threaded full-array passes, ~0.4 s at bench scale 64)."""
     from .rescore import RESULT_DTYPE
+
+    if os.environ.get("PLASS_NATIVE_FINISH", "1") == "1":
+        try:
+            rec, keep = _rescore_finish_native(
+                params, evaluer, tk, dg, m, lengths, qrow, trow, qrev,
+                score, first, last, ov, dist, idents)
+            return _rescore_group(db, qk, m, rec, keep, return_flat)
+        except Exception as e:  # pragma: no cover - fallback safety
+            import warnings
+            warnings.warn(f"native rescore_finish failed ({e}); "
+                          "numpy fallback")
 
     qlen = lengths[qrow].astype(np.int64)
     tlen = lengths[trow].astype(np.int64)
@@ -983,6 +1004,61 @@ def _rescore_finish(db, params, evaluer, qk, tk, pref, dg, m, lengths,
     rec["dbStartPos"] = ts
     rec["dbEndPos"] = te
     rec["dbLen"] = tlen
+    return _rescore_group(db, qk, m, rec, keep, return_flat)
+
+
+def _rescore_finish_native(params, evaluer, tk, dg, m, lengths, qrow, trow,
+                           qrev, score, first, last, ov, dist, idents):
+    """One OpenMP pass over all hit rows (native/finish.cpp): E-values,
+    coordinates, filters and packed RESULT_DTYPE records. Bit-compatible
+    with the numpy path except possibly the last ulp of the eval field
+    (libm vs cephes erfc/exp), which no downstream consumer reads."""
+    import ctypes
+    from .. import native
+    from .rescore import RESULT_DTYPE
+
+    L = native.lib()
+    e = evaluer
+    dparams = np.array([
+        e.lam, e.K, e.log_K, e.a_I, e.b_I, e.a_J, e.b_J,
+        e.alpha_I, e.beta_I, e.alpha_J, e.beta_J, e.sigma, e.tau,
+        e.vi_y_thr, e.vj_y_thr, e.c_y_thr, e.db_res_count,
+        params.eval_thr, params.seq_id_thr, params.cov_thr],
+        dtype=np.float64)
+    rec = np.zeros(m, dtype=RESULT_DTYPE)
+    keep = np.zeros(m, dtype=np.uint8)
+
+    def p(a, ct):
+        a = np.ascontiguousarray(a)
+        return a, a.ctypes.data_as(ctypes.POINTER(ct))
+
+    tk_a, tk_p = p(tk.astype(np.int64), ctypes.c_int64)
+    dg_a, dg_p = p(dg.astype(np.int32), ctypes.c_int32)
+    qr_a, qr_p = p(qrow.astype(np.int32), ctypes.c_int32)
+    tr_a, tr_p = p(trow.astype(np.int32), ctypes.c_int32)
+    ln_a, ln_p = p(lengths.astype(np.int32), ctypes.c_int32)
+    rv_a, rv_p = p(qrev.astype(np.uint8), ctypes.c_uint8)
+    sc_a, sc_p = p(score.astype(np.int64), ctypes.c_int64)
+    f_a, f_p = p(first.astype(np.int32), ctypes.c_int32)
+    l_a, l_p = p(last.astype(np.int32), ctypes.c_int32)
+    ov_a, ov_p = p(ov.astype(np.int32), ctypes.c_int32)
+    di_a, di_p = p(dist.astype(np.int64), ctypes.c_int64)
+    id_a, id_p = p(idents.astype(np.float64), ctypes.c_double)
+    L.rescore_finish(
+        m, tk_p, dg_p, qr_p, tr_p, ln_p, rv_p, sc_p, f_p, l_p, ov_p,
+        di_p, id_p,
+        dparams.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        np.int32(params.seq_id_mode), np.int32(params.cov_mode),
+        np.int64(params.aln_len_thr),
+        rec.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return rec, keep.astype(bool)
+
+
+def _rescore_group(db, qk, m, rec, keep, return_flat):
+    """Grouping tail shared by the native and numpy finish paths."""
+    from .rescore import RESULT_DTYPE
+
     if return_flat:
         return {"qk": qk[keep], "rec": rec[keep]}
     # group per query preserving input order

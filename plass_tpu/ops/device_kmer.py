@@ -557,14 +557,59 @@ def select_table_h16(seqs, lengths, keys, hash_shift, params):
 @functools.partial(jax.jit,)
 def sort_table_by_range(kmer, sid, pos, slen, valid, h16):
     """ONE-key sort of the resident table by 16-bit range key (invalid
-    entries sink past 0xFFFF), payloads riding along — the split path's
-    ranges then become dynamic SLICES of the sorted table: no index
-    uploads, no full-table fetches, no multi-key sort at table size
-    (1-key comparators compile fine at 24M entries; the 5-key ones are
-    minutes-pathological past ~2M).  Also returns the per-bin boundary
-    array (searchsorted over all 65536 bins, 256 KB) — the device
-    equivalent of the reference's exact histogram
-    (kmermatcher.cpp:617-620)."""
+    entries sink to the sentinel), payloads riding along — the split
+    path's ranges then become dynamic SLICES of the sorted table: no
+    index uploads, no full-table fetches, no multi-key sort at table
+    size (1-key comparators compile fine at 24M entries; the 5-key ones
+    are minutes-pathological past ~2M).  Also returns the per-bin
+    boundary array (searchsorted over all 65536 bins, 256 KB) — the
+    device equivalent of the reference's exact histogram
+    (kmermatcher.cpp:617-620).
+
+    FIVE operands instead of seven: XLA's TPU sort is a compare-exchange
+    network whose HBM traffic scales with operand count (the 24M-entry
+    run was 202 ms / 31% of the scale-64 iteration's device time in the
+    r05 trace), so slen's low 15 bits ride INSIDE the u32 sort key
+    (intra-bin order is irrelevant — every range is re-sorted by the
+    total-order 5-key pair sort) and (pos, slen>>15, valid) pack into
+    one word.  Requires slen < 2^18 (callers guard; the reference caps
+    --max-seq-len at 200000 on the nucl path, Nuclassembler.cpp:10-32)."""
+    key = jnp.where(
+        valid,
+        (h16.astype(jnp.uint32) << jnp.uint32(16))
+        | (slen.astype(jnp.uint32) & jnp.uint32(0x7FFF)),
+        jnp.uint32(0xFFFFFFFF))
+    mk_hi = (kmer >> jnp.uint64(32)).astype(jnp.uint32)
+    mk_lo = kmer.astype(jnp.uint32)
+    posw = ((pos.astype(jnp.uint32) << jnp.uint32(4))
+            | ((slen.astype(jnp.uint32) >> jnp.uint32(15))
+               << jnp.uint32(1))
+            | valid.astype(jnp.uint32))
+    skey, s_hi, s_lo, s_sid, s_pw = jax.lax.sort(
+        (key, mk_hi, mk_lo, sid, posw), dimension=0, num_keys=1)
+    skmer = (s_hi.astype(jnp.uint64) << jnp.uint64(32)) | \
+        s_lo.astype(jnp.uint64)
+    s_valid = (s_pw & jnp.uint32(1)).astype(bool)
+    s_pos = (s_pw >> jnp.uint32(4)).astype(jnp.int32)
+    s_slen = ((skey & jnp.uint32(0x7FFF))
+              | ((s_pw >> jnp.uint32(1)) & jnp.uint32(7))
+              << jnp.uint32(15)).astype(jnp.int32)
+    s_slen = jnp.where(s_valid, s_slen, 0)
+    # bin boundaries: valid keys for bin h live in [h<<16, h<<16|0x7FFF],
+    # so the h-th boundary is searchsorted(h<<16) and the final boundary
+    # (total valid count) is searchsorted(0xFFFF8000)
+    marks = jnp.concatenate([
+        jnp.arange(0x10000, dtype=jnp.uint32) << jnp.uint32(16),
+        jnp.array([0xFFFF8000], dtype=jnp.uint32)])
+    bounds = jnp.searchsorted(skey, marks)
+    return (skmer, s_sid, s_pos, s_slen, s_valid), bounds
+
+
+@functools.partial(jax.jit,)
+def sort_table_by_range_wide(kmer, sid, pos, slen, valid, h16):
+    """sort_table_by_range without the packed-word bound: seven operands,
+    any slen — the fallback for DBs holding sequences >= 2^18 residues
+    (backend.py guards on the max length)."""
     key = jnp.where(valid, h16, jnp.int32(0x10000))
     mk_hi = (kmer >> jnp.uint64(32)).astype(jnp.uint32)
     mk_lo = kmer.astype(jnp.uint32)

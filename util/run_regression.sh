@@ -96,4 +96,27 @@ echo "== residue-weighted sensitivity/precision gate (10-point curves)"
 python3 "$REPO/util/sens_precision.py" "$TMP/sensprec" \
     || fail "sensitivity/precision curve below the frozen baseline"
 
+# Published regression dataset (the reference's primary CI oracle,
+# run_regression.sh:8-10 + azure-pipelines.yml:75-86): gate against the
+# published Prochlorococcus thresholds when the tarball's contents are
+# available.  The URL is NOT reachable from the build environment (zero
+# egress; attempted 2026-08-21: `curl -sSI http://wwwuser.gwdg.de/
+# ~compbiol/plass/plass_regression_data.tar.gz` -> "curl: (6) Could not
+# resolve host") — stage the extracted tarball at PLASS_REGRESSION_DATA
+# on a network-connected runner, or let this block fetch it when egress
+# exists.
+REGDATA="${PLASS_REGRESSION_DATA:-$TMP/regdata}"
+if [ ! -f "$REGDATA/allgenomes_reads_sample_1.fastq" ]; then
+    mkdir -p "$REGDATA"
+    wget -T 20 -qO- "http://wwwuser.gwdg.de/~compbiol/plass/plass_regression_data.tar.gz" \
+        | tar -xzC "$REGDATA" 2>/dev/null \
+        || echo "== published regression data unreachable (zero-egress environment); skipping published gate"
+fi
+if [ -f "$REGDATA/allgenomes_reads_sample_1.fastq" ]; then
+    echo "== PUBLISHED Prochlorococcus regression gate"
+    python3 "$REPO/util/sens_precision.py" --published "$REGDATA" \
+        "$TMP/published" \
+        || fail "published sens/precision curve below run_regression.sh:78"
+fi
+
 echo "REGRESSION PASS"

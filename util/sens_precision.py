@@ -142,17 +142,27 @@ def curve(qdb, alns, thresholds, lencut):
     return points
 
 
-def assembly_curves(workdir, out_fa, tag):
+def assembly_curves(workdir, out_fa, tag, reference_fa=None,
+                    reference_nr_fa=None):
     """Curves for one assembly FASTA via this repo's search machinery —
     the shared comparator, so reference and repo assemblies are measured
-    identically."""
+    identically.
+
+    reference_fa / reference_nr_fa: the proteome FASTAs for precision
+    (assembly -> REFERENCE) and sensitivity (REFERENCENR -> assembly),
+    exactly the reference's evaluate() split (run_regression.sh:33-59).
+    Defaults to the synthetic community's single proteome for both."""
     from plass_tpu.data import seqdb
     from plass_tpu.data.createdb import create_db
     from plass_tpu.workflow.search import SearchParams, run_search
     from plass_tpu.cli.tools import load_alignments
 
+    if reference_fa is None:
+        reference_fa = os.path.join(workdir, "proteome.fasta")
+    if reference_nr_fa is None:
+        reference_nr_fa = reference_fa
     asm, _asm_h = create_db([out_fa])
-    pro, _pro_h = create_db([os.path.join(workdir, "proteome.fasta")])
+    pro, _pro_h = create_db([reference_fa])
     # length cutoff (evaluate(), run_regression.sh:40-42): index len > 100
     keep = [int(k) for i, k in enumerate(asm.keys)
             if int(asm.lengths[i]) > LENCUT]
@@ -167,15 +177,81 @@ def assembly_curves(workdir, out_fa, tag):
     prec = curve(asm100, load_alignments(prec_out), THRESHOLDS, LENCUT)
 
     # sensitivity: proteome(nr) -> assembly (run_regression.sh:52)
+    pro_nr = pro if reference_nr_fa == reference_fa \
+        else create_db([reference_nr_fa])[0]
     sens_out = os.path.join(workdir, f"ref_vs_asm_{tag}")
-    run_search(pro, asm100, sens_out, os.path.join(workdir, f"s2tmp_{tag}"),
+    run_search(pro_nr, asm100, sens_out,
+               os.path.join(workdir, f"s2tmp_{tag}"),
                SearchParams(max_seqs=500000, add_backtrace=True,
                             seq_id_thr=0.89))
-    sens = curve(pro, load_alignments(sens_out), THRESHOLDS, LENCUT)
+    sens = curve(pro_nr, load_alignments(sens_out), THRESHOLDS, LENCUT)
     return sens, prec
 
 
+# Published CI thresholds for the Prochlorococcus regression dataset
+# (util/run_regression.sh:78 in the reference; BASELINE.md), gated at
+# value - 0.005 exactly like the reference's check().
+PUBLISHED_SENS = [0.495, 0.474, 0.451, 0.422, 0.389, 0.343, 0.295, 0.245,
+                  0.196, 0.133]
+PUBLISHED_PREC = [0.980, 0.980, 0.979, 0.979, 0.977, 0.974, 0.965, 0.940,
+                  0.864, 0.649]
+
+
+def published_main(datadir, workdir):
+    """Gate against the PUBLISHED regression dataset
+    (plass_regression_data.tar.gz extracted into `datadir`): default
+    `plass assemble` on allgenomes_reads_sample_{1,2}.fastq, curves vs
+    prochloroccus_allproteins(.nr), thresholds from run_regression.sh:78.
+
+    The tarball URL (http://wwwuser.gwdg.de/~compbiol/plass/
+    plass_regression_data.tar.gz) is unreachable from this build
+    environment (zero egress — DNS does not resolve; attempted
+    2026-08-21, `curl: (6) Could not resolve host`), so this mode only
+    runs where the data was staged, e.g. on a network-connected nightly
+    runner via util/run_regression.sh's PLASS_REGRESSION_DATA hook."""
+    os.makedirs(workdir, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    reads1 = os.path.join(datadir, "allgenomes_reads_sample_1.fastq")
+    reads2 = os.path.join(datadir, "allgenomes_reads_sample_2.fastq")
+    ref_fa = os.path.join(datadir, "prochloroccus_allproteins.fasta")
+    refnr_fa = os.path.join(datadir, "prochloroccus_allproteins_nr.fasta")
+    for p in (reads1, reads2, ref_fa, refnr_fa):
+        if not os.path.exists(p):
+            print(f"published dataset incomplete: missing {p}",
+                  file=sys.stderr)
+            return 2
+    out_fa = os.path.join(workdir, "final.contigs.aa.fa")
+    if os.path.exists(out_fa):
+        os.unlink(out_fa)
+    env = dict(os.environ, PYTHONPATH=repo)
+    # default parameters — the published numbers came from plain
+    # `plass assemble R1 R2 out tmp` (run_regression.sh:10)
+    subprocess.run(
+        [sys.executable, "-m", "plass_tpu.cli.plass", "assemble",
+         reads1, reads2, out_fa, os.path.join(workdir, "tmp")],
+        check=True, cwd=repo, env=env)
+    sens, prec = assembly_curves(workdir, out_fa, "published",
+                                 reference_fa=ref_fa,
+                                 reference_nr_fa=refnr_fa)
+    ok = True
+    print("metric thr total aligned fraction published")
+    for name, pts, exp in (("sens", sens, PUBLISHED_SENS),
+                           ("prec", prec, PUBLISHED_PREC)):
+        for thr, (tot, aln, frac), e in zip(THRESHOLDS, pts, exp):
+            good = frac >= e - 0.005
+            ok &= good
+            print(f"{name} {thr:.2f} {tot} {aln:.0f} {frac:.3f} {e:.3f} "
+                  f"{'ok' if good else 'FAIL'}")
+    print("published regression gate " + ("passed" if ok else "FAILED"))
+    return 0 if ok else 1
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--published":
+        datadir = sys.argv[2]
+        workdir = sys.argv[3] if len(sys.argv) > 3 \
+            else "/tmp/plass_published_regression"
+        return published_main(datadir, workdir)
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/plass_sensprec"
     os.makedirs(workdir, exist_ok=True)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
