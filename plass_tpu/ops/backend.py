@@ -146,6 +146,9 @@ def kmermatcher_jax(db, k, kmers_per_sequence=21, kmers_per_sequence_scale=None,
         include_only_extendable=include_only_extendable,
         cov_thr=cov_thr,
         ksel=ksel_capacity(kmers_per_sequence, kmers_per_sequence_scale, lmax),
+        # padded width bounds every length and is geometrically bucketed,
+        # so the flag is compile-stable per workload family
+        narrow_rows=lmax < ((1 << 15) if is_nucl else (1 << 16)),
     )
     from .kmermatch import (ENTRY_BYTES, compute_hash_splits,
                             emit_hits, parse_memory_limit)
@@ -429,6 +432,9 @@ def kmermatcher_sharded(db, k, kmers_per_sequence=21,
         include_only_extendable=include_only_extendable,
         cov_thr=cov_thr,
         ksel=ksel_capacity(kmers_per_sequence, kmers_per_sequence_scale, lmax),
+        # padded width bounds every length and is geometrically bucketed,
+        # so the flag is compile-stable per workload family
+        narrow_rows=lmax < ((1 << 15) if is_nucl else (1 << 16)),
     )
     sub_flat, comp, code2char, alpha = _score_tables(db)
     mesh = make_mesh(n_devices)

@@ -37,6 +37,11 @@ class KmerParams:
     include_only_extendable: bool = True
     cov_thr: float = 0.0
     ksel: int = 64  # static per-row selection capacity
+    # every sequence length fits the packed rep-carry word (protein
+    # < 2^16, nucleotide < 2^15 — the fwd bit rides along): the
+    # representative first-carry scan then runs with 3 operands instead
+    # of 4 (callers set this from the DB's max length)
+    narrow_rows: bool = False
 
     @classmethod
     def protein_default(cls, **kw):
@@ -259,19 +264,27 @@ def pairs_from_table(kmer, sid, pos, slen, valid, params: KmerParams):
 
     Returns (rep u32, tgt u32, diag i32, rev bool, keep bool) unsorted by
     pair key — feed to sort_pairs/best_diagonal_hits.
+
+    kmer: u64[T], or an (hi u32[T], lo u32[T]) tuple — the split path
+    passes the halves directly so no 64-bit emulation pass re-extracts
+    them from the full-size table inside every per-range program.
     """
-    masked = (kmer | jnp.uint64(BIT63)) if params.is_nucl else kmer
-    masked = jnp.where(valid, masked, jnp.full_like(masked, U64MAX))
+    if isinstance(kmer, tuple):
+        k_hi, k_lo = kmer
+    else:
+        k_hi = (kmer >> jnp.uint64(32)).astype(jnp.uint32)
+        k_lo = kmer.astype(jnp.uint32)
+    m_hi = (k_hi | jnp.uint32(0x80000000)) if params.is_nucl else k_hi
+    m_hi = jnp.where(valid, m_hi, jnp.uint32(0xFFFFFFFF))
+    m_lo = jnp.where(valid, k_lo, jnp.uint32(0xFFFFFFFF))
 
     # sort by (kmer, len desc, id, pos); invalid entries sink to the end.
     # u64 keys are split into native u32 hi/lo pairs — TPU emulates 64-bit
     # comparators, and the sort comparator cost dominates compile + run
     # time, so the trailing key and payloads (pos <= 2^29, fwd, valid) ride
     # in ONE u32: 5 operands instead of 7
-    m_hi = (masked >> jnp.uint64(32)).astype(jnp.uint32)
-    m_lo = masked.astype(jnp.uint32)
     neg_len_u = ~slen.astype(jnp.uint32)  # len desc == ~len asc
-    fwd_bit = ((kmer >> jnp.uint64(63)) & jnp.uint64(1)).astype(jnp.uint32)
+    fwd_bit = (k_hi >> jnp.uint32(31)) & jnp.uint32(1)
     packed = ((pos.astype(jnp.uint32) << jnp.uint32(2))
               | (fwd_bit << jnp.uint32(1)) | valid.astype(jnp.uint32))
     mh_s, ml_s, nl_s, sid_s, pk_s = jax.lax.sort(
@@ -289,15 +302,40 @@ def pairs_from_table(kmer, sid, pos, slen, valid, params: KmerParams):
     # representative = first entry of each group; broadcast its (id, packed
     # pos/fwd, neg-len) down the group with ONE segmented first-carry scan
     # instead of a position scan plus three 1.5M-element random gathers
-    def _first_op(a, b):
-        af, a1, a2, a3 = a
-        bf, b1, b2, b3 = b
-        return (af | bf, jnp.where(bf, b1, a1), jnp.where(bf, b2, a2),
-                jnp.where(bf, b3, a3))
-    _, rep_id, rep_pk, rep_nl = jax.lax.associative_scan(
-        _first_op, (new_group, sid_s, pk_s, nl_s))
-    rep_pos = (rep_pk >> jnp.uint32(2)).astype(jnp.int32)
-    rep_len = (~rep_nl).astype(jnp.int32)
+    if params.narrow_rows:
+        # (pos, fwd, len) fit one carry word -> 3-operand scan
+        rep_w = ((pk_s >> jnp.uint32(2)) << jnp.uint32(16)) \
+            | (fwd_s.astype(jnp.uint32) << jnp.uint32(15)) \
+            | (slen_s.astype(jnp.uint32)
+               & jnp.uint32(0x7FFF if params.is_nucl else 0xFFFF))
+        if not params.is_nucl:
+            rep_w = ((pk_s >> jnp.uint32(2)) << jnp.uint32(16)) \
+                | (slen_s.astype(jnp.uint32) & jnp.uint32(0xFFFF))
+
+        def _first_op3(a, b):
+            af, a1, a2 = a
+            bf, b1, b2 = b
+            return (af | bf, jnp.where(bf, b1, a1), jnp.where(bf, b2, a2))
+        _, rep_id, rep_wc = jax.lax.associative_scan(
+            _first_op3, (new_group, sid_s, rep_w))
+        rep_pos = (rep_wc >> jnp.uint32(16)).astype(jnp.int32)
+        if params.is_nucl:
+            rep_len = (rep_wc & jnp.uint32(0x7FFF)).astype(jnp.int32)
+            rep_fwd_bit = (rep_wc >> jnp.uint32(15)) & jnp.uint32(1)
+        else:
+            rep_len = (rep_wc & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            rep_fwd_bit = jnp.zeros_like(rep_wc)
+    else:
+        def _first_op(a, b):
+            af, a1, a2, a3 = a
+            bf, b1, b2, b3 = b
+            return (af | bf, jnp.where(bf, b1, a1), jnp.where(bf, b2, a2),
+                    jnp.where(bf, b3, a3))
+        _, rep_id, rep_pk, rep_nl = jax.lax.associative_scan(
+            _first_op, (new_group, sid_s, pk_s, nl_s))
+        rep_pos = (rep_pk >> jnp.uint32(2)).astype(jnp.int32)
+        rep_len = (~rep_nl).astype(jnp.int32)
+        rep_fwd_bit = (rep_pk >> jnp.uint32(1)) & jnp.uint32(1)
 
     # singleton groups are dropped (kmermatcher.cpp:476-478): an entry stays
     # iff it doesn't start a group or the next entry doesn't either
@@ -306,7 +344,7 @@ def pairs_from_table(kmer, sid, pos, slen, valid, params: KmerParams):
     non_singleton = same_prev | same_next
 
     if params.is_nucl:
-        rep_fwd = ((rep_pk >> jnp.uint32(1)) & jnp.uint32(1)) != 0
+        rep_fwd = rep_fwd_bit != 0
         tgt_fwd = fwd_s != 0
         rev = rep_fwd != tgt_fwd
         q_pos = jnp.where(tgt_fwd, rep_pos, rep_len - 1 - rep_pos)
@@ -587,8 +625,6 @@ def sort_table_by_range(kmer, sid, pos, slen, valid, h16):
             | valid.astype(jnp.uint32))
     skey, s_hi, s_lo, s_sid, s_pw = jax.lax.sort(
         (key, mk_hi, mk_lo, sid, posw), dimension=0, num_keys=1)
-    skmer = (s_hi.astype(jnp.uint64) << jnp.uint64(32)) | \
-        s_lo.astype(jnp.uint64)
     s_valid = (s_pw & jnp.uint32(1)).astype(bool)
     s_pos = (s_pw >> jnp.uint32(4)).astype(jnp.int32)
     s_slen = ((skey & jnp.uint32(0x7FFF))
@@ -602,7 +638,10 @@ def sort_table_by_range(kmer, sid, pos, slen, valid, h16):
         jnp.arange(0x10000, dtype=jnp.uint32) << jnp.uint32(16),
         jnp.array([0xFFFF8000], dtype=jnp.uint32)])
     bounds = jnp.searchsorted(skey, marks)
-    return (skmer, s_sid, s_pos, s_slen, s_valid), bounds
+    # hi/lo stay SPLIT across the interface: per-range programs would
+    # otherwise re-run the u64 emulation extract over the full-size table
+    # (2 x 24M-element custom-calls per range in the r05 trace)
+    return (s_hi, s_lo, s_sid, s_pos, s_slen, s_valid), bounds
 
 
 @functools.partial(jax.jit,)
@@ -617,14 +656,13 @@ def sort_table_by_range_wide(kmer, sid, pos, slen, valid, h16):
         (key, mk_hi, mk_lo, sid, pos, slen.astype(jnp.int32),
          valid.astype(jnp.int32)), dimension=0, num_keys=1)
     skey, s_hi, s_lo, s_sid, s_pos, s_slen, s_valid = s
-    skmer = (s_hi.astype(jnp.uint64) << jnp.uint64(32)) | \
-        s_lo.astype(jnp.uint64)
     bounds = jnp.searchsorted(skey, jnp.arange(0x10001, dtype=jnp.int32))
-    return (skmer, s_sid, s_pos, s_slen, s_valid.astype(bool)), bounds
+    return (s_hi, s_lo, s_sid, s_pos, s_slen,
+            s_valid.astype(bool)), bounds
 
 
 @functools.partial(jax.jit, static_argnames=("params", "cap", "kcap"))
-def pairs_slice_compact(skmer, s_sid, s_pos, s_slen, s_valid, start,
+def pairs_slice_compact(s_hi, s_lo, s_sid, s_pos, s_slen, s_valid, start,
                         lo_off, n_take, params, cap, kcap):
     """Pair emission for ONE hash range of the sorted resident table:
     dynamic slice [start, start+cap), pair emission, keep-compaction to
@@ -639,15 +677,16 @@ def pairs_slice_compact(skmer, s_sid, s_pos, s_slen, s_valid, start,
     idx0 = jnp.arange(cap, dtype=jnp.int32)
     ok = (idx0 >= lo_off) & (idx0 < lo_off + n_take) & sl(s_valid)
     rep, tgt, diag, rev, keep = pairs_from_table(
-        sl(skmer), sl(s_sid), sl(s_pos), sl(s_slen), ok, params)
+        (sl(s_hi), sl(s_lo)), sl(s_sid), sl(s_pos), sl(s_slen), ok, params)
     idx = jnp.arange(cap, dtype=jnp.int32)
     order = jnp.where(keep, idx, jnp.int32(2**31 - 1))
-    _, cr, ct, cd, cv = jax.lax.sort(
-        (order, rep, tgt, diag, rev.astype(jnp.int32)),
-        dimension=0, num_keys=1)
+    # diag and rev ride as ONE word (diag<<1|rev): 4 sort operands, and
+    # the merge consumes the packed form directly
+    dr = (diag << 1) | rev.astype(jnp.int32)
+    _, cr, ct, cdr = jax.lax.sort(
+        (order, rep, tgt, dr), dimension=0, num_keys=1)
     packed = jnp.stack([cr[:kcap].astype(jnp.int32),
-                        ct[:kcap].astype(jnp.int32),
-                        cd[:kcap], cv[:kcap]])
+                        ct[:kcap].astype(jnp.int32), cdr[:kcap]])
     return packed, keep.sum().astype(jnp.int32)
 
 
@@ -661,12 +700,15 @@ def merge_parts_packed(parts, counts, hit_capacity, fetch_m):
     counts ride ALONG with the merged result, so the host validates the
     per-range kcap in the same blocking fetch that returns the hits —
     one device round trip per iteration instead of two (each fetch on a
-    tunneled backend blocks on dispatch + compute + RTT)."""
+    tunneled backend blocks on dispatch + compute + RTT).
+
+    parts: i32[R, 3, kcap] (rep, tgt, diag<<1|rev) per range."""
     r, _, kcap = parts.shape
     rep = parts[:, 0, :].reshape(-1).astype(jnp.uint32)
     tgt = parts[:, 1, :].reshape(-1).astype(jnp.uint32)
-    diag = parts[:, 2, :].reshape(-1)
-    rev = parts[:, 3, :].reshape(-1).astype(bool)
+    dr = parts[:, 2, :].reshape(-1)
+    diag = jnp.right_shift(dr, 1)  # arithmetic shift keeps the sign
+    rev = (dr & 1).astype(bool)
     valid = (jax.lax.broadcasted_iota(jnp.int32, (r, kcap), 1)
              < counts[:, None]).reshape(-1)
     pairs = sort_pairs(rep, tgt, diag, rev, valid)
