@@ -118,6 +118,146 @@ def build_nucl_workload(scale):
     return _replicate(reads, scale, letters, seqdb.NUCLEOTIDES, path)
 
 
+def build_guided_workload(scale):
+    """Paired nucleotide+aa ORF DBs for the guided iteration (cached):
+    the guided workflow's exact ORF stage (START + LONG concat, aa via
+    translatenucs --add-orf-stop, GuidedNuclassembler.cpp:132-145) over
+    the scaled merged-read set."""
+    from plass_tpu.data import seqdb
+    from plass_tpu.ops import orf as orf_mod
+    from plass_tpu.ops import translate as tr
+
+    os.makedirs(CACHE, exist_ok=True)
+    pn = os.path.join(CACHE, f"guided_nucl_{scale}")
+    pa = os.path.join(CACHE, f"guided_aa_{scale}")
+    if os.path.exists(pn + ".dbtype") and os.path.exists(pa + ".dbtype"):
+        return seqdb.SeqDB.open(pn), seqdb.SeqDB.open(pa)
+    reads = build_nucl_workload(scale)
+    stops = tr.stop_codons(1)
+    starts = tr.start_codons(1, False)
+    start_db, start_h = orf_mod.extract_orfs(
+        reads, min_length=20, max_length=45, max_gaps=0,
+        start_mode=orf_mod.START_TO_STOP, contig_start_mode=1,
+        contig_end_mode=0, stop_codons=stops, start_codons=starts)
+    long_db, long_h = orf_mod.extract_orfs(
+        reads, min_length=45, max_length=32734, max_gaps=0,
+        start_mode=orf_mod.START_TO_STOP, contig_start_mode=2,
+        contig_end_mode=2, stop_codons=stops, start_codons=starts)
+    nucl = seqdb.concat(long_db, start_db)
+    hdr = seqdb.concat(long_h, start_h)
+    aa = tr.translate_nucs(nucl, hdr, 1, add_orf_stop=True)
+    nucl.save(pn)
+    aa.save(pa)
+    return nucl, aa
+
+
+def run_guided_device_iteration(nucl, aa, name="guided"):
+    """One guided aa iteration: aa kmermatch -> backtrace END_TO_END
+    rescore -> proteinaln2nucl -> lockstep guided extend
+    (guidedNuclAssemble.sh:81-129; defaults GuidedNuclassembler.cpp:12-15,
+    aa seqId 0.97 / nucl 0.99, k 14, gapOpen 5 / gapExtend 2)."""
+    from plass_tpu.ops import backend
+    from plass_tpu.ops.backend import kmermatcher_jax, rescore_diagonal_jax
+    from plass_tpu.ops.evalue import EvalueComputer
+    from plass_tpu.ops.proteinaln2nucl import protein_aln_to_nucl
+    from plass_tpu.ops.rescore import RescoreParams
+    from plass_tpu.assembler.guided_extend import guided_assemble
+
+    ev = EvalueComputer.for_matrix("blosum62_ungapped",
+                                   aa.total_residues())
+    rp = RescoreParams(rescore_mode=3, seq_id_thr=0.97, cov_thr=0.0,
+                       cov_mode=1, eval_thr=1e-5, add_backtrace=True)
+
+    def one(shift, stages=None):
+        dt = backend.DEVICE_TIME
+        d0 = dict(dt)
+        t0 = time.time()
+        hits = kmermatcher_jax(aa, 14, kmers_per_sequence=60,
+                               kmers_per_sequence_scale=0.1,
+                               hash_shift=shift, ignore_multi_kmer=True,
+                               include_only_extendable=True,
+                               return_arrays=True)
+        t1 = time.time()
+        alns = rescore_diagonal_jax(aa, hits, rp, ev, return_flat=True)
+        t2 = time.time()
+        nucl_alns = protein_aln_to_nucl(nucl, aa, alns, 5, 2)
+        t3 = time.time()
+        n2, a2, _ = guided_assemble(nucl, aa, nucl_alns, seq_id_thr=0.99,
+                                    max_seq_len=200000)
+        t4 = time.time()
+        if stages is not None:
+            stages["kmermatch"] += t1 - t0
+            stages["rescore"] += t2 - t1
+            stages["aln2nucl"] += t3 - t2
+            stages["extend"] += t4 - t3
+            for k in ("kmermatch", "rescore"):
+                stages[k + "_device"] += dt.get(k, 0.0) - d0.get(k, 0.0)
+        return n2
+
+    one(66)
+    one(67)
+    if PROFILE_DIR:
+        with _maybe_trace(name):
+            one(65)
+    stages = {"kmermatch": 0.0, "rescore": 0.0, "aln2nucl": 0.0,
+              "extend": 0.0, "kmermatch_device": 0.0, "rescore_device": 0.0}
+    t0 = time.time()
+    for i in range(ITERS):
+        one(68 + i, stages)
+    total = (time.time() - t0) / ITERS
+    return total, {k: round(v / ITERS, 4) for k, v in stages.items()}
+
+
+def run_guided_reference_iteration(nucl, aa, scale):
+    """Reference penguin guided aa iteration on the same DBs, pinned
+    threads, best-of protocol.  Flags mirror GuidedNuclassembler.cpp's
+    serialized parameter strings (:147-166)."""
+    if not os.path.exists(REF_PENGUIN):
+        return None, []
+    bn = os.path.join(CACHE, f"refg_nucl_{scale}")
+    ba = os.path.join(CACHE, f"refg_aa_{scale}")
+    if not os.path.exists(bn + ".dbtype"):
+        nucl.save(bn)
+    if not os.path.exists(ba + ".dbtype"):
+        aa.save(ba)
+    times = []
+    for rep in range(BASELINE_REPS):
+        for i, shift in enumerate((68, 69)):
+            pref = os.path.join(CACHE, f"refg_pref{i}")
+            aln = os.path.join(CACHE, f"refg_aln{i}")
+            alnn = os.path.join(CACHE, f"refg_alnn{i}")
+            asmn = os.path.join(CACHE, f"refg_asmn{i}")
+            asma = os.path.join(CACHE, f"refg_asma{i}")
+            _clean([pref, aln, alnn, asmn, asma])
+            t0 = time.time()
+            subprocess.run([REF_PENGUIN, "kmermatcher", ba, pref,
+                            "--kmer-per-seq", "60", "-k", "14",
+                            "--alph-size", "13", "--kmer-per-seq-scale",
+                            "0.1", "--hash-shift", str(shift),
+                            "--ignore-multi-kmer", "1",
+                            "--include-only-extendable", "1", "--mask", "0",
+                            "--spaced-kmer-mode", "0", "--cov-mode", "1",
+                            "-c", "0", "--threads", NPROC, "-v", "0"],
+                           check=True, capture_output=True)
+            subprocess.run([REF_PENGUIN, "rescorediagonal", ba, ba, pref,
+                            aln, "--rescore-mode", "3", "--min-seq-id",
+                            "0.97", "-e", "1e-5", "-c", "0", "--cov-mode",
+                            "1", "-a", "--threads", NPROC, "-v", "0"],
+                           check=True, capture_output=True)
+            subprocess.run([REF_PENGUIN, "proteinaln2nucl", bn, bn, ba, ba,
+                            aln, alnn, "--gap-open", "5", "--gap-extend",
+                            "2", "--threads", NPROC, "-v", "0"],
+                           check=True, capture_output=True)
+            subprocess.run([REF_PENGUIN, "guidedassembleresults", bn, ba,
+                            alnn, asmn, asma, "--min-seq-id", "0.99",
+                            "--max-seq-len", "200000", "--threads", NPROC,
+                            "-v", "0"], check=True, capture_output=True)
+            times.append(round(time.time() - t0, 4))
+    if not times:
+        return None, []
+    return min(times), times
+
+
 def run_device_iteration(db, name="protein"):
     """One full protein iteration (jax backend + native extend).
 
@@ -367,6 +507,29 @@ def main():
         if len(NUCL_SCALES) > 1:
             nucl["sweep"] = nucl_sweep
 
+    guided = None
+    if os.environ.get("BENCH_GUIDED", "0") == "1":
+        gscale = int(os.environ.get("BENCH_GUIDED_SCALE", str(SCALES[0])))
+        _log(f"[bench] guided workload scale={gscale}")
+        gnucl, gaa = build_guided_workload(gscale)
+        _log(f"[bench] guided device iteration n={gaa.size}")
+        gdev_s, gstages = run_guided_device_iteration(
+            gnucl, gaa, name=f"guided_s{gscale}")
+        _log("[bench] guided reference baseline")
+        gref_s, gref_runs = run_guided_reference_iteration(gnucl, gaa,
+                                                           gscale)
+        guided = {
+            "scale": gscale,
+            "n_orfs": gaa.size,
+            "iteration_s": round(gdev_s, 4),
+            "orfs_per_s": round(gaa.size / gdev_s, 1),
+            "stages_s": gstages,
+            "baseline_orfs_per_s": (round(gaa.size / gref_s, 1)
+                                    if gref_s else None),
+            "baseline_runs_s": gref_runs,
+            "vs_baseline": (round(gref_s / gdev_s, 3) if gref_s else None),
+        }
+
     print(json.dumps({
         "metric": "iteration_reads_per_s_per_chip",
         "value": head["reads_per_s"],
@@ -379,6 +542,7 @@ def main():
         "baseline_reads_per_s": head["baseline_reads_per_s"],
         "sweep": sweep,
         "nucl": nucl,
+        "guided": guided,
     }))
 
 

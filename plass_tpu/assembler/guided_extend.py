@@ -54,6 +54,8 @@ def guided_assemble(nucl_db, aa_db, alignments, seq_id_thr=0.99,
             import warnings
             warnings.warn(f"native guided assemble failed ({e}); "
                           f"python fallback")
+    if isinstance(alignments, dict) and "qk" in alignments:
+        alignments = _flat_to_dicts(alignments)
     mat = constants.nucleotide()
     ascii_mat = mat.ascii_mat
     lut = nucl_db.id_lookup_array()
@@ -184,6 +186,22 @@ def guided_assemble(nucl_db, aa_db, alignments, seq_id_thr=0.99,
             aa_writer.finish(sort_by_key=True), was_extended)
 
 
+def _flat_to_dicts(f):
+    """Expand protein_aln_to_nucl's flat format into per-query record
+    dicts (python-path fallback only). seqId is already parsed, so the
+    python loop's _parsed_seq_id round-trip is a no-op on it."""
+    out = {}
+    for i in range(len(f["qk"])):
+        out.setdefault(int(f["qk"][i]), []).append({
+            "dbKey": int(f["dbkey"][i]), "score": int(f["score"][i]),
+            "seqId": float(f["seqid"][i]),
+            "qStartPos": int(f["qs"][i]), "qEndPos": int(f["qe"][i]),
+            "qLen": int(f["qlen"][i]), "dbStartPos": int(f["ts"][i]),
+            "dbEndPos": int(f["te"][i]), "dbLen": int(f["tlen"][i]),
+        })
+    return out
+
+
 def _guided_assemble_native(nucl_db, aa_db, alignments, seq_id_thr,
                             max_seq_len, keep_target):
     """Flatten the per-query record dicts (pre-filtered by the parsed-text
@@ -201,38 +219,67 @@ def _guided_assemble_native(nucl_db, aa_db, alignments, seq_id_thr,
     aa_data, aa_off_flat, aa_lens = _flat_seqs(aa_db)
     keys = nucl_db.keys.astype(np.uint32)
 
-    counts = np.zeros(n + 1, dtype=np.int64)
-    n_aln_raw = np.zeros(n, dtype=np.int32)
-    flat = {k: [] for k in ("dbkey", "dbid", "score", "seqid", "alnlen",
-                            "qs", "qe", "qlen", "ts", "te", "tlen")}
-    for i in range(n):
-        recs = alignments.get(int(keys[i]), [])
-        n_aln_raw[i] = len(recs)
-        kept = 0
-        for r in recs:
-            seq_id = _parsed_seq_id(r["seqId"])
-            if seq_id < seq_id_thr:
-                continue
-            qs, qe = int(r["qStartPos"]), int(r["qEndPos"])
-            ts, te = int(r["dbStartPos"]), int(r["dbEndPos"])
-            flat["dbkey"].append(int(r["dbKey"]))
-            flat["dbid"].append(int(lut[int(r["dbKey"])]))
-            flat["score"].append(int(r["score"]))
-            flat["seqid"].append(seq_id)
-            flat["alnlen"].append(max(qe - qs, te - ts) + 1)
-            flat["qs"].append(qs)
-            flat["qe"].append(qe)
-            flat["qlen"].append(int(r["qLen"]))
-            flat["ts"].append(ts)
-            flat["te"].append(te)
-            flat["tlen"].append(int(r["dbLen"]))
-            kept += 1
-        counts[i + 1] = kept
-    aln_off = np.cumsum(counts)
-    a = {k: np.ascontiguousarray(
-            np.asarray(v, dtype=np.float64 if k == "seqid" else
-                       (np.uint32 if k == "dbkey" else np.int32)))
-         for k, v in flat.items()}
+    if isinstance(alignments, dict) and "qk" in alignments:
+        # flat nucleotide-coordinate records straight from
+        # protein_aln_to_nucl's vectorized path: seqId is already the
+        # parsed text round-trip value, so only the threshold filter and
+        # per-query offsets remain — no per-record python loop
+        f = alignments
+        n_aln_raw = np.ascontiguousarray(f["n_aln_raw"].astype(np.int32))
+        keep = f["seqid"] >= seq_id_thr
+        qk_kept = f["qk"][keep]
+        lo = np.searchsorted(qk_kept, keys.astype(np.int64), side="left")
+        hi = np.searchsorted(qk_kept, keys.astype(np.int64), side="right")
+        aln_off = np.zeros(n + 1, dtype=np.int64)
+        aln_off[1:] = np.cumsum((hi - lo).astype(np.int64))
+        span = np.maximum(f["qe"] - f["qs"], f["te"] - f["ts"]) + 1
+        a = {
+            "dbkey": f["dbkey"][keep].astype(np.uint32),
+            "dbid": f["dbid"][keep].astype(np.int32),
+            "score": f["score"][keep].astype(np.int32),
+            "seqid": f["seqid"][keep].astype(np.float64),
+            "alnlen": span[keep].astype(np.int32),
+            "qs": f["qs"][keep].astype(np.int32),
+            "qe": f["qe"][keep].astype(np.int32),
+            "qlen": f["qlen"][keep].astype(np.int32),
+            "ts": f["ts"][keep].astype(np.int32),
+            "te": f["te"][keep].astype(np.int32),
+            "tlen": f["tlen"][keep].astype(np.int32),
+        }
+        a = {k: np.ascontiguousarray(v) for k, v in a.items()}
+    else:
+        counts = np.zeros(n + 1, dtype=np.int64)
+        n_aln_raw = np.zeros(n, dtype=np.int32)
+        flat = {k: [] for k in ("dbkey", "dbid", "score", "seqid", "alnlen",
+                                "qs", "qe", "qlen", "ts", "te", "tlen")}
+        for i in range(n):
+            recs = alignments.get(int(keys[i]), [])
+            n_aln_raw[i] = len(recs)
+            kept = 0
+            for r in recs:
+                seq_id = _parsed_seq_id(r["seqId"])
+                if seq_id < seq_id_thr:
+                    continue
+                qs, qe = int(r["qStartPos"]), int(r["qEndPos"])
+                ts, te = int(r["dbStartPos"]), int(r["dbEndPos"])
+                flat["dbkey"].append(int(r["dbKey"]))
+                flat["dbid"].append(int(lut[int(r["dbKey"])]))
+                flat["score"].append(int(r["score"]))
+                flat["seqid"].append(seq_id)
+                flat["alnlen"].append(max(qe - qs, te - ts) + 1)
+                flat["qs"].append(qs)
+                flat["qe"].append(qe)
+                flat["qlen"].append(int(r["qLen"]))
+                flat["ts"].append(ts)
+                flat["te"].append(te)
+                flat["tlen"].append(int(r["dbLen"]))
+                kept += 1
+            counts[i + 1] = kept
+        aln_off = np.cumsum(counts)
+        a = {k: np.ascontiguousarray(
+                np.asarray(v, dtype=np.float64 if k == "seqid" else
+                           (np.uint32 if k == "dbkey" else np.int32)))
+             for k, v in flat.items()}
 
     ascii_mat = np.ascontiguousarray(mat.ascii_mat.astype(np.int16))
     flags = np.zeros(n, dtype=np.uint8)

@@ -13,7 +13,7 @@ _LIB = None
 
 _SOURCES = ["ssw.cpp", "extend.cpp", "nucl_extend.cpp", "banded.cpp",
             "tantan.cpp", "pssm.cpp", "ungapped.cpp", "profilestates.cpp",
-            "gather.cpp", "finish.cpp"]
+            "gather.cpp", "finish.cpp", "aln2nucl.cpp"]
 
 
 def _build(so_path):
@@ -133,4 +133,7 @@ def lib():
             ctypes.c_int64, i64p, i32p, i32p, i32p, i32p, u8p, i64p, i32p,
             i32p, i32p, i64p, f64p, f64p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, u8p, u8p]
+        _LIB.aln2nucl_score.argtypes = [
+            ctypes.c_int64, u8p, i64p, i32p, i32p, i32p, i32p, i32p,
+            i16p, i32p, f64p]
         return _LIB

@@ -165,7 +165,11 @@ def run_guided_nuclassemble(input_files, out_fasta, tmp_base, params=None):
                        else kmermatcher_jax)
             hits = matcher(current_aa, p.aa_kmer_size,
                            return_arrays=True, **kw)
-            alns = rescore_diagonal_jax(current_aa, hits, rp)
+            # flat records ride straight through the vectorized
+            # proteinaln2nucl into the native guided extender — no
+            # per-record dict loop on the device path
+            alns = rescore_diagonal_jax(current_aa, hits, rp,
+                                        return_flat=True)
         else:
             hits = kmermatcher(current_aa, p.aa_kmer_size, **kw)
             alns = rescore_diagonal(current_aa, hits, rp)
