@@ -44,6 +44,13 @@ ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 CACHE = os.environ.get("BENCH_CACHE", "/tmp/plass_tpu_bench")
 BENCH_NUCL = os.environ.get("BENCH_NUCL", "1") == "1"
 PROFILE_DIR = os.environ.get("BENCH_PROFILE")
+# roofline-by-default: trace ONE extra (untimed) iteration of the
+# headline workload and report per-category device time + achieved HBM
+# bandwidth vs the chip's peak (the workload is sort-bound, so bandwidth
+# utilization is its MFU). BENCH_ROOFLINE=0 disables.
+if PROFILE_DIR is None and os.environ.get("BENCH_ROOFLINE", "1") == "1":
+    import tempfile
+    PROFILE_DIR = tempfile.mkdtemp(prefix="plass_bench_trace_")
 
 
 @contextlib.contextmanager
@@ -530,6 +537,34 @@ def main():
             "vs_baseline": (round(gref_s / gdev_s, 3) if gref_s else None),
         }
 
+    roofline = None
+    if PROFILE_DIR:
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "util"))
+            from roofline import analyze_dir
+            full = analyze_dir(PROFILE_DIR)
+            key = f"protein_s{head_scale}"
+            r = full.get(key) or next(iter(full.values()))
+            roofline = {
+                "workload": key,
+                "device": r["device"],
+                "peak_hbm_gibps": r["peak_hbm_gibps"],
+                "total_device_us": r["total_device_us"],
+                "categories_us": r["categories_us"],
+                "sort_self_us": r["sort_self_us"],
+                "sort_achieved_hbm_gibps": r["sort_achieved_hbm_gibps"],
+                "sort_pct_of_peak_hbm": r["sort_pct_of_peak_hbm"],
+                "top_ops": [
+                    {k: o[k] for k in ("op", "category", "self_us",
+                                       "occurrences",
+                                       "achieved_hbm_gibps",
+                                       "pct_of_peak_hbm", "bound_by")}
+                    for o in r["top_ops"][:5]],
+            }
+        except Exception as e:  # pragma: no cover - xprof optional
+            _log(f"[bench] roofline analysis unavailable: {e}")
+
     print(json.dumps({
         "metric": "iteration_reads_per_s_per_chip",
         "value": head["reads_per_s"],
@@ -543,6 +578,7 @@ def main():
         "sweep": sweep,
         "nucl": nucl,
         "guided": guided,
+        "roofline": roofline,
     }))
 
 
