@@ -179,3 +179,59 @@ def test_pallas_product_path_matches_xla(merged_reads, monkeypatch):
     np.testing.assert_array_equal(nx["qk"], npal["qk"])
     assert len(nx["rec"]) > 50
     np.testing.assert_array_equal(nx["rec"], npal["rec"])
+
+
+def test_pallas_seg_scan_kinds_match_xla():
+    """ops/pallas_scan.py: every op kind matches the XLA associative_scan
+    bit-for-bit, across block boundaries and with trailing padding
+    (interpret mode, shrunken 1K blocks so the SMEM carry crosses many
+    grid steps)."""
+    import jax
+    import jax.numpy as jnp
+    from plass_tpu.ops import pallas_scan as ps
+
+    old_blk, old_r = ps.BLK, ps._R
+    ps.BLK = 1024
+    ps._R = ps.BLK // ps._C
+    try:
+        rng = np.random.default_rng(3)
+        n = 1024 * 4 + 700   # padding + 4 block boundaries
+        flag = rng.random(n) < 0.02
+        flag[0] = True
+        fl = jnp.asarray(flag)
+        a = jnp.asarray(rng.integers(-2**31, 2**31, n).astype(np.int32))
+        b = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64)
+                        .astype(np.uint32))
+        c = jnp.asarray(rng.integers(-100, 2**20, n).astype(np.int32))
+
+        def first_op(x, y):
+            return (x[0] | y[0],) + tuple(
+                jnp.where(y[0], q, p) for p, q in zip(x[1:], y[1:]))
+        ref = jax.lax.associative_scan(first_op, (fl, a, b))
+        got = ps.seg_scan_pallas("first", fl, a, b, interpret=True)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r).astype(np.int64),
+                                          np.asarray(g).astype(np.int64))
+
+        def cm_op(x, y):
+            return (x[0] | y[0],
+                    jnp.where(y[0], y[1], jnp.maximum(x[1], y[1])))
+        ref = jax.lax.associative_scan(cm_op, (fl, a))
+        got = ps.seg_scan_pallas("cummax", fl, a, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref[1]),
+                                      np.asarray(got[1]))
+
+        def sfx_op(x, y):
+            af, ac, apk, ad = x
+            bf, bc, bpk, bd = y
+            a_wins = ~bf & ((ac > bc) | ((ac == bc) & (apk >= bpk)))
+            return (af | bf, jnp.where(a_wins, ac, bc),
+                    jnp.where(a_wins, apk, bpk),
+                    jnp.where(a_wins, ad, bd))
+        pk = jnp.asarray(rng.integers(-1, 2**24, n).astype(np.int32))
+        ref = jax.lax.associative_scan(sfx_op, (fl, c, pk, a))
+        got = ps.seg_scan_pallas("sfx2", fl, c, pk, a, interpret=True)
+        for r, g in zip(ref[1:], got[1:]):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+    finally:
+        ps.BLK, ps._R = old_blk, old_r
