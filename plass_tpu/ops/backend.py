@@ -551,6 +551,29 @@ def _score_tables(db):
     return sub_flat, comp, code2char, alpha
 
 
+def _fast_sub_pattern(db):
+    """Static (match, mismatch, comp_tuple, canon_char_tuple) when the
+    DB's substitution matrix is the uniform q==t and q<X ? m : x shape
+    (the nucleotide matrix is exactly 2/-3) — lets the Pallas rescore
+    collapse its per-hit one-hot MXU contraction to one compare plus
+    static select chains. None for structured matrices (blosum62).
+    PLASS_PALLAS_FAST=0 disables."""
+    import os
+    if os.environ.get("PLASS_PALLAS_FAST", "1") != "1":
+        return None
+    sub_flat, comp, code2char, alpha = _score_tables(db)
+    sub = sub_flat.reshape(alpha, alpha)
+    m, x = int(sub[0, 0]), int(sub[0, 1])
+    want = np.full((alpha, alpha), x, dtype=np.int64)
+    for i in range(alpha - 1):
+        want[i, i] = m
+    if m == x or not np.array_equal(sub.astype(np.int64), want):
+        return None
+    comp_t = tuple(int(c) for c in comp)
+    c2cc_t = tuple(int(code2char[comp[a]]) for a in range(alpha))
+    return (m, x, comp_t, c2cc_t)
+
+
 def _round_up(x, step=4096):
     """Round a dynamic buffer size to a geometric grid: 4096 steps below
     32k, then 1/8th-of-magnitude steps — bounds the number of DISTINCT
@@ -624,10 +647,10 @@ def _rescore_from_dev(codes, chars, lengths, lut, dev_rep, dev_tgt, dev_diag,
 
 @functools.partial(jax.jit,
                    static_argnames=("alpha", "width", "interpret",
-                                    "has_rev"))
+                                    "has_rev", "fast"))
 def _rescore_from_dev_pallas(codes, chars, lengths, lut, dev_rep, dev_tgt,
                              dev_diag, idxops, sub2d, comp, code2char,
-                             alpha, width, interpret, has_rev):
+                             alpha, width, interpret, has_rev, fast=None):
     """_rescore_from_dev with the Pallas kernel as the scoring engine
     (END_TO_END; has_rev enables the nucleotide reverse-strand path):
     hits addressed by index into the k-mer stage's device arrays, rows
@@ -644,7 +667,8 @@ def _rescore_from_dev_pallas(codes, chars, lengths, lut, dev_rep, dev_tgt,
         interpret=interpret,
         qrev=qrev if has_rev else None,
         comp_perm=comp if has_rev else None,
-        code2char=code2char if has_rev else None)
+        code2char=code2char if has_rev else None,
+        fast=fast)
     return jnp.stack([score.astype(jnp.int32), first.astype(jnp.int32),
                       last.astype(jnp.int32), idents.astype(jnp.int32)])
 
@@ -824,7 +848,8 @@ def rescore_diagonal_jax(db, hits, params=None, evaluer=None,
         out_dev = _rescore_from_dev_pallas(
             pjc, pjch, jl, jlut, *hits.dev, jnp.asarray(ops1),
             jsub.reshape(alpha, alpha), jcomp, jc2c, alpha,
-            pw, jax.default_backend() == "cpu", is_nucl)
+            pw, jax.default_backend() == "cpu", is_nucl,
+            fast=_fast_sub_pattern(db))
         packed = _fetch(out_dev, "rescore")
         score[idxs] = packed[0, :mb].astype(np.int64)
         first[idxs] = packed[1, :mb]

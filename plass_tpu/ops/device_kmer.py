@@ -140,7 +140,7 @@ def select_kmers(seqs, lengths, params: KmerParams, hash_shift):
                      valid.sum(axis=1).astype(jnp.int32))
 
     # threshold = (kc-th smallest pre-dedup hash) + 1; tooMuch = |{h<=h_kc}|-kc
-    h_sorted = jnp.sort(h16, axis=1)
+    h_sorted = jax.lax.sort((h16,), dimension=1, is_stable=False)[0]
     h_kc = jnp.take_along_axis(
         h_sorted, jnp.maximum(kc - 1, 0)[:, None], axis=1)[:, 0]
     h_kc = jnp.where(kc > 0, h_kc, -1)
@@ -161,9 +161,32 @@ def select_kmers(seqs, lengths, params: KmerParams, hash_shift):
     fwd = (store_kmer >> jnp.uint64(63)).astype(jnp.int32) if params.is_nucl \
         else jnp.zeros((n, p), dtype=jnp.int32)
     pk = (jax.lax.broadcasted_iota(jnp.int32, (n, p), 1) << 1) | fwd
-    s_h, s_hi, s_lo, s_pos, s_pk = jax.lax.sort(
-        (big_if_inval, mk_hi, mk_lo, store_pos, pk),
-        dimension=1, num_keys=4)
+    # is_stable=False on every sort whose key chain is already a total
+    # order (or whose ties are all-invalid garbage): XLA's stable TPU
+    # sort appends an s32 iota operand and runs a costlier network —
+    # measured 193 ms -> 164 ms on the 24M-entry table sort and 156 ms
+    # -> 141 ms on this [393K, 363] row sort. (h16, kmer, pos) is total
+    # per row (pos is unique per position), so the result is identical.
+    #
+    # pack_pos: when every per-row position fits 10 bits (p <= 1024 —
+    # static: p is the padded position count), pos and the iota/fwd
+    # payload ride ONE u32 trailing key (pos<<11 | iota<<1 | fwd), so
+    # both row sorts carry 4 operands instead of 5/6.  The extra iota
+    # bits below pos are harmless: (h16, kmer, pos) is already total.
+    # Long-contig iterations (p > 1024, max-seq-len 200000) keep the
+    # wide operand lists.
+    pack_pos = p <= 1024
+    if pack_pos:
+        posk = (store_pos.astype(jnp.int32) << 11) | pk
+        s_h, s_hi, s_lo, s_posk = jax.lax.sort(
+            (big_if_inval, mk_hi, mk_lo, posk),
+            dimension=1, num_keys=4, is_stable=False)
+        s_pos = s_posk >> 11
+        s_pk = s_posk & 0x7FF
+    else:
+        s_h, s_hi, s_lo, s_pos, s_pk = jax.lax.sort(
+            (big_if_inval, mk_hi, mk_lo, store_pos, pk),
+            dimension=1, num_keys=4, is_stable=False)
 
     if params.ignore_multi_kmer:
         # the reference's duplicate-skip loop (kmermatcher.cpp:277-301)
@@ -204,12 +227,35 @@ def select_kmers(seqs, lengths, params: KmerParams, hash_shift):
     # compact to KSEL slots keeping selection order — the selected entries'
     # values ride the sort as payload operands (one 1-key row sort instead
     # of a sort plus three row gathers)
-    order_key = jnp.where(sel, jnp.arange(p, dtype=jnp.int32)[None, :], INVALID_HASH)
-    c_key, c_hi, c_lo, c_pos, c_pk, c_h = jax.lax.sort(
-        (order_key, s_hi, s_lo, s_pos, s_pk, s_h), dimension=1, num_keys=1)
-    take = min(ksel, p)
-    c_key = c_key[:, :take]
-    sel_valid = c_key < INVALID_HASH
+    # unstable: order_key is unique for selected slots; ties are all
+    # sentinel garbage masked by sel_valid downstream
+    if pack_pos:
+        # okp = min(order_key, 1024)<<21 | pos<<11 | iota<<1 | fwd —
+        # exactly 32 bits; selected rows have order_key < 1024 unique,
+        # the 1024 sentinel sinks every unselected slot past them
+        # u32: the 1024 sentinel shifted left 21 is 2^31 and must not
+        # wrap negative (an i32 pack sent every unselected slot FIRST)
+        ok11 = jnp.where(sel, jnp.arange(p, dtype=jnp.uint32)[None, :],
+                         jnp.uint32(1024))
+        okp = (ok11 << jnp.uint32(21)) | s_posk.astype(jnp.uint32)
+        c_okp, c_hi, c_lo, c_h = jax.lax.sort(
+            (okp, s_hi, s_lo, s_h), dimension=1, num_keys=1,
+            is_stable=False)
+        take = min(ksel, p)
+        c_okp = c_okp[:, :take]
+        sel_valid = (c_okp >> jnp.uint32(21)) < 1024
+        c_pos = ((c_okp >> jnp.uint32(11)) & jnp.uint32(0x3FF)) \
+            .astype(jnp.int32)
+        c_pk = (c_okp & jnp.uint32(0x7FF)).astype(jnp.int32)
+    else:
+        order_key = jnp.where(
+            sel, jnp.arange(p, dtype=jnp.int32)[None, :], INVALID_HASH)
+        c_key, c_hi, c_lo, c_pos, c_pk, c_h = jax.lax.sort(
+            (order_key, s_hi, s_lo, s_pos, s_pk, s_h), dimension=1,
+            num_keys=1, is_stable=False)
+        take = min(ksel, p)
+        c_key = c_key[:, :take]
+        sel_valid = c_key < INVALID_HASH
     c_hi = c_hi[:, :take]
     if params.is_nucl:
         # restore store_kmer's bit63 (fwd flag) that the dup-mask forced on
@@ -292,9 +338,11 @@ def pairs_from_table(kmer, sid, pos, slen, valid, params: KmerParams):
     fwd_bit = (k_hi >> jnp.uint32(31)) & jnp.uint32(1)
     packed = ((pos.astype(jnp.uint32) << jnp.uint32(2))
               | (fwd_bit << jnp.uint32(1)) | valid.astype(jnp.uint32))
+    # unstable: (kmer, len, sid, packed pos/fwd/valid) is a total order —
+    # pos is unique within a sequence, so no two entries tie on all five
     mh_s, ml_s, nl_s, sid_s, pk_s = jax.lax.sort(
         (m_hi, m_lo, neg_len_u, sid, packed),
-        dimension=0, num_keys=5)
+        dimension=0, num_keys=5, is_stable=False)
     slen_s = (~nl_s).astype(jnp.int32)
     pos_s = (pk_s >> jnp.uint32(2)).astype(jnp.int32)
     fwd_s = ((pk_s >> jnp.uint32(1)) & jnp.uint32(1)).astype(jnp.uint8)
@@ -651,8 +699,11 @@ def sort_table_by_range(kmer, sid, pos, slen, valid, h16):
             | ((slen.astype(jnp.uint32) >> jnp.uint32(15))
                << jnp.uint32(1))
             | valid.astype(jnp.uint32))
+    # unstable: intra-bin order is irrelevant (every range is re-sorted
+    # by the total-order 5-key pair sort); measured 193 -> 164 ms at 24M
     skey, s_hi, s_lo, s_sid, s_pw = jax.lax.sort(
-        (key, mk_hi, mk_lo, sid, posw), dimension=0, num_keys=1)
+        (key, mk_hi, mk_lo, sid, posw), dimension=0, num_keys=1,
+        is_stable=False)
     s_valid = (s_pw & jnp.uint32(1)).astype(bool)
     s_pos = (s_pw >> jnp.uint32(4)).astype(jnp.int32)
     s_slen = ((skey & jnp.uint32(0x7FFF))
@@ -682,7 +733,8 @@ def sort_table_by_range_wide(kmer, sid, pos, slen, valid, h16):
     mk_lo = kmer.astype(jnp.uint32)
     s = jax.lax.sort(
         (key, mk_hi, mk_lo, sid, pos, slen.astype(jnp.int32),
-         valid.astype(jnp.int32)), dimension=0, num_keys=1)
+         valid.astype(jnp.int32)), dimension=0, num_keys=1,
+        is_stable=False)
     skey, s_hi, s_lo, s_sid, s_pos, s_slen, s_valid = s
     bounds = jnp.searchsorted(skey, jnp.arange(0x10001, dtype=jnp.int32))
     return (s_hi, s_lo, s_sid, s_pos, s_slen,
@@ -711,8 +763,10 @@ def pairs_slice_compact(s_hi, s_lo, s_sid, s_pos, s_slen, s_valid, start,
     # diag and rev ride as ONE word (diag<<1|rev): 4 sort operands, and
     # the merge consumes the packed form directly
     dr = (diag << 1) | rev.astype(jnp.int32)
+    # unstable: order is a unique iota for kept entries; dropped ties are
+    # all-sentinel and truncated at kcap
     _, cr, ct, cdr = jax.lax.sort(
-        (order, rep, tgt, dr), dimension=0, num_keys=1)
+        (order, rep, tgt, dr), dimension=0, num_keys=1, is_stable=False)
     packed = jnp.stack([cr[:kcap].astype(jnp.int32),
                         ct[:kcap].astype(jnp.int32), cdr[:kcap]])
     return packed, keep.sum().astype(jnp.int32)

@@ -50,18 +50,76 @@ def _roll_left(vec, d, width, interpret):
     return pltpu.roll(vec, -d, 1)
 
 
-def _kernel(*refs, width, alpha, interpret, has_rev):
+def _map_codes(x, table):
+    """x (int32 array of codes < len(table)) mapped through a STATIC
+    python tuple — a select chain with immediate constants, no memory
+    traffic (alpha is 5 for nucleotides)."""
+    out = jnp.full_like(x, jnp.int32(table[-1]))
+    for a in range(len(table) - 2, -1, -1):
+        out = jnp.where(x == a, jnp.int32(table[a]), out)
+    return out
+
+
+def _score_and_canon(qc_j, qch_j, tc_j, rev, sub_ref, subc_ref, c2cc_ref,
+                     width, alpha, has_rev, fast):
+    """Per-hit (substitution score row, effective query char row).
+
+    fast=(match, mism, comp_t, c2cc_t) collapses the one-hot matmul
+    machinery for uniform match/mismatch matrices (the nucleotide matrix
+    is exactly q==t and q<X ? 2 : -3, NucleotideMatrix via
+    constants/data/nucleotide): the complement and canonical-char maps
+    become static select chains and the score a single compare — no
+    one-hots, no MXU contraction, no per-hit matrix blend.  The generic
+    path is bit-equivalent (small-int f32 matmuls are exact)."""
+    if fast is not None:
+        match, mism, comp_t, c2cc_t = fast
+        if has_rev:
+            qc_c = _map_codes(qc_j, comp_t)
+            qch_c = _map_codes(qc_j, c2cc_t)
+            rv_on = rev > 0
+            qc_eff = jnp.where(rv_on, qc_c, qc_j)
+            qch = jnp.where(rv_on, qch_c, qch_j)
+        else:
+            qc_eff, qch = qc_j, qch_j
+        s = jnp.where((qc_eff == tc_j) & (qc_eff != alpha - 1),
+                      jnp.int32(match), jnp.int32(mism))
+        return s.reshape(1, width), qch
+    a = jax.lax.broadcasted_iota(jnp.int32, (width, alpha), 1)
+    q1h = (qc_j.reshape(width, 1) == a).astype(jnp.float32)
+    t1h = (tc_j.reshape(width, 1) == a).astype(jnp.float32)
+    if has_rev:
+        rf = rev.astype(jnp.float32)
+        sub_sel = (rf * subc_ref[...].astype(jnp.float32)
+                   + (1.0 - rf) * sub_ref[...].astype(jnp.float32))
+        qch_canon = jax.lax.dot_general(
+            q1h, c2cc_ref[...].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(1, width) \
+            .astype(jnp.int32)
+        qch = rev * qch_canon + (1 - rev) * qch_j
+    else:
+        sub_sel = sub_ref[...].astype(jnp.float32)
+        qch = qch_j
+    sm = jax.lax.dot_general(
+        q1h, sub_sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = (sm * t1h).sum(axis=1, dtype=jnp.float32).astype(jnp.int32) \
+        .reshape(1, width)
+    return s, qch
+
+
+def _kernel(*refs, width, alpha, interpret, has_rev, fast):
     # pallas traces the kernel lazily (outside the caller's context), so
     # the 32-bit promotion guard must live here
     with jax.enable_x64(False):
         _kernel_body(*refs, width=width, alpha=alpha, interpret=interpret,
-                     has_rev=has_rev)
+                     has_rev=has_rev, fast=fast)
 
 
 def _kernel_body(qrow_ref, trow_ref, dq_ref, dt_ref, ov_ref, rev_ref,
                  qcodes_ref, tcodes_ref, qchars_ref, tchars_ref,
                  sub_ref, subc_ref, c2cc_ref, out_ref, *, width, alpha,
-                 interpret, has_rev):
+                 interpret, has_rev, fast):
     i = pl.program_id(0)
     dq = dq_ref[i]          # effective roll: qoff fwd, lmax-qlen+qoff rev
     dt = dt_ref[i]
@@ -82,31 +140,11 @@ def _kernel_body(qrow_ref, trow_ref, dq_ref, dt_ref, ov_ref, rev_ref,
     tc = _roll_left(tcodes_ref[0].astype(jnp.int32), dt, width, interpret)
     tch = _roll_left(tchars_ref[0].astype(jnp.int32), dt, width, interpret)
 
-    a = jax.lax.broadcasted_iota(jnp.int32, (width, alpha), 1)
-    q1h = (qc.reshape(width, 1) == a).astype(jnp.float32)
-    t1h = (tc.reshape(width, 1) == a).astype(jnp.float32)
     # s[j] = sub[qc'[j], tc[j]] with qc' = comp[qc] on reverse hits: the
-    # complement is folded into the matrix choice, blended by rev
-    if has_rev:
-        rf = rev.astype(jnp.float32)
-        sub_sel = (rf * subc_ref[...].astype(jnp.float32)
-                   + (1.0 - rf) * sub_ref[...].astype(jnp.float32))
-        # canonical char of the complemented code (code2char[comp[qc]]),
-        # exact in f32 (chars < 256)
-        qch_canon = jax.lax.dot_general(
-            q1h, c2cc_ref[...].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(1, width) \
-            .astype(jnp.int32)
-        qch = rev * qch_canon + (1 - rev) * qch_raw
-    else:
-        sub_sel = sub_ref[...].astype(jnp.float32)
-        qch = qch_raw
-    sm = jax.lax.dot_general(
-        q1h, sub_sel, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    s = (sm * t1h).sum(axis=1, dtype=jnp.float32).astype(jnp.int32) \
-        .reshape(1, width)
+    # complement is folded into the matrix choice (or a static select
+    # chain on the uniform-matrix fast path)
+    s, qch = _score_and_canon(qc, qch_raw, tc, rev, sub_ref, subc_ref,
+                              c2cc_ref, width, alpha, has_rev, fast)
 
     j = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
     star_here = ((qch == STAR) | (tch == STAR)).astype(jnp.int32)
@@ -136,15 +174,16 @@ def _kernel_body(qrow_ref, trow_ref, dq_ref, dt_ref, ov_ref, rev_ref,
          idents]).reshape(1, 1, 4)
 
 
-def _kernel_blocked(*refs, width, alpha, block, interpret, has_rev):
+def _kernel_blocked(*refs, width, alpha, block, interpret, has_rev, fast):
     with jax.enable_x64(False):
         _kernel_blocked_body(*refs, width=width, alpha=alpha, block=block,
-                             interpret=interpret, has_rev=has_rev)
+                             interpret=interpret, has_rev=has_rev,
+                             fast=fast)
 
 
 def _kernel_blocked_body(qrow_ref, trow_ref, dq_ref, dt_ref, ov_ref,
                          rev_ref, *rest, width, alpha, block, interpret,
-                         has_rev):
+                         has_rev, fast):
     """BLOCK hits per grid step: the per-hit grid's ~2us fixed step cost
     (DMA issues + grid bookkeeping + (1, W) vector ops that use one
     sublane of eight) dominated the rescore at scale (183k hits = 0.35s
@@ -174,27 +213,11 @@ def _kernel_blocked_body(qrow_ref, trow_ref, dq_ref, dt_ref, ov_ref,
         qch_j = qcomb_j & 0xFF
         tc_j = tcomb_j >> 8
         tch_j = tcomb_j & 0xFF
-        a = jax.lax.broadcasted_iota(jnp.int32, (width, alpha), 1)
-        q1h_j = (qc_j.reshape(width, 1) == a).astype(jnp.float32)
-        t1h_j = (tc_j.reshape(width, 1) == a).astype(jnp.float32)
-        if has_rev:
-            rf = rev_ref[base + jj].astype(jnp.float32)
-            sub_sel = (rf * subc_ref[...].astype(jnp.float32)
-                       + (1.0 - rf) * sub_ref[...].astype(jnp.float32))
-            qch_canon = jax.lax.dot_general(
-                q1h_j, c2cc_ref[...].astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).reshape(1, width) \
-                .astype(jnp.int32)
-            rv = rev_ref[base + jj]
-            qch_j = rv * qch_canon + (1 - rv) * qch_j
-        else:
-            sub_sel = sub_ref[...].astype(jnp.float32)
-        sm_j = jax.lax.dot_general(
-            q1h_j, sub_sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s_rows.append((sm_j * t1h_j).sum(axis=1, dtype=jnp.float32)
-                      .astype(jnp.int32).reshape(1, width))
+        rv = rev_ref[base + jj] if has_rev else 0
+        s_j, qch_j = _score_and_canon(qc_j, qch_j, tc_j, rv, sub_ref,
+                                      subc_ref, c2cc_ref, width, alpha,
+                                      has_rev, fast)
+        s_rows.append(s_j)
         qch_rows.append(qch_j)
         tch_rows.append(tch_j)
     s = jnp.concatenate(s_rows, axis=0)          # (B, W)
@@ -205,15 +228,17 @@ def _kernel_blocked_body(qrow_ref, trow_ref, dq_ref, dt_ref, ov_ref,
     _reduce_windows(s, qch, tch, ov, out_ref, width=width, block=block)
 
 
-def _kernel_gathered(*refs, width, alpha, block, interpret, has_rev):
+def _kernel_gathered(*refs, width, alpha, block, interpret, has_rev, fast):
     with jax.enable_x64(False):
         _kernel_gathered_body(*refs, width=width, alpha=alpha, block=block,
-                              interpret=interpret, has_rev=has_rev)
+                              interpret=interpret, has_rev=has_rev,
+                              fast=fast)
 
 
 def _kernel_gathered_body(dq_ref, dt_ref, ov_ref, rev_ref, qrows_ref,
                           trows_ref, sub_ref, subc_ref, c2cc_ref, out_ref,
-                          *, width, alpha, block, interpret, has_rev):
+                          *, width, alpha, block, interpret, has_rev,
+                          fast):
     """Gathered-rows variant: the caller row-gathers the packed comb rows
     in XLA (contiguous row gather — fast, unlike the per-element window
     gather of the XLA scan), so each grid step streams ONE contiguous
@@ -233,27 +258,11 @@ def _kernel_gathered_body(dq_ref, dt_ref, ov_ref, rev_ref, qrows_ref,
         qch_j = qcomb_j & 0xFF
         tc_j = tcomb_j >> 8
         tch_j = tcomb_j & 0xFF
-        a = jax.lax.broadcasted_iota(jnp.int32, (width, alpha), 1)
-        q1h_j = (qc_j.reshape(width, 1) == a).astype(jnp.float32)
-        t1h_j = (tc_j.reshape(width, 1) == a).astype(jnp.float32)
-        if has_rev:
-            rf = rev_ref[base + jj].astype(jnp.float32)
-            sub_sel = (rf * subc_ref[...].astype(jnp.float32)
-                       + (1.0 - rf) * sub_ref[...].astype(jnp.float32))
-            qch_canon = jax.lax.dot_general(
-                q1h_j, c2cc_ref[...].astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).reshape(1, width) \
-                .astype(jnp.int32)
-            rv = rev_ref[base + jj]
-            qch_j = rv * qch_canon + (1 - rv) * qch_j
-        else:
-            sub_sel = sub_ref[...].astype(jnp.float32)
-        sm_j = jax.lax.dot_general(
-            q1h_j, sub_sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s_rows.append((sm_j * t1h_j).sum(axis=1, dtype=jnp.float32)
-                      .astype(jnp.int32).reshape(1, width))
+        rv = rev_ref[base + jj] if has_rev else 0
+        s_j, qch_j = _score_and_canon(qc_j, qch_j, tc_j, rv, sub_ref,
+                                      subc_ref, c2cc_ref, width, alpha,
+                                      has_rev, fast)
+        s_rows.append(s_j)
         qch_rows.append(qch_j)
         tch_rows.append(tch_j)
     s = jnp.concatenate(s_rows, axis=0)
@@ -319,7 +328,8 @@ _CHUNK = 32768
 
 def rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag,
                          sub, alpha, width, interpret=False,
-                         qrev=None, comp_perm=None, code2char=None):
+                         qrev=None, comp_perm=None, code2char=None,
+                         fast=None):
     """(score, first, last, ov, dist, idents) for END_TO_END hits.
 
     codes/chars: uint8[N, L]; qrow/trow/diag: int32[H]; sub:
@@ -333,34 +343,35 @@ def rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag,
     if h <= _CHUNK:
         return _rescore_chunk(codes, chars, lengths, qrow, trow, diag,
                               qrev, sub, comp_perm, code2char, alpha,
-                              width, interpret, has_rev)
+                              width, interpret, has_rev, fast)
     outs = []
     for lo in range(0, h, _CHUNK):
         hi = min(lo + _CHUNK, h)
         outs.append(_rescore_chunk(codes, chars, lengths, qrow[lo:hi],
                                    trow[lo:hi], diag[lo:hi], qrev[lo:hi],
                                    sub, comp_perm, code2char, alpha,
-                                   width, interpret, has_rev))
+                                   width, interpret, has_rev, fast))
     return tuple(jnp.concatenate([o[k] for o in outs]) for k in range(6))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "alpha", "interpret",
-                                    "has_rev"))
+                                    "has_rev", "fast"))
 def _rescore_chunk(codes, chars, lengths, qrow, trow, diag, qrev,
                    sub, comp_perm, code2char, alpha, width,
-                   interpret=False, has_rev=False):
+                   interpret=False, has_rev=False, fast=None):
     # the package enables x64 globally, but Mosaic has no 64-bit types;
     # trace the whole kernel under 32-bit promotion semantics
     with jax.enable_x64(False):
         return _rescore_pairs_pallas(codes, chars, lengths, qrow, trow,
                                      diag, qrev, sub, comp_perm, code2char,
-                                     alpha, width, interpret, has_rev)
+                                     alpha, width, interpret, has_rev,
+                                     fast)
 
 
 def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag, qrev,
                           sub, comp_perm, code2char, alpha, width,
-                          interpret, has_rev):
+                          interpret, has_rev, fast=None):
     h = qrow.shape[0]
     lengths = lengths.astype(jnp.int32)
     diag = diag.astype(jnp.int32)
@@ -438,7 +449,8 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag, qrev,
             out = pl.pallas_call(
                 functools.partial(_kernel_gathered, width=width,
                                   alpha=alpha, block=block,
-                                  interpret=interpret, has_rev=has_rev),
+                                  interpret=interpret, has_rev=has_rev,
+                                  fast=fast),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=4,
                     grid=grid,
@@ -480,7 +492,7 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag, qrev,
         out = pl.pallas_call(
             functools.partial(_kernel_blocked, width=width, alpha=alpha,
                               block=block, interpret=interpret,
-                              has_rev=has_rev),
+                              has_rev=has_rev, fast=fast),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=nsp,
                 grid=grid,
@@ -527,7 +539,7 @@ def _rescore_pairs_pallas(codes, chars, lengths, qrow, trow, diag, qrev,
 
     out = pl.pallas_call(
         functools.partial(_kernel, width=width, alpha=alpha,
-                          interpret=interpret, has_rev=has_rev),
+                          interpret=interpret, has_rev=has_rev, fast=fast),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=nsp,
             grid=grid,

@@ -181,6 +181,55 @@ def test_pallas_product_path_matches_xla(merged_reads, monkeypatch):
     np.testing.assert_array_equal(nx["rec"], npal["rec"])
 
 
+def test_pallas_fast_sub_matches_generic(merged_reads):
+    """The uniform-matrix fast path (static compare/select chains instead
+    of one-hot MXU contractions) is record-exact vs the generic Pallas
+    kernel on real nucleotide hits, both strands (interpret mode)."""
+    import jax.numpy as jnp
+    from plass_tpu.data import seqdb
+    from plass_tpu.ops.backend import (db_to_padded, _score_tables,
+                                       _fast_sub_pattern)
+    from plass_tpu.ops.kmermatch import kmermatcher
+    from plass_tpu.ops.pallas_rescore import rescore_pairs_pallas
+
+    reads, _ = merged_reads
+    nucl = seqdb.subdb(reads, range(400))
+    hits = kmermatcher(nucl, 22, kmers_per_sequence=60,
+                       kmers_per_sequence_scale=0.1, hash_shift=67,
+                       ignore_multi_kmer=True,
+                       include_only_extendable=True)
+    codes, lengths, _ = db_to_padded(nucl, "score")
+    chars, _, _ = db_to_padded(nucl, "char")
+    lut = nucl.id_lookup_array()
+    qrow, trow, diag, qrev = [], [], [], []
+    for q, v in hits.items():
+        for (t, s, d) in v:
+            qrow.append(int(lut[q]))
+            trow.append(int(lut[t]))
+            diag.append(d)
+            qrev.append(1 if s < 0 else 0)
+    qrev = np.array(qrev, np.int32)
+    assert qrev.sum() > 5
+    sub_flat, comp, c2c, alpha = _score_tables(nucl)
+    fast = _fast_sub_pattern(nucl)
+    assert fast is not None and fast[0] == 2 and fast[1] == -3
+    codes_p, chars_p, w = _pow2_rows(codes, chars, alpha)
+    args = (jnp.asarray(codes_p), jnp.asarray(chars_p),
+            jnp.asarray(lengths),
+            jnp.asarray(np.array(qrow, np.int32)),
+            jnp.asarray(np.array(trow, np.int32)),
+            jnp.asarray(np.array(diag, np.int32)),
+            jnp.asarray(sub_flat.reshape(alpha, alpha)), alpha)
+    kw = dict(width=w, interpret=True, qrev=jnp.asarray(qrev),
+              comp_perm=jnp.asarray(comp), code2char=jnp.asarray(c2c))
+    gen = rescore_pairs_pallas(*args, **kw)
+    fst = rescore_pairs_pallas(*args, fast=fast, **kw)
+    names = ("score", "first", "last", "ov", "dist", "idents")
+    for name, ga, fa in zip(names, gen, fst):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(fa),
+                                      err_msg=name)
+
+
 def test_pallas_seg_scan_kinds_match_xla():
     """ops/pallas_scan.py: every op kind matches the XLA associative_scan
     bit-for-bit, across block boundaries and with trailing padding
